@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loader for the driver-generated TPC-H-ish testdata (TESTDATA.md).
+  *
+  * One parquet file per table under an `sfDir` such as
+  * `/root/testdata/sf0.01`. Loading is a plain `spark.read.parquet` so
+  * Catalyst sees a relation it can push filters/projections into; no
+  * caching here — callers decide (a 100 TB table must never be
+  * `.cache()`d wholesale).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register every table as a temp view (for spark.sql entry points). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}
