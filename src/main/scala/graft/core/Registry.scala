@@ -1,0 +1,124 @@
+package graft.core
+
+import java.nio.file.{Files, Path}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.JsonNodeType
+
+/** Model catalog: parse a directory of JSON model definitions →
+  * validated, duplicate-free registry (`parse_models`,
+  * `model.rs:175-210`; `parse_model`, `model.rs:146-156`).
+  *
+  * Semantics preserved from the reference:
+  *  - unparseable / invalid files are silently ignored;
+  *  - models whose plural-camel names collide are ALL dropped
+  *    (`cloned_movie` vs `cloned_movies` collide after
+  *    pluralize+camelize);
+  *  - lookup is by plural-camel name equality;
+  *  - an empty surviving set is an error ("No valid models defined").
+  *
+  * Unlike the reference (which re-reads the directory on every request),
+  * the registry is loaded once and held in memory; `reload()` re-scans.
+  */
+final class Registry(models: Vector[ModelDefinition]) {
+  private val byKey: Map[String, ModelDefinition] =
+    models.map(m => m.modelName.pluralCamel -> m).toMap
+
+  def all: Vector[ModelDefinition] = models
+  def isEmpty: Boolean = models.isEmpty
+
+  /** Catalog lookup by any inflection of the name (`parse_model`). */
+  def lookup(name: String): Either[String, ModelDefinition] =
+    byKey.get(ModelName(name).pluralCamel)
+      .toRight(s"""model "$name" not found""")
+
+  /** REST/GraphQL addressing requires the singular model name
+    * (`assert_singularity`, `types.rs:183-188`). */
+  def lookupSingular(name: String): Either[String, ModelDefinition] = {
+    val n = ModelName(name)
+    if (!n.isSingular)
+      Left("Expected singular model name, got plural variant")
+    else lookup(name)
+  }
+}
+
+object Registry {
+
+  /** Parse one model-definition JSON document. Any rule violation →
+    * Left (caller decides whether to ignore or raise). */
+  def parseDefinition(json: String): Either[String, ModelDefinition] =
+    JsonUtil.parse(json).flatMap(parseDefinitionNode)
+
+  private def field(n: JsonNode, name: String): Either[String, JsonNode] =
+    Option(n.get(name)).toRight(s"missing field $name")
+
+  private def attrName(n: JsonNode): Either[String, String] =
+    if (n != null && n.getNodeType == JsonNodeType.STRING &&
+        ModelValidation.validAttrName(n.textValue())) Right(n.textValue())
+    else Left("Name is not alphabetic in camelCase, PascalCase, snake_case or spinal-case")
+
+  private def parseAttrType(n: JsonNode): Either[String, AttrType] =
+    n.getNodeType match {
+      case JsonNodeType.STRING =>
+        PrimitiveType.fromName(n.textValue()).filterNot(_ == PrimitiveType.PFloat)
+          .map(AttrType.Primitive).toRight(s"unknown type ${n.textValue()}")
+      case JsonNodeType.ARRAY =>
+        // exactly one element type — [PrimitiveType; 1] (`types.rs:42`)
+        if (n.size() != 1) Left("array type must have exactly one element type")
+        else parseAttrType(n.get(0)) match {
+          case Right(AttrType.Primitive(p)) => Right(AttrType.ArrayOf(p))
+          case _ => Left("array element must be a primitive type")
+        }
+      case _ => Left("invalid attribute type")
+    }
+
+  private def parseDefinitionNode(root: JsonNode): Either[String, ModelDefinition] =
+    for {
+      _ <- Either.cond(root != null && root.isObject, (), "no valid JSON")
+      nameN <- field(root, "model_name")
+      name <- attrName(nameN)
+      storageN <- field(root, "storage_type")
+      storage <- storageN.getNodeType match {
+        case JsonNodeType.STRING if storageN.textValue() == "json" ||
+          storageN.textValue() == "parquet" => Right(storageN.textValue())
+        case _ => Left("unknown storage type")
+      }
+      attrsN <- field(root, "attributes")
+      _ <- Either.cond(attrsN.isObject, (), "attributes must be an object")
+      attrs <- attrsN.properties().asScala.toVector.foldLeft(
+        Right(Vector.empty): Either[String, Vector[(String, AttrType)]]) {
+        case (acc, e) => for {
+          v <- acc
+          _ <- Either.cond(ModelValidation.validAttrName(e.getKey), (),
+            "invalid attribute name")
+          t <- parseAttrType(e.getValue)
+        } yield v :+ (e.getKey -> t)
+      }
+      pkN <- field(root, "primary_key")
+      pk <- attrName(pkN)
+      reqN <- field(root, "required")
+      _ <- Either.cond(reqN.isArray, (), "required must be an array")
+      req <- reqN.elements().asScala.toVector.foldLeft(
+        Right(Vector.empty): Either[String, Vector[String]]) {
+        case (acc, e) => for { v <- acc; n <- attrName(e) } yield v :+ n
+      }
+      m = ModelDefinition(ModelName(name), storage, attrs, pk, req)
+      valid <- ModelValidation.validate(m)
+    } yield valid
+
+  /** Directory scan with silent-skip + duplicate-drop semantics. */
+  def load(dir: Path): Either[String, Registry] = {
+    if (!Files.isDirectory(dir)) return Left("No valid models defined")
+    val parsed: Vector[ModelDefinition] =
+      Files.list(dir).iterator().asScala.toVector.sortBy(_.toString).flatMap { p =>
+        val text = try Some(Files.readString(p)) catch { case _: Exception => None }
+        text.flatMap(t => parseDefinition(t).toOption)
+      }
+    val counts = parsed.groupBy(_.modelName.pluralCamel).view.mapValues(_.size)
+    val unique = parsed.filter(m => counts(m.modelName.pluralCamel) == 1)
+    if (unique.isEmpty) Left("No valid models defined")
+    else Right(new Registry(unique))
+  }
+}
