@@ -20,6 +20,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> Relational.q1Agg,
     "q2_filter_project" -> Relational.q2FilterProject,
+    "q3_join_agg" -> Relational.q3JoinAgg,
+    "q4_topk" -> Relational.q4TopK,
+    "q5_window" -> Relational.q5Window,
+    "q6_semijoin" -> Relational.q6SemiJoin,
+    "q7_antijoin" -> Relational.q7AntiJoin,
+    "q8_setops" -> Relational.q8SetOps,
+    "q9_having" -> Relational.q9Having,
+    "q10_scalar" -> Relational.q10Scalar,
+    "q11_events_window" -> Relational.q11EventsWindow,
+    "q12_above_avg" -> Relational.q12AboveAvg,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -37,5 +47,83 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_discount > 0.05 AND l_quantity < 25
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q3_join_agg" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q4_topk" ->
+      """SELECT o_custkey,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY spend_cents DESC, o_custkey ASC LIMIT 10""".stripMargin,
+    "q5_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents, rk
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "q6_semijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995)
+        |ORDER BY c_custkey""".stripMargin,
+    "q7_antijoin" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q8_setops" ->
+      """SELECT DISTINCT o_custkey FROM (
+        |  SELECT o_custkey FROM (
+        |    SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |    INTERSECT
+        |    SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |  ) EXCEPT SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        |  UNION ALL
+        |  SELECT o_custkey FROM (
+        |    SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 2001
+        |    EXCEPT
+        |    SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995)
+        |) ORDER BY o_custkey""".stripMargin,
+    "q9_having" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders GROUP BY o_orderpriority
+        |HAVING count(*) > 10 ORDER BY o_orderpriority""".stripMargin,
+    "q10_scalar" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u,
+        |  CAST(length(p_name) AS INT) AS name_len,
+        |  substring(p_type, 1, 5) AS type5,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  CAST(p_size % 7 AS INT) AS size_mod,
+        |  abs(CAST(round(p_retailprice * 100) AS BIGINT) - 100000) AS price_dist_cents
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q11_events_window" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q12_above_avg" ->
+      """WITH avgs AS (
+        |  SELECT o_custkey AS ac_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |    count(*) AS n
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM orders JOIN avgs ON o_custkey = ac_custkey
+        |WHERE CAST(round(o_totalprice * 100) AS BIGINT) * n > 2 * sum_cents
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -48,4 +49,149 @@ object Relational {
         col("l_orderkey"), col("l_linenumber"),
         cents(col("l_extendedprice")).as("price_cents"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** q3: multi-way join + agg — revenue per nation. The dimension
+    * chain (nation ⋈ customer) is tiny relative to fact tables, so
+    * both dims are explicitly broadcast: the only shuffle left is the
+    * lineitem⋈orders join + final agg. */
+  def q3JoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(cents(col("l_extendedprice") * (lit(1d) - col("l_discount"))))
+          .as("revenue_cents"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  /** q4: top-k — top 10 customers by order revenue (agg → sort →
+    * limit; Spark plans TakeOrderedAndProject, no full sort). */
+  def q4TopK(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("spend_cents"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("spend_cents").desc, col("o_custkey").asc)
+      .limit(10)
+  }
+
+  /** q5: window function — rank each customer's 3 biggest orders.
+    * One shuffle on the window partition key. */
+  def q5Window(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"), col("rk"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  /** q6: semi join — customers that have at least one 1995 order
+    * (EXISTS). left_semi never widens rows, so no dedup needed. */
+  def q6SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+      .filter(year(col("o_orderdate")) === 1995)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q7: anti join — customers with no high-value order
+    * (NOT EXISTS over a filtered fact side). */
+  def q7AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q8: set ops — ((1995∩1996)\1997) ∪ (2001\1995) of active
+    * customers; exercises intersect/except/union. */
+  def q8SetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    def active(y: Int): DataFrame =
+      o.filter(year(col("o_orderdate")) === y)
+        .select(col("o_custkey")).distinct()
+    active(1995).intersect(active(1996))
+      .except(active(1997))
+      .union(active(2001).except(active(1995)))
+      .distinct()
+      .orderBy(col("o_custkey"))
+  }
+
+  /** q9: grouped agg with HAVING + conditional aggregation. */
+  def q9Having(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+          .as("n_finished"),
+        sum(cents(col("o_totalprice"))).as("total_cents"))
+      .filter(col("n_orders") > 10)
+      .orderBy(col("o_orderpriority"))
+
+  /** q10: scalar functions — string/date expression zoo on part,
+    * all codegen'd built-ins (no UDFs). */
+  def q10Scalar(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_type"), 1, 5).as("type5"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        (col("p_size") % 7).as("size_mod"),
+        abs(cents(col("p_retailprice")) - 100000L).as("price_dist_cents"))
+      .orderBy(col("p_partkey"))
+
+  /** q11: events tumbling-window aggregation (batch form of the
+    * streaming query in graft.streaming): per-hour, per-type counts
+    * and value sums. */
+  def q11EventsWindow(s: SparkSession, dir: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+    // read as a timestamp; read it as raw nanos (legacy conf) and
+    // bucket with integer arithmetic — output is epoch seconds
+    // (bigint), which also sidesteps any ns-vs-µs comparison issue
+    // with the DuckDB oracle.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // integer `div`, not `/`: epoch-nanos (~1.7e18) exceeds double's
+    // 53-bit mantissa, so float division would misbucket edge rows
+    t(s, dir, "events")
+      .groupBy((expr("ts div 3600000000000") * 3600L).as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(cents(col("value"))).as("value_cents"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  /** q12: correlated-style aggregation — orders above their customer's
+    * average order value (join against a pre-aggregated subquery). The
+    * per-customer aggregate is computed once and re-joined; Catalyst
+    * broadcasts it when small. */
+  def q12AboveAvg(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val avgs = o.groupBy(col("o_custkey").as("ac_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("sum_cents"),
+        count(lit(1)).as("n"))
+    // price > 2*avg, in exact integer arithmetic: cents*n > 2*sum_cents
+    // (a double avg would differ between engines in the last ulp)
+    o.join(avgs, o("o_custkey") === avgs("ac_custkey"))
+      .filter(cents(col("o_totalprice")) * col("n") >
+        lit(2L) * col("sum_cents"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      .orderBy(col("o_orderkey"))
+  }
 }
