@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Relational
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -30,6 +30,17 @@ object SparkEntry {
     "q10_scalar" -> Relational.q10Scalar,
     "q11_events_window" -> Relational.q11EventsWindow,
     "q12_above_avg" -> Relational.q12AboveAvg,
+    // training-data pipeline operators
+    "ta_stats" -> TextAnalysis.taStats,
+    "ta_langid" -> TextAnalysis.taLangId,
+    "ta_fingerprint" -> TextAnalysis.taFingerprint,
+    "dedup_exact" -> Dedup.dedupExact,
+    "dedup_minhash_lsh" -> Dedup.dedupMinhashLsh,
+    "dedup_simhash" -> Dedup.dedupSimhash,
+    "dedup_embedding" -> Similarity.dedupEmbedding,
+    "ann_brute" -> Similarity.annBrute,
+    "ann_lsh" -> Similarity.annLsh,
+    "mm_features" -> Multimodal.mmFeatures,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -125,5 +136,15 @@ object SparkEntry {
         |FROM orders JOIN avgs ON o_custkey = ac_custkey
         |WHERE CAST(round(o_totalprice * 100) AS BIGINT) * n > 2 * sum_cents
         |ORDER BY o_orderkey""".stripMargin,
+    "ta_stats" -> TextAnalysis.taStatsOracle,
+    "ta_langid" -> TextAnalysis.taLangIdOracle,
+    "ta_fingerprint" -> TextAnalysis.taFingerprintOracle,
+    "dedup_exact" -> Dedup.dedupExactOracle,
+    "dedup_minhash_lsh" -> Dedup.dedupMinhashLshOracle,
+    "dedup_simhash" -> Dedup.dedupSimhashOracle,
+    "dedup_embedding" -> Similarity.dedupEmbeddingOracle,
+    "ann_brute" -> Similarity.annBruteOracle,
+    "ann_lsh" -> Similarity.annLshOracle,
+    "mm_features" -> Multimodal.mmFeaturesOracle,
   )
 }

@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.TextAnalysis.{norm, tokens, normSql, tokensSql}
+
+/** Deduplication operators for training-data pipelines, over the
+  * `documents` table: exact (hash-groupBy), MinHash+LSH banding,
+  * SimHash, and n-gram Jaccard verification.
+  *
+  * Engine-portability design: every hash is an md5 hex *string* and
+  * every score is integer arithmetic, so results are bit-identical in
+  * the DuckDB oracle (Spark's murmur `hash()` has no DuckDB twin).
+  *
+  * Scale notes (100 TB posture): exact dedup is one shuffle on the
+  * content hash; MinHash-LSH shuffles on band values — candidate pairs
+  * are generated per LSH bucket, never all-pairs; the Jaccard verify
+  * join only touches candidate pairs. Skewed buckets (boilerplate
+  * docs) would be salted or capped in a production run.
+  */
+object Dedup {
+
+  val NumHashes = 8 // minhash signature length
+  val BandSize = 2  // rows per LSH band → 4 bands
+
+  /** Distinct 3-word shingle set of a document. */
+  def shingles(c: Column): Column = {
+    val toks = tokens(c)
+    array_distinct(
+      when(size(toks) >= 3,
+        transform(sequence(lit(1), size(toks) - 2), i =>
+          concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+            element_at(toks, i + 2))))
+        .otherwise(array(norm(c))))
+  }
+
+  private[operators] val shinglesSql: String = {
+    val t = tokensSql
+    s"""list_distinct(CASE WHEN len($t) >= 3
+       | THEN list_transform(range(1, len($t) - 1),
+       |   i -> $t[i] || ' ' || $t[i+1] || ' ' || $t[i+2])
+       | ELSE [$normSql] END)""".stripMargin.replace("\n", "")
+  }
+
+  /** MinHash signature component k: min md5 over salted shingles. */
+  def minhashSig(sh: Column, k: Int): Column =
+    array_min(transform(sh, s => md5(concat(lit(s"$k:"), s))))
+  private def minhashSigSql(shExpr: String, k: Int): String =
+    s"list_min(list_transform($shExpr, s -> md5('$k:' || s)))"
+
+  /** dedup_exact: exact duplicate groups by normalized-content hash —
+    * one hash-shuffle, min-id survivor election per group. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), md5(norm(col("text"))).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("survivor_id"),
+        count(lit(1)).as("n_members"))
+      .select(col("h"), col("survivor_id"), col("n_members"),
+        (col("n_members") > 1).cast("int").as("has_dups"))
+      .orderBy(col("survivor_id"))
+
+  val dedupExactOracle: String =
+    s"""SELECT md5($normSql) AS h, min(doc_id) AS survivor_id,
+       |  count(*) AS n_members,
+       |  CAST(count(*) > 1 AS INT) AS has_dups
+       |FROM documents GROUP BY 1 ORDER BY survivor_id""".stripMargin
+
+  /** dedup_minhash_lsh: MinHash signatures → LSH band buckets →
+    * candidate pairs → exact Jaccard verify (integer form:
+    * 2*|∩| ≥ |∪| ⇔ J ≥ 0.5). Returns verified near-dup pairs. */
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val sigs = base.select(col("doc_id") +: col("sh") +:
+      (0 until NumHashes).map(k => minhashSig(col("sh"), k).as(s"sig_$k")): _*)
+    val bandCols = (0 until NumHashes / BandSize).map { b =>
+      md5(concat_ws("|",
+        (0 until BandSize).map(r => col(s"sig_${b * BandSize + r}")): _*))
+    }
+    val bands = sigs.select(col("doc_id"), col("sh"),
+      explode(array(bandCols: _*)).as("band"))
+    val a = bands.as("a"); val b = bands.as("b")
+    val cand = a.join(b, col("a.band") === col("b.band") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh").as("sha"), col("b.sh").as("shb"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .withColumn("n_inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("n_union", size(array_union(col("sha"), col("shb"))).cast("long"))
+      .filter(col("n_inter") * 2 >= col("n_union"))
+      .withColumn("jaccard_pct", expr("n_inter * 100 div n_union"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
+        col("jaccard_pct"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupMinhashLshOracle: String = {
+    val sigList = (0 until NumHashes)
+      .map(k => s"${minhashSigSql("sh", k)} AS sig_$k").mkString(",\n    ")
+    val bandList = (0 until NumHashes / BandSize).map { bd =>
+      val parts = (0 until BandSize).map(r => s"sig_${bd * BandSize + r}")
+      s"md5(${parts.mkString(" || '|' || ")})"
+    }.mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, $shinglesSql AS sh FROM documents),
+       |sigs AS (
+       |  SELECT doc_id, sh,
+       |    $sigList
+       |  FROM base),
+       |bands AS (
+       |  SELECT doc_id, sh, unnest([$bandList]) AS band FROM sigs),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.doc_id < b.doc_id),
+       |verified AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_inter,
+       |    CAST(len(list_distinct(sa.sh || sb.sh)) AS BIGINT) AS n_union
+       |  FROM cand
+       |  JOIN base sa ON sa.doc_id = doc_a
+       |  JOIN base sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, n_inter, n_union,
+       |  CAST(n_inter * 100 // n_union AS BIGINT) AS jaccard_pct
+       |FROM verified WHERE n_inter * 2 >= n_union
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  val SimhashBits = 16
+
+  /** Per-token bit: parity class of hex digit `j` of md5(token). */
+  private def bitExpr(j: Int): String =
+    s"CASE WHEN substring(md5(t), ${j + 1}, 1) IN " +
+      "('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END"
+
+  /** dedup_simhash: 16-bit SimHash from md5-digit parities — the bag
+    * of tokens votes each bit up/down; near-dups collide on the
+    * fingerprint (hamming-0 groups here; banded multi-probe at scale). */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val bitCols = (0 until SimhashBits).map { j =>
+      // vote_j = sum over tokens of ±1; bit set iff vote > 0
+      expr(s"CASE WHEN aggregate(toks, 0, (acc, t) -> acc + ${bitExpr(j)}) > 0" +
+        s" THEN ${1 << j} ELSE 0 END")
+    }
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("simhash", bitCols.reduce(_ + _).cast("long"))
+      .groupBy(col("simhash"))
+      .agg(min(col("doc_id")).as("survivor_id"),
+        count(lit(1)).as("n_members"))
+      .select(col("simhash"), col("survivor_id"), col("n_members"))
+      .orderBy(col("survivor_id"))
+  }
+
+  val dedupSimhashOracle: String = {
+    val bitSum = (0 until SimhashBits).map { j =>
+      s"CASE WHEN list_sum(list_transform(toks, t -> ${bitExpr(j)})) > 0" +
+        s" THEN ${1 << j} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH base AS (SELECT doc_id, $tokensSql AS toks FROM documents)
+       |SELECT CAST($bitSum AS BIGINT) AS simhash,
+       |  min(doc_id) AS survivor_id, count(*) AS n_members
+       |FROM base GROUP BY 1 ORDER BY survivor_id""".stripMargin
+  }
+}

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (`Array[Float]`,
+  * 64-dim): brute-force cosine top-k as the exactness baseline, an
+  * LSH-bucketed variant as the scale path, and embedding near-dup
+  * pair mining.
+  *
+  * Engine-exact cosine: components are quantized to integer
+  * milli-units, so dot products and squared norms are exact integer
+  * sums (order-independent); the final `dot/(|a|*|b|)` is three IEEE
+  * ops on identical inputs — bit-identical in Spark and DuckDB. Scores
+  * are reported as `cos_e6` = floor(cos * 1e6).
+  */
+object Similarity {
+
+  /** embedding (array<float>) → exact integer milli-vector. */
+  def ivec(c: Column): Column =
+    transform(c, x => round(x.cast("double") * 1000).cast("long"))
+  private val ivecSql =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+  /** Integer dot product of two milli-vectors (exact). */
+  def idot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** floor(cosine * 1e6) from exact integer dot/norms. */
+  def cosE6(dot: Column, sq1: Column, sq2: Column): Column =
+    floor(dot.cast("double") / (sqrt(sq1.cast("double")) *
+      sqrt(sq2.cast("double"))) * 1e6).cast("long")
+
+  private def base(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), ivec(col("embedding")).as("v"))
+      .withColumn("sq", idot(col("v"), col("v")))
+
+  /** ann_brute: exact top-5 cosine neighbors for query vectors
+    * (vec_id < 10) against the rest of the corpus. The query side is
+    * tiny and broadcast; the corpus is scanned once — at cluster scale
+    * this is the map-side-join brute-force baseline. */
+  def annBrute(s: SparkSession, dir: String): DataFrame = {
+    val b = base(s, dir)
+    val q = broadcast(b.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("sq").as("qsq")))
+    val corpus = b.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("v"), col("sq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_e6").desc, col("neighbor_id").asc)
+    corpus.crossJoin(q)
+      .withColumn("cos_e6",
+        cosE6(idot(col("qv"), col("v")), col("qsq"), col("sq")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos_e6"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val annBruteOracle: String =
+    s"""WITH base AS (
+       |  SELECT vec_id, $ivecSql AS v FROM embeddings),
+       |sq AS (
+       |  SELECT vec_id, v,
+       |    CAST(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i])) AS BIGINT) AS sq
+       |  FROM base),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST(floor(CAST(list_sum(list_transform(range(1, len(q.v)+1),
+       |          i -> q.v[i]*c.v[i])) AS DOUBLE)
+       |      / (sqrt(CAST(q.sq AS DOUBLE)) * sqrt(CAST(c.sq AS DOUBLE)))
+       |      * 1e6) AS BIGINT) AS cos_e6
+       |  FROM sq q JOIN sq c ON q.vec_id < 10 AND c.vec_id >= 10),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_e6,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_e6 DESC, neighbor_id ASC) AS INT) AS rk
+       |  FROM scored)
+       |SELECT query_id, rk, neighbor_id, cos_e6 FROM ranked
+       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
+  val LshPlanes = 8
+
+  /** Sign bit of pseudo-random hyperplane `j` applied to milli-vector
+    * `v`: plane component i is ±1 from the parity of md5 digit — fully
+    * deterministic and engine-portable. */
+  private def lshBitExpr(j: Int): String =
+    s"""CASE WHEN aggregate(zip_with(v, sequence(0, size(v)-1),
+       | (x, i) -> CASE WHEN substring(md5(concat('p$j:', i)), 1, 1)
+       |   IN ('1','3','5','7','9','b','d','f') THEN x ELSE -x END),
+       | 0L, (acc, x) -> acc + x) > 0 THEN ${1 << j} ELSE 0 END"""
+      .stripMargin.replace("\n", "")
+
+  /** ann_lsh: the scale path — random-hyperplane LSH buckets, top-3
+    * neighbors searched only within the query's bucket. Trades recall
+    * for a corpus-partition-local search: at 100 TB the bucket id is
+    * the shuffle/partition key and no cross-bucket pairs are ever
+    * materialized. */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val bucket = (0 until LshPlanes).map(j => expr(lshBitExpr(j)))
+      .reduce(_ + _)
+    val b = base(s, dir).withColumn("bucket", bucket)
+    val q = b.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("sq").as("qsq"), col("bucket"))
+    val corpus = b.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("v"), col("sq"),
+        col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_e6").desc, col("neighbor_id").asc)
+    corpus.join(broadcast(q), "bucket")
+      .withColumn("cos_e6",
+        cosE6(idot(col("qv"), col("v")), col("qsq"), col("sq")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos_e6"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val annLshOracle: String = {
+    def bitSql(j: Int) =
+      s"""CASE WHEN list_sum(list_transform(range(1, len(v)+1),
+         | i -> CASE WHEN substring(md5('p$j:' || (i-1)), 1, 1)
+         |   IN ('1','3','5','7','9','b','d','f') THEN v[i] ELSE -v[i] END))
+         | > 0 THEN ${1 << j} ELSE 0 END""".stripMargin.replace("\n", "")
+    val bucket = (0 until LshPlanes).map(bitSql).mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT vec_id, $ivecSql AS v FROM embeddings),
+       |withsq AS (
+       |  SELECT vec_id, v,
+       |    CAST(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i])) AS BIGINT) AS sq,
+       |    ($bucket) AS bucket
+       |  FROM base),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST(floor(CAST(list_sum(list_transform(range(1, len(q.v)+1),
+       |          i -> q.v[i]*c.v[i])) AS DOUBLE)
+       |      / (sqrt(CAST(q.sq AS DOUBLE)) * sqrt(CAST(c.sq AS DOUBLE)))
+       |      * 1e6) AS BIGINT) AS cos_e6
+       |  FROM withsq q JOIN withsq c
+       |    ON q.bucket = c.bucket AND q.vec_id < 10 AND c.vec_id >= 10),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_e6,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_e6 DESC, neighbor_id ASC) AS INT) AS rk
+       |  FROM scored)
+       |SELECT query_id, rk, neighbor_id, cos_e6 FROM ranked
+       |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
+  }
+
+  /** dedup_embedding: top-50 most-similar vector pairs — the
+    * embedding-cosine near-duplicate miner (all-pairs here at test
+    * scale; the LSH bucketing above is the scale path). */
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val b = base(s, dir)
+    val a = b.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      col("sq").as("sqa"))
+    val c = b.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      col("sq").as("sqb"))
+    a.crossJoin(c).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_e6",
+        cosE6(idot(col("va"), col("vb")), col("sqa"), col("sqb")))
+      .select(col("vec_a"), col("vec_b"), col("cos_e6"))
+      .orderBy(col("cos_e6").desc, col("vec_a").asc, col("vec_b").asc)
+      .limit(50)
+  }
+
+  val dedupEmbeddingOracle: String =
+    s"""WITH base AS (
+       |  SELECT vec_id, $ivecSql AS v FROM embeddings),
+       |sq AS (
+       |  SELECT vec_id, v,
+       |    CAST(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i])) AS BIGINT) AS sq
+       |  FROM base)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  CAST(floor(CAST(list_sum(list_transform(range(1, len(a.v)+1),
+       |        i -> a.v[i]*b.v[i])) AS DOUBLE)
+       |    / (sqrt(CAST(a.sq AS DOUBLE)) * sqrt(CAST(b.sq AS DOUBLE)))
+       |    * 1e6) AS BIGINT) AS cos_e6
+       |FROM sq a JOIN sq b ON a.vec_id < b.vec_id
+       |ORDER BY cos_e6 DESC, vec_a ASC, vec_b ASC LIMIT 50""".stripMargin
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for training-data pipelines, over the
+  * `documents` table: token stats/quality scoring, n-gram language ID,
+  * and document fingerprinting.
+  *
+  * Everything is built from codegen'd `functions._` (no UDFs), and all
+  * scoring uses integer arithmetic or md5-string comparisons so the
+  * DuckDB oracle is bit-identical. Per-row map-only transforms: no
+  * shuffle, scales linearly with input splits.
+  */
+object TextAnalysis {
+
+  /** Whitespace-collapsed, lowercased normal form. */
+  def norm(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
+  /** Token array of the normal form. */
+  def tokens(c: Column): Column = split(norm(c), " ")
+
+  private[operators] val normSql =
+    "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+  private[operators] val tokensSql = s"string_split($normSql, ' ')"
+
+  /** ta_stats: token counting + quality signals. Quality score =
+    * integer percent of stopword tokens (a crude fluency proxy) plus
+    * length stats; `div` keeps it engine-exact. */
+  def taStats(s: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "in", "is", "to")
+    val toks = tokens(col("text"))
+    Tables.load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        length(norm(col("text"))).cast("long").as("n_chars_norm"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+        size(filter(toks, t => t.isin(stop.map(x => x: Any): _*)))
+          .cast("long").as("n_stopwords"))
+      .withColumn("stopword_pct",
+        expr("n_stopwords * 100 div n_tokens"))
+      .withColumn("ttr_pct", // type-token ratio as integer percent
+        expr("n_distinct_tokens * 100 div n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val taStatsOracle: String = {
+    val stopList = "('the','a','of','and','in','is','to')"
+    s"""SELECT doc_id,
+       |  CAST(length($normSql) AS BIGINT) AS n_chars_norm,
+       |  CAST(len($tokensSql) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct($tokensSql)) AS BIGINT) AS n_distinct_tokens,
+       |  CAST(len(list_filter($tokensSql, t -> t IN $stopList)) AS BIGINT) AS n_stopwords,
+       |  CAST(len(list_filter($tokensSql, t -> t IN $stopList)) * 100 // len($tokensSql) AS BIGINT) AS stopword_pct,
+       |  CAST(len(list_distinct($tokensSql)) * 100 // len($tokensSql) AS BIGINT) AS ttr_pct
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Marker stopwords per language for the n-gram-free language-ID
+    * heuristic (score = marker-token occurrences). */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "and", "of"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "que", "y", "es"))
+
+  /** ta_langid: language identification via marker-word counts, argmax
+    * with first-wins tie-break in fixed language order. */
+  def taLangId(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = Tables.load(s, dir, "documents")
+      .select(Seq(col("doc_id"), col("lang").as("labeled_lang")) ++
+        langMarkers.map { case (l, ms) =>
+          size(filter(toks, t => t.isin(ms.map(x => x: Any): _*)))
+            .cast("long").as(s"score_$l")
+        }: _*)
+    // argmax, ties resolved by declaration order (en first)
+    val pred = langMarkers.tail.foldLeft(
+      when(lit(true), lit(langMarkers.head._1))) { case (acc, (l, _)) =>
+      when(langMarkers.takeWhile(_._1 != l)
+        .map(p => col(s"score_$l") > col(s"score_${p._1}"))
+        .reduce(_ && _), lit(l)).otherwise(acc)
+    }
+    scored.withColumn("pred_lang", pred)
+      .withColumn("agrees", (col("pred_lang") === col("labeled_lang")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  val taLangIdOracle: String = {
+    def scoreSql(ms: Seq[String]) =
+      s"CAST(len(list_filter($tokensSql, t -> t IN (${ms.map(m => s"'$m'").mkString(",")}))) AS BIGINT)"
+    val scores = langMarkers.map { case (l, ms) => s"${scoreSql(ms)} AS score_$l" }
+    // same fold: later language wins only if strictly greater than all before it
+    val pred = langMarkers.tail.foldLeft("'en'") { case (acc, (l, _)) =>
+      val cond = langMarkers.takeWhile(_._1 != l)
+        .map(p => s"score_$l > score_${p._1}").mkString(" AND ")
+      s"CASE WHEN $cond THEN '$l' ELSE $acc END"
+    }
+    s"""SELECT doc_id, labeled_lang, score_en, score_de, score_fr, score_es,
+       |  $pred AS pred_lang,
+       |  CAST($pred = labeled_lang AS INT) AS agrees
+       |FROM (SELECT doc_id, lang AS labeled_lang, ${scores.mkString(", ")}
+       |      FROM documents) ORDER BY doc_id""".stripMargin
+  }
+
+  /** ta_fingerprint: two content fingerprints — an order-sensitive md5
+    * of the normal form, and an order-insensitive "bag" fingerprint of
+    * the sorted token multiset (catches word-order permutations). */
+  def taFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        md5(norm(col("text"))).as("fp_exact"),
+        md5(concat_ws(" ", array_sort(tokens(col("text"))))).as("fp_bag"),
+        substring(md5(norm(col("text"))), 1, 4).as("fp_bucket"))
+      .orderBy(col("doc_id"))
+
+  val taFingerprintOracle: String =
+    s"""SELECT doc_id,
+       |  md5($normSql) AS fp_exact,
+       |  md5(array_to_string(list_sort($tokensSql), ' ')) AS fp_bag,
+       |  substring(md5($normSql), 1, 4) AS fp_bucket
+       |FROM documents ORDER BY doc_id""".stripMargin
+}
