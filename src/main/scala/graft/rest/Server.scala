@@ -1,0 +1,155 @@
+package graft.rest
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.core._
+import graft.crud.{CrudEngine, Records}
+import graft.graphql.{Ast, Executor}
+
+/** REST + GraphQL HTTP front-end — `server.rs:45-267` semantics:
+  *
+  *  - `POST /api/rest/{model}` → create, **201** `{"data": record}`;
+  *  - `GET/PUT/DELETE /api/rest/{model}/{id}` → read/update/delete,
+  *    **200** `{"data": record}` (PUT echoes the *merged* record);
+  *  - `POST /api/graphql` → GraphQL; errors-only result → **400**;
+  *  - `GET /api/graphql` → GraphiQL page;
+  *  - every error — including record-not-found and unknown endpoints —
+  *    → **400** `{"error": msg}` (`server.rs:124-129`).
+  *
+  * Single JDK httpserver (offline env has no akka/http4s); request
+  * handling delegates to the Spark CRUD engine, which serializes
+  * writes per model.
+  */
+final class Server(registry: Registry, engine: CrudEngine, port: Int) {
+
+  private val executor = new Executor(registry, engine)
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  def start(): Unit = {
+    server.createContext("/", handle _)
+    server.setExecutor(null) // single-threaded dispatch; engine locks per model
+    server.start()
+  }
+  def stop(): Unit = server.stop(0)
+  def boundPort: Int = server.getAddress.getPort
+
+  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length)
+    val os = ex.getResponseBody
+    os.write(bytes); os.close()
+  }
+
+  private def dataEnvelope(rec: Records.Record, m: ModelDefinition): String =
+    s"""{"data":${Records.toJson(rec, m)}}"""
+  private def errorEnvelope(msg: String): String =
+    s"""{"error":${JsonUtil.quote(msg)}}"""
+
+  private def readBody(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+
+  private def handle(ex: HttpExchange): Unit = try {
+    val segs = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty).toList
+    val method = ex.getRequestMethod
+    (method, segs) match {
+      case ("POST", List("api", "graphql")) => handleGraphql(ex)
+      case ("GET", List("api", "graphql")) =>
+        val page = "<!DOCTYPE html><html><body><h1>graft GraphQL</h1>" +
+          "<p>POST GraphQL requests to /api/graphql</p></body></html>"
+        val bytes = page.getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "text/html")
+        ex.sendResponseHeaders(200, bytes.length)
+        val os = ex.getResponseBody; os.write(bytes); os.close()
+      case ("POST", List("api", "rest", model)) =>
+        withModel(ex, model) { m =>
+          engine.createOne(m, readBody(ex)) match {
+            case Right(rec) => respond(ex, 201, dataEnvelope(rec, m))
+            case Left(err) => respond(ex, 400, errorEnvelope(err))
+          }
+        }
+      case ("GET", List("api", "rest", model, id)) =>
+        withModel(ex, model) { m =>
+          engine.readOne(m, id) match {
+            case Right(rec) => respond(ex, 200, dataEnvelope(rec, m))
+            case Left(err) => respond(ex, 400, errorEnvelope(err))
+          }
+        }
+      case ("PUT", List("api", "rest", model, id)) =>
+        withModel(ex, model) { m =>
+          engine.updateOne(m, id, readBody(ex)) match {
+            case Right(rec) => respond(ex, 200, dataEnvelope(rec, m))
+            case Left(err) => respond(ex, 400, errorEnvelope(err))
+          }
+        }
+      case ("DELETE", List("api", "rest", model, id)) =>
+        withModel(ex, model) { m =>
+          engine.deleteOne(m, id) match {
+            case Right(rec) => respond(ex, 200, dataEnvelope(rec, m))
+            case Left(err) => respond(ex, 400, errorEnvelope(err))
+          }
+        }
+      // wrong shapes: exactly-2-segment rule etc (`server.rs:117-123`)
+      case _ => respond(ex, 400, errorEnvelope("invalid endpoint"))
+    }
+  } catch {
+    case e: Exception => respond(ex, 400, errorEnvelope(e.getMessage))
+  } finally ex.close()
+
+  private def withModel(ex: HttpExchange, name: String)(
+      f: ModelDefinition => Unit): Unit = {
+    if (!ModelValidation.validAttrName(name))
+      respond(ex, 400, errorEnvelope(
+        "Name is not alphabetic in camelCase, PascalCase, snake_case or spinal-case"))
+    else registry.lookupSingular(name) match {
+      case Left(err) => respond(ex, 400, errorEnvelope(err))
+      case Right(m) => f(m)
+    }
+  }
+
+  private def handleGraphql(ex: HttpExchange): Unit = {
+    val body = readBody(ex)
+    // GraphQLPost { query, operationName, variables } (`graphql.rs:159-175`)
+    JsonUtil.parse(body) match {
+      case Left(_) => respond(ex, 400, errorEnvelope("invalid body"))
+      case Right(root) if root == null || !root.isObject ||
+          !root.has("query") || !root.get("query").isTextual =>
+        respond(ex, 400, errorEnvelope("invalid body"))
+      case Right(root) =>
+        val query = root.get("query").textValue()
+        val opName = Option(root.get("operationName"))
+          .filter(_.isTextual).map(_.textValue())
+        val variables: Map[String, Ast.GqlValue] =
+          Option(root.get("variables")).filter(_.isObject).map { v =>
+            import scala.jdk.CollectionConverters._
+            v.properties().asScala.map(e =>
+              e.getKey -> jsonToGql(e.getValue)).toMap
+          }.getOrElse(Map.empty)
+        val result = executor.handlePost(query, opName, variables)
+        // errors-only → 400, else 200 (`server.rs:183-186`)
+        val status = if (result.isErrorOnly) 400 else 200
+        respond(ex, status, Executor.toJson(result))
+    }
+  }
+
+  private def jsonToGql(n: com.fasterxml.jackson.databind.JsonNode)
+      : Ast.GqlValue = {
+    import Ast._
+    if (n.isNull) NullV
+    else if (n.isTextual) StrV(n.textValue())
+    else if (n.isBoolean) BoolV(n.booleanValue())
+    else if (n.isIntegralNumber) IntV(n.longValue())
+    else if (n.isNumber) FloatV(n.doubleValue())
+    else if (n.isArray) {
+      import scala.jdk.CollectionConverters._
+      ListV(n.elements().asScala.toVector.map(jsonToGql))
+    } else {
+      import scala.jdk.CollectionConverters._
+      ObjV(n.properties().asScala.toVector.map(e =>
+        e.getKey -> jsonToGql(e.getValue)))
+    }
+  }
+}

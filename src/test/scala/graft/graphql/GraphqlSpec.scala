@@ -1,0 +1,151 @@
+package graft.graphql
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.core._
+import graft.crud.CrudEngine
+import graft.storage.ParquetBackend
+
+object GqlFixture {
+  val movieJson: String =
+    """{"model_name":"movie","storage_type":"json",
+      |"attributes":{"id":"Integer","name":"String","year":"Integer",
+      |"actors":["String"],"recommended":"Boolean"},
+      |"primary_key":"id","required":["id","name","recommended"]}"""
+      .stripMargin.replace("\n", "")
+
+  def freshExecutor(): Executor = {
+    val dir = Files.createTempDirectory("gql-models")
+    Files.writeString(dir.resolve("movie.json"), movieJson)
+    val reg = Registry.load(dir).toOption.get
+    val store = Files.createTempDirectory("gql-store").toString
+    val engine = new CrudEngine(SparkSpec.spark,
+      new ParquetBackend(SparkSpec.spark, store, buckets = 4))
+    new Executor(reg, engine)
+  }
+}
+
+class SchemaGenSpec extends AnyFunSuite {
+  test("SDL has gus field ordering: pk first, rest alphabetical") {
+    val dir = Files.createTempDirectory("sdl-models")
+    Files.writeString(dir.resolve("movie.json"), GqlFixture.movieJson)
+    val reg = Registry.load(dir).toOption.get
+    val sdl = SchemaGen.sdl(SchemaGen.build(reg))
+    assert(sdl.contains(
+      "type Movie { id:Int! actors:[String!] name:String! recommended:Boolean! year:Int}"),
+      sdl)
+    assert(sdl.contains("readOneMovie(id:Int!):Movie!"), sdl)
+    assert(sdl.contains("movies:[Movie!]!"), "readMany extension emitted")
+    assert(sdl.contains("deleteOneMovie(id:Int!):Movie!"), sdl)
+    assert(sdl.contains(
+      "addOneMovie(id:Int! actors:[String!] name:String! recommended:Boolean! year:Int):Movie!"),
+      sdl)
+    assert(sdl.contains(
+      "updateOneMovie(id:Int! actors:[String!] name:String recommended:Boolean year:Int):Movie!"),
+      sdl)
+  }
+}
+
+class GraphqlSpec extends AnyFunSuite {
+  lazy val ex: Executor = GqlFixture.freshExecutor()
+
+  def run(q: String, op: Option[String] = None,
+      vars: Map[String, Ast.GqlValue] = Map.empty): String =
+    Executor.toJson(ex.handlePost(q, op, vars))
+
+  test("mutation add → query read, selection order and aliases") {
+    val add = run(
+      """mutation { addOneMovie(id:5, name:"Heat", recommended:true)
+        |{ name id } }""".stripMargin)
+    // selection order (name before id), null-free projection
+    assert(add == """{"data":{"addOneMovie":{"name":"Heat","id":5}}}""", add)
+
+    val read = run("""{ readOneMovie(id:5) { id theName: name year } }""")
+    assert(read ==
+      """{"data":{"readOneMovie":{"id":5,"theName":"Heat","year":null}}}""",
+      read)
+  }
+
+  test("readMany plural root field returns all records") {
+    run("""mutation { addOneMovie(id:6, name:"Ronin", recommended:false) { id } }""")
+    val many = run("""{ movies { id } }""")
+    assert(many.contains("\"movies\":["), many)
+    assert(many.contains("""{"id":5}""") && many.contains("""{"id":6}"""), many)
+  }
+
+  test("partial results: data and errors coexist") {
+    val r = run(
+      """{ a: readOneMovie(id:5) { id } b: readOneMovie(id:999) { id } }""")
+    assert(r.contains(""""errors":[{"message":"record not found"""), r)
+    assert(r.contains(""""a":{"id":5}"""), r)
+  }
+
+  test("validation rejects unknown fields and missing required args") {
+    val bad1 = run("""{ readOneMovie(id:5) { id director } }""")
+    assert(bad1.contains("has no field \\\"director\\\"") ||
+      bad1.contains("""has no field"""), bad1)
+    val bad2 = run("""{ readOneMovie { id } }""")
+    assert(bad2.contains("missing required argument"), bad2)
+    val bad3 = run("""{ readOneMovie(id:"5") { id } }""")
+    assert(bad3.contains("expects type Int"), bad3)
+  }
+
+  test("operation selection rules") {
+    assert(run("""fragment F on Movie { id }""")
+      .contains("does not contain any executable operations"))
+    assert(run("""query A { movies { id } } query B { movies { id } }""")
+      .contains("more than one operation, missing operation name"))
+    assert(run("""query A { movies { id } } query B { movies { id } }""",
+      Some("C")).contains("""operation with name \"C\" does not exist"""))
+    assert(run("""query A { movies { id } } query B { movies { id } }""",
+      Some("A")).startsWith("""{"data""""))
+  }
+
+  test("fragments: named and inline, plus __typename") {
+    val r = run(
+      """query { readOneMovie(id:5) { ...core ... on Movie { year } __typename } }
+        |fragment core on Movie { id name }""".stripMargin)
+    assert(r ==
+      """{"data":{"readOneMovie":{"id":5,"name":"Heat","year":null,"__typename":"Movie"}}}""",
+      r)
+  }
+
+  test("variables are substituted") {
+    val r = run("""query Q($mid: Int!) { readOneMovie(id:$mid) { id } }""",
+      None, Map("mid" -> Ast.IntV(5)))
+    assert(r == """{"data":{"readOneMovie":{"id":5}}}""", r)
+  }
+
+  test("update and delete via mutations; typed errors surface") {
+    val up = run(
+      """mutation { updateOneMovie(id:6, year:1998) { id year name } }""")
+    assert(up ==
+      """{"data":{"updateOneMovie":{"id":6,"year":1998,"name":"Ronin"}}}""",
+      up)
+    val dup = run(
+      """mutation { addOneMovie(id:6, name:"X", recommended:true) { id } }""")
+    assert(dup.contains("record does already exist"), dup)
+    val del = run("""mutation { deleteOneMovie(id:6) { id name } }""")
+    assert(del == """{"data":{"deleteOneMovie":{"id":6,"name":"Ronin"}}}""",
+      del)
+  }
+
+  test("introspection: __schema and __type") {
+    val r = run(
+      """{ __schema { queryType { name } mutationType { name }
+        |subscriptionType { name } } }""".stripMargin)
+    assert(r.contains(""""queryType":{"name":"Query"}"""), r)
+    assert(r.contains(""""mutationType":{"name":"Mutation"}"""), r)
+    assert(r.contains(""""subscriptionType":null"""), r)
+
+    val t = run("""{ __type(name:"Movie") { name kind fields { name } } }""")
+    assert(t.contains(""""name":"Movie","kind":"OBJECT""""), t)
+    assert(t.contains(""""fields":[{"name":"id"}"""), t)
+
+    val missing = run("""{ __type(name:"Nope") { name } }""")
+    assert(missing == """{"data":{"__type":null}}""", missing)
+  }
+}

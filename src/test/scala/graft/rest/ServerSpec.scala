@@ -1,0 +1,127 @@
+package graft.rest
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.core.Registry
+import graft.crud.CrudEngine
+import graft.storage.ParquetBackend
+
+/** End-to-end HTTP tests mirroring the reference's actix integration
+  * suite (`server.rs:272-463`, FIXTURES.md §5): status codes,
+  * envelopes, null-padded record equality, URI-id-wins PUT semantics,
+  * invalid-endpoint sweeps. Uses a String-pk movie model like
+  * `testing/server/movie.json`. */
+class ServerSpec extends AnyFunSuite {
+
+  private val movieJson =
+    """{"model_name":"movie","storage_type":"json",
+      |"attributes":{"id":"String","name":"String","year":"Integer",
+      |"actors":["String"],"recommended":"Boolean"},
+      |"primary_key":"id","required":["id"]}"""
+      .stripMargin.replace("\n", "")
+
+  private lazy val (server, port) = {
+    val dir = Files.createTempDirectory("rest-models")
+    Files.writeString(dir.resolve("movie.json"), movieJson)
+    val reg = Registry.load(dir).toOption.get
+    val engine = new CrudEngine(SparkSpec.spark,
+      new ParquetBackend(SparkSpec.spark,
+        Files.createTempDirectory("rest-store").toString, buckets = 4))
+    val s = new Server(reg, engine, 0)
+    s.start()
+    (s, s.boundPort)
+  }
+  private val client = HttpClient.newHttpClient()
+
+  private def req(method: String, path: String, body: String = "")
+      : (Int, String) = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+    val r = method match {
+      case "GET" => b.GET()
+      case "DELETE" => b.DELETE()
+      case m => b.method(m, HttpRequest.BodyPublishers.ofString(body))
+    }
+    val resp = client.send(r.build(), HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  test("POST create → 201 with null-padded data envelope") {
+    val (code, body) = req("POST", "/api/rest/movie",
+      """{"id":"get","name":"Alien"}""")
+    assert(code == 201, body)
+    assert(body ==
+      """{"data":{"id":"get","name":"Alien","year":null,"actors":null,"recommended":null}}""",
+      body)
+  }
+
+  test("GET point read → 200, full schema order") {
+    req("POST", "/api/rest/movie", """{"id":"g2","recommended":true}""")
+    val (code, body) = req("GET", "/api/rest/movie/g2")
+    assert(code == 200)
+    assert(body ==
+      """{"data":{"id":"g2","name":null,"year":null,"actors":null,"recommended":true}}""",
+      body)
+  }
+
+  test("PUT merge: URI id wins, unprovided attrs kept") {
+    req("POST", "/api/rest/movie",
+      """{"id":"put","name":"Old","year":1990}""")
+    val (code, body) = req("PUT", "/api/rest/movie/put",
+      """{"id":"doesn't matter","name":"test"}""")
+    assert(code == 200)
+    assert(body ==
+      """{"data":{"id":"put","name":"test","year":1990,"actors":null,"recommended":null}}""",
+      body)
+  }
+
+  test("DELETE returns the removed record; second delete 400") {
+    req("POST", "/api/rest/movie", """{"id":"del","name":"Gone"}""")
+    val (c1, b1) = req("DELETE", "/api/rest/movie/del")
+    assert(c1 == 200 && b1.contains(""""id":"del""""), b1)
+    val (c2, b2) = req("DELETE", "/api/rest/movie/del")
+    assert(c2 == 400 && b2 == """{"error":"record not found"}""", b2)
+  }
+
+  test("errors → 400 with error envelope") {
+    // not found
+    val (c1, b1) = req("GET", "/api/rest/movie/nope")
+    assert(c1 == 400 && b1 == """{"error":"record not found"}""")
+    // unknown model
+    val (c2, _) = req("GET", "/api/rest/book/1")
+    assert(c2 == 400)
+    // plural addressing rejected
+    val (c3, b3) = req("GET", "/api/rest/movies/1")
+    assert(c3 == 400 &&
+      b3.contains("Expected singular model name"), b3)
+    // invalid endpoint shapes
+    assert(req("GET", "/api/rest/movie")._1 == 400)
+    assert(req("GET", "/api/rest/movie/1/2")._1 == 400)
+    assert(req("GET", "/nope")._1 == 400)
+    // duplicate create
+    req("POST", "/api/rest/movie", """{"id":"dup"}""")
+    val (c4, b4) = req("POST", "/api/rest/movie", """{"id":"dup"}""")
+    assert(c4 == 400 && b4 == """{"error":"record does already exist"}""", b4)
+    // invalid body
+    val (c5, _) = req("POST", "/api/rest/movie", "no json")
+    assert(c5 == 400)
+  }
+
+  test("GraphQL over HTTP: 200 on data, 400 on errors-only") {
+    val (c1, b1) = req("POST", "/api/graphql",
+      """{"query":"mutation { addOneMovie(id:\"gq\") { id } }"}""")
+    assert(c1 == 200 && b1 == """{"data":{"addOneMovie":{"id":"gq"}}}""", b1)
+    val (c2, b2) = req("POST", "/api/graphql",
+      """{"query":"{ readOneMovie(id:\"missing\") { id } }"}""")
+    assert(c2 == 400 && b2.contains("record not found"), b2)
+    val (c3, _) = req("POST", "/api/graphql", """{"nope":1}""")
+    assert(c3 == 400)
+    // GraphiQL page served on GET
+    val (c4, b4) = req("GET", "/api/graphql")
+    assert(c4 == 200 && b4.contains("<html>"), b4)
+  }
+}
