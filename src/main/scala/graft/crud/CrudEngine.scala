@@ -19,7 +19,11 @@ import graft.storage.StorageBackend
   * reference has unsynchronized read-modify-write races across its HTTP
   * workers (§3.2 of SURVEY.md); we lock per model name instead.
   */
-final class CrudEngine(spark: SparkSession, backend: StorageBackend) {
+final class CrudEngine(spark: SparkSession, backend: StorageBackend,
+    changeLog: Option[graft.streaming.ChangeLog] = None) {
+
+  private def logChange(m: ModelDefinition, op: String, rec: Record): Unit =
+    changeLog.foreach(_.append(m, op, rec))
 
   private val locks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
@@ -49,6 +53,7 @@ final class CrudEngine(spark: SparkSession, backend: StorageBackend) {
           val nu = spark.createDataFrame(
             java.util.List.of(Records.toRow(padded, m)), m.schema)
           backend.writeSlice(m, pk, slice.unionByName(nu))
+          logChange(m, "create", padded)
           Right(padded)
         }
       }
@@ -87,6 +92,7 @@ final class CrudEngine(spark: SparkSession, backend: StorageBackend) {
             val nu = spark.createDataFrame(
               java.util.List.of(Records.toRow(overlay, m)), m.schema)
             backend.writeSlice(m, pk, rest.unionByName(nu))
+            logChange(m, "update", overlay)
             Right(overlay)
         }
       }
@@ -103,7 +109,9 @@ final class CrudEngine(spark: SparkSession, backend: StorageBackend) {
             val slice = backend.slice(m, pk)
             backend.writeSlice(m, pk,
               slice.filter(!(pkCol(m) === pkLit(pk))))
-            Right(Records.fromRow(row, m))
+            val rec = Records.fromRow(row, m)
+            logChange(m, "delete", rec)
+            Right(rec)
         }
       }
     }

@@ -72,23 +72,32 @@ object Dedup {
     * candidate pairs → exact Jaccard verify (integer form:
     * 2*|∩| ≥ |∪| ⇔ J ≥ 0.5). Returns verified near-dup pairs. */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    // Exchange barrier after computing the shingle set: without it,
+    // CollapseProject inlines `shingles(text)` into all 8 signature
+    // expressions (HOFs are interpreted, so no subexpression
+    // elimination) — measured 9× recompute. The three uses of `base`
+    // below produce identical exchanges that ReuseExchange runs once.
     val base = Tables.load(s, dir, "documents")
       .select(col("doc_id"), shingles(col("text")).as("sh"))
-    val sigs = base.select(col("doc_id") +: col("sh") +:
+      .repartition(col("doc_id"))
+    val sigs = base.select(col("doc_id") +:
       (0 until NumHashes).map(k => minhashSig(col("sh"), k).as(s"sig_$k")): _*)
     val bandCols = (0 until NumHashes / BandSize).map { b =>
       md5(concat_ws("|",
         (0 until BandSize).map(r => col(s"sig_${b * BandSize + r}")): _*))
     }
-    val bands = sigs.select(col("doc_id"), col("sh"),
+    // bands carry only (doc_id, band): the heavy shingle arrays do not
+    // ride through the band shuffle; they are re-fetched by id joins
+    val bands = sigs.select(col("doc_id"),
       explode(array(bandCols: _*)).as("band"))
-    val a = bands.as("a"); val b = bands.as("b")
-    val cand = a.join(b, col("a.band") === col("b.band") &&
+    val cand = bands.as("a")
+      .join(bands.as("b"), col("a.band") === col("b.band") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sh").as("sha"), col("b.sh").as("shb"))
-      .dropDuplicates("doc_a", "doc_b")
-    cand
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = base.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val sb = base.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("n_inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
       .withColumn("n_union", size(array_union(col("sha"), col("shb"))).cast("long"))
       .filter(col("n_inter") * 2 >= col("n_union"))

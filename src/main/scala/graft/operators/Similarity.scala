@@ -25,9 +25,12 @@ object Similarity {
   private val ivecSql =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
-  /** Integer dot product of two milli-vectors (exact). */
+  /** Integer dot product of two milli-vectors (exact) — a custom
+    * codegen'd Catalyst expression; the composable HOF form
+    * (`aggregate(zip_with(...))`) is interpreted and was the dominant
+    * cost of the all-pairs queries. */
   def idot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.longDot(a, b)
 
   /** floor(cosine * 1e6) from exact integer dot/norms. */
   def cosE6(dot: Column, sq1: Column, sq2: Column): Column =
@@ -38,6 +41,11 @@ object Similarity {
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), ivec(col("embedding")).as("v"))
       .withColumn("sq", idot(col("v"), col("v")))
+      // exchange barrier: stops CollapseProject from inlining the
+      // quantization into every joined PAIR (O(n²) recompute measured
+      // in the all-pairs queries); after the shuffle, v/sq are
+      // concrete row fields computed once per vector
+      .repartition(col("vec_id"))
 
   /** ann_brute: exact top-5 cosine neighbors for query vectors
     * (vec_id < 10) against the rest of the corpus. The query side is

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the `events` table — the streaming
+  * capability gus declares but leaves `todo!()` (subscriptions,
+  * `graphql.rs:353`), realized the Spark way (SURVEY §7.1 phase 2):
+  * file source → event-time window aggregation with a watermark →
+  * any sink.
+  *
+  * Scale posture: the same code runs against a Kafka source at
+  * cluster scale (swap `readStream.parquet` for `readStream.format
+  * ("kafka")`); state is bounded by the watermark, and the shuffle
+  * key is (window, event_type).
+  */
+object EventsStream {
+
+  /** events.parquet physical schema — ts arrives as raw nanos (Spark 4
+    * refuses TIMESTAMP(NANOS) as a timestamp type). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Tumbling-window per-type counts/sums with a 1-hour watermark for
+    * late data. Streaming twin of `Relational.q11EventsWindow`. */
+  def windowedCounts(spark: SparkSession, dir: String,
+      window_ : String = "1 hour", watermark: String = "1 hour"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsSchema)
+      .parquet(dir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("value_cents"))
+  }
+
+  /** Sliding-window variant (overlapping windows, same watermark). */
+  def slidingCounts(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsSchema)
+      .parquet(dir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "1 hour", "30 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.core.Registry
+import graft.crud.CrudEngine
+import graft.storage.ParquetBackend
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+
+  test("streaming windowed counts equal the batch aggregation") {
+    val sfDir = "/root/testdata/sf0.001"
+    // the file stream source wants a directory (at scale: a landing
+    // dir or Kafka topic) — stage the single test file into one
+    val streamDir = Files.createTempDirectory("events-stream")
+    Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val q = EventsStream.windowedCounts(spark, streamDir.toString)
+      .writeStream.format("memory").queryName("ev_counts")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("ev_counts")
+      .agg(sum("n_events"), sum("value_cents")).head
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read
+      .schema(EventsStream.eventsSchema)
+      .parquet(s"$sfDir/events.parquet")
+      .agg(count(lit(1)), sum(round(col("value") * 100).cast("long"))).head
+    assert(streamed.getLong(0) == batch.getLong(0), "event counts agree")
+    assert(streamed.getLong(1) == batch.getLong(1), "value sums agree")
+    assert(spark.table("ev_counts").count() > 10, "multiple windows emitted")
+  }
+
+  test("CRUD changelog feeds a subscription stream") {
+    val modelsDir = Files.createTempDirectory("sub-models")
+    Files.writeString(modelsDir.resolve("movie.json"),
+      """{"model_name":"movie","storage_type":"json",
+        |"attributes":{"id":"Integer","name":"String","year":"Integer",
+        |"actors":["String"],"recommended":"Boolean"},
+        |"primary_key":"id","required":["id","name","recommended"]}"""
+        .stripMargin.replace("\n", ""))
+    val reg = Registry.load(modelsDir).toOption.get
+    val movie = reg.lookup("movie").toOption.get
+    val logDir = Files.createTempDirectory("sub-log").toString
+    val log = new ChangeLog(spark, logDir)
+    val engine = new CrudEngine(spark,
+      new ParquetBackend(spark,
+        Files.createTempDirectory("sub-store").toString, 4), Some(log))
+
+    engine.createOne(movie, """{"id":1,"name":"a","recommended":true}""")
+    engine.updateOne(movie, "1", """{"year":2001}""")
+    engine.deleteOne(movie, "1")
+
+    val q = log.subscribe(movie)
+      .writeStream.format("memory").queryName("movie_changes")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val rows = spark.table("movie_changes")
+      .orderBy("seq").collect()
+    assert(rows.map(_.getAs[String]("op")).toSeq ==
+      Seq("create", "update", "delete"))
+    assert(rows.forall(_.getAs[String]("pk") == "1"))
+    assert(rows(1).getAs[String]("record").contains("\"year\":2001"))
+  }
+}
