@@ -1,0 +1,211 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels for the text-dedup hot path. The declarative form —
+  * nested `transform`/`array_distinct`/`md5` higher-order functions —
+  * is evaluated interpreted by Catalyst at ~0.7 ms per shingle
+  * (boxing + per-element expression dispatch); these plain-Java loops
+  * do the same work ~50× faster and are called from generated code.
+  *
+  * CONTRACT: results must stay bit-identical to the SQL forms in
+  * `Dedup` (`shinglesSql` / `shingleHashesSql`), which the DuckDB
+  * oracle runs: normalize = lower(trim(collapse-whitespace)), shingle
+  * = distinct 3-word windows joined by single spaces, hash material =
+  * md5(s) || md5("x:" || s) in lowercase hex.
+  */
+object TextHashKernels {
+
+  /** lower(trim(regexp_replace(text, "\\s+", " "))) */
+  def normalize(text: UTF8String): String =
+    text.toString.replaceAll("\\s+", " ").trim.toLowerCase(java.util.Locale.ROOT)
+
+  def shingleSet(text: UTF8String): ArrayData = {
+    val norm = normalize(text)
+    val toks = norm.split(" ", -1)
+    val out = new java.util.LinkedHashSet[String]()
+    if (toks.length >= 3) {
+      var i = 0
+      while (i + 2 < toks.length) {
+        out.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+        i += 1
+      }
+    } else out.add(norm)
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(arr)
+  }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def md5hex(md: MessageDigest, s: String): String = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(i * 2) = hexDigits((d(i) >> 4) & 0xf)
+      out(i * 2 + 1) = hexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** For each shingle: md5(s) || md5("x:" || s), 64 hex chars. */
+  def shingleHashes(shingles: ArrayData): ArrayData = {
+    val md = MessageDigest.getInstance("MD5")
+    val n = shingles.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val s = shingles.getUTF8String(i).toString
+      out(i) = UTF8String.fromString(md5hex(md, s) + md5hex(md, "x:" + s))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** One md5 per token; bit j from hex digit j parity; majority vote. */
+  def simhash16(tokens: ArrayData): Long = {
+    val md = MessageDigest.getInstance("MD5")
+    val votes = new Array[Int](16)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val h = md5hex(md, tokens.getUTF8String(i).toString)
+      var j = 0
+      while (j < 16) {
+        // odd hex digit ⇔ low bit of the nibble set
+        if ((Character.digit(h.charAt(j), 16) & 1) == 1) votes(j) += 1
+        else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 16) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  // sign matrix cache for lshBucket: signs(j)(i) = +1/-1 from the
+  // parity of the first hex digit of md5("p<j>:<i>") — row-independent
+  @volatile private var signCache: Array[Array[Int]] = Array.empty
+  private def signs(planes: Int, dims: Int): Array[Array[Int]] = {
+    val cached = signCache
+    if (cached.length >= planes && (planes == 0 || cached(0).length >= dims))
+      return cached
+    synchronized {
+      val md = MessageDigest.getInstance("MD5")
+      val fresh = Array.tabulate(planes, dims) { (j, i) =>
+        val h = md5hex(md, "p" + j + ":" + i)
+        if ((Character.digit(h.charAt(0), 16) & 1) == 1) 1 else -1
+      }
+      signCache = fresh
+      fresh
+    }
+  }
+
+  def lshBucket(v: ArrayData, planes: Int): Int = {
+    val n = v.numElements()
+    val s = signs(planes, n)
+    var bucket = 0
+    var j = 0
+    while (j < planes) {
+      val row = s(j)
+      var acc = 0L
+      var i = 0
+      while (i < n) { acc += row(i) * v.getLong(i); i += 1 }
+      if (acc > 0) bucket |= (1 << j)
+      j += 1
+    }
+    bucket
+  }
+}
+
+abstract class Utf8ArrayKernelExpression extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  /** Fully-qualified static method the generated code calls. */
+  protected def kernel: String
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$kernel($c)")
+}
+
+/** text → distinct 3-word shingle set (codegen'd kernel call). */
+case class ShingleSet(child: Expression) extends Utf8ArrayKernelExpression {
+  override def prettyName: String = "shingle_set"
+  protected val kernel =
+    "graft.functions.TextHashKernels.shingleSet"
+  override def nullSafeEval(t: Any): Any =
+    TextHashKernels.shingleSet(t.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** shingle set → per-shingle 64-hex md5 material. */
+case class ShingleHashes(child: Expression) extends Utf8ArrayKernelExpression {
+  override def prettyName: String = "shingle_hashes"
+  protected val kernel =
+    "graft.functions.TextHashKernels.shingleHashes"
+  override def nullSafeEval(a: Any): Any =
+    TextHashKernels.shingleHashes(a.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object TextFunctions {
+  def shingleSet(c: Column): Column =
+    Bridge.column(ShingleSet(Bridge.expression(c)))
+  def shingleHashes(c: Column): Column =
+    Bridge.column(ShingleHashes(Bridge.expression(c)))
+  def simhash16(c: Column): Column =
+    Bridge.column(Simhash16(Bridge.expression(c)))
+  def lshBucket(c: Column, planes: Int): Column =
+    Bridge.column(LshBucket(Bridge.expression(c), planes))
+}
+
+/** Tokens → 16-bit SimHash. Replaces 16 interpreted `aggregate(...)`
+  * passes (one per bit) with one md5 per token; bit j of a token is
+  * the parity class of hex digit j of its md5, identical to the SQL
+  * form in `Dedup.dedupSimhashOracle`. */
+case class Simhash16(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.LongType
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash16"
+  override def nullSafeEval(a: Any): Any =
+    TextHashKernels.simhash16(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashKernels.simhash16($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Milli-vector → 8-bit random-hyperplane LSH bucket. The ±1 plane
+  * components come from md5 digit parities ("p<j>:<i>"), which are
+  * row-independent — the kernel precomputes the sign matrix once per
+  * JVM instead of 8 interpreted zip_with folds per row. Identical to
+  * the SQL form in `Similarity.annLshOracle`. */
+case class LshBucket(child: Expression, planes: Int)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.IntegerType
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "lsh_bucket"
+  override def nullSafeEval(a: Any): Any =
+    TextHashKernels.lshBucket(a.asInstanceOf[ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashKernels.lshBucket($c, $planes)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

@@ -25,16 +25,12 @@ object Dedup {
   val NumHashes = 8 // minhash signature length
   val BandSize = 2  // rows per LSH band → 4 bands
 
-  /** Distinct 3-word shingle set of a document. */
-  def shingles(c: Column): Column = {
-    val toks = tokens(c)
-    array_distinct(
-      when(size(toks) >= 3,
-        transform(sequence(lit(1), size(toks) - 2), i =>
-          concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-            element_at(toks, i + 2))))
-        .otherwise(array(norm(c))))
-  }
+  /** Distinct 3-word shingle set of a document — a codegen'd kernel
+    * expression; the composable HOF form (array_distinct over
+    * transform(sequence...)) evaluates interpreted and dominated the
+    * minhash runtime. Semantics identical to `shinglesSql`. */
+  def shingles(c: Column): Column =
+    graft.functions.TextFunctions.shingleSet(c)
 
   private[operators] val shinglesSql: String = {
     val t = tokensSql
@@ -44,11 +40,23 @@ object Dedup {
        | ELSE [$normSql] END)""".stripMargin.replace("\n", "")
   }
 
-  /** MinHash signature component k: min md5 over salted shingles. */
-  def minhashSig(sh: Column, k: Int): Column =
-    array_min(transform(sh, s => md5(concat(lit(s"$k:"), s))))
-  private def minhashSigSql(shExpr: String, k: Int): String =
-    s"list_min(list_transform($shExpr, s -> md5('$k:' || s)))"
+  /** Per-shingle hash material: two md5s concatenated (64 hex chars).
+    * All `NumHashes` signature components are 8-hex-digit (32-bit)
+    * substrings of this — 2 md5 calls per shingle instead of one per
+    * (component × shingle), a 4× cut of the dominant hashing cost. */
+  def shingleHashes(sh: Column): Column =
+    graft.functions.TextFunctions.shingleHashes(sh)
+  private val shingleHashesSql =
+    "list_transform(sh, s -> md5(s) || md5('x:' || s))"
+
+  /** MinHash signature component k: min 32-bit substring over the
+    * shingle hash material. (min of substrings over all shingles —
+    * not a substring of one min — so each k is an independent-ish
+    * minhash.) */
+  def minhashSig(hashes: Column, k: Int): Column =
+    array_min(transform(hashes, h => substring(h, k * 8 + 1, 8)))
+  private def minhashSigSql(hashesExpr: String, k: Int): String =
+    s"list_min(list_transform($hashesExpr, h -> substring(h, ${k * 8 + 1}, 8)))"
 
   /** dedup_exact: exact duplicate groups by normalized-content hash —
     * one hash-shuffle, min-id survivor election per group. */
@@ -77,11 +85,20 @@ object Dedup {
     // expressions (HOFs are interpreted, so no subexpression
     // elimination) — measured 9× recompute. The three uses of `base`
     // below produce identical exchanges that ReuseExchange runs once.
+    // persist: the shingle/hash intermediate is referenced by three
+    // downstream branches (band explode + both sides of the verify
+    // join), and column pruning makes the subtrees non-identical so
+    // ReuseExchange cannot dedupe them — without persist the
+    // interpreted shingle/md5 work runs 3×. MEMORY_AND_DISK spills
+    // rather than OOMs at cluster scale; this intermediate is O(corpus
+    // tokens), the thing you'd checkpoint to storage in a 100 TB run.
     val base = Tables.load(s, dir, "documents")
       .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .withColumn("hashes", shingleHashes(col("sh")))
       .repartition(col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = base.select(col("doc_id") +:
-      (0 until NumHashes).map(k => minhashSig(col("sh"), k).as(s"sig_$k")): _*)
+      (0 until NumHashes).map(k => minhashSig(col("hashes"), k).as(s"sig_$k")): _*)
     val bandCols = (0 until NumHashes / BandSize).map { b =>
       md5(concat_ws("|",
         (0 until BandSize).map(r => col(s"sig_${b * BandSize + r}")): _*))
@@ -109,17 +126,19 @@ object Dedup {
 
   val dedupMinhashLshOracle: String = {
     val sigList = (0 until NumHashes)
-      .map(k => s"${minhashSigSql("sh", k)} AS sig_$k").mkString(",\n    ")
+      .map(k => s"${minhashSigSql("hashes", k)} AS sig_$k").mkString(",\n    ")
     val bandList = (0 until NumHashes / BandSize).map { bd =>
       val parts = (0 until BandSize).map(r => s"sig_${bd * BandSize + r}")
       s"md5(${parts.mkString(" || '|' || ")})"
     }.mkString(", ")
     s"""WITH base AS (
        |  SELECT doc_id, $shinglesSql AS sh FROM documents),
+       |hashed AS (
+       |  SELECT doc_id, sh, $shingleHashesSql AS hashes FROM base),
        |sigs AS (
        |  SELECT doc_id, sh,
        |    $sigList
-       |  FROM base),
+       |  FROM hashed),
        |bands AS (
        |  SELECT doc_id, sh, unnest([$bandList]) AS band FROM sigs),
        |cand AS (
@@ -150,14 +169,13 @@ object Dedup {
     * of tokens votes each bit up/down; near-dups collide on the
     * fingerprint (hamming-0 groups here; banded multi-probe at scale). */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val bitCols = (0 until SimhashBits).map { j =>
-      // vote_j = sum over tokens of ±1; bit set iff vote > 0
-      expr(s"CASE WHEN aggregate(toks, 0, (acc, t) -> acc + ${bitExpr(j)}) > 0" +
-        s" THEN ${1 << j} ELSE 0 END")
-    }
+    // codegen'd kernel: one md5 per token + majority vote per bit —
+    // semantically identical to 16 `aggregate(toks, ...)` passes (the
+    // SQL form below), which Catalyst would run interpreted
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .withColumn("simhash", bitCols.reduce(_ + _).cast("long"))
+      .withColumn("simhash",
+        graft.functions.TextFunctions.simhash16(col("toks")))
       .groupBy(col("simhash"))
       .agg(min(col("doc_id")).as("survivor_id"),
         count(lit(1)).as("n_members"))

@@ -93,25 +93,17 @@ object Similarity {
 
   val LshPlanes = 8
 
-  /** Sign bit of pseudo-random hyperplane `j` applied to milli-vector
-    * `v`: plane component i is ±1 from the parity of md5 digit — fully
-    * deterministic and engine-portable. */
-  private def lshBitExpr(j: Int): String =
-    s"""CASE WHEN aggregate(zip_with(v, sequence(0, size(v)-1),
-       | (x, i) -> CASE WHEN substring(md5(concat('p$j:', i)), 1, 1)
-       |   IN ('1','3','5','7','9','b','d','f') THEN x ELSE -x END),
-       | 0L, (acc, x) -> acc + x) > 0 THEN ${1 << j} ELSE 0 END"""
-      .stripMargin.replace("\n", "")
-
   /** ann_lsh: the scale path — random-hyperplane LSH buckets, top-3
     * neighbors searched only within the query's bucket. Trades recall
     * for a corpus-partition-local search: at 100 TB the bucket id is
     * the shuffle/partition key and no cross-bucket pairs are ever
     * materialized. */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
-    val bucket = (0 until LshPlanes).map(j => expr(lshBitExpr(j)))
-      .reduce(_ + _)
-    val b = base(s, dir).withColumn("bucket", bucket)
+    // codegen'd kernel with a JVM-cached ±1 sign matrix (the md5-digit
+    // plane components are row-independent); semantics identical to
+    // the per-plane SQL folds in `annLshOracle`
+    val b = base(s, dir).withColumn("bucket",
+      graft.functions.TextFunctions.lshBucket(col("v"), LshPlanes))
     val q = b.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("sq").as("qsq"), col("bucket"))

@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** The codegen'd kernel expressions must stay bit-identical to the
+  * composable HOF forms they replaced (which is also what the DuckDB
+  * oracle runs) — checked on real document text. */
+class KernelSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+
+  val docs = "/root/testdata/sf0.001/documents.parquet"
+
+  test("ShingleSet ≡ HOF shingle expression") {
+    val toks = split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ")
+    val hof = array_distinct(
+      when(size(toks) >= 3,
+        transform(sequence(lit(1), size(toks) - 2), i =>
+          concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+            element_at(toks, i + 2))))
+        .otherwise(array(lower(trim(regexp_replace(col("text"), "\\s+", " "))))))
+    val diff = SparkSpec.spark.read.parquet(docs)
+      .select(TextFunctions.shingleSet(col("text")).as("k"), hof.as("h"))
+      .filter(not(col("k") === col("h"))).count()
+    assert(diff == 0)
+  }
+
+  test("ShingleHashes ≡ md5 HOF; Simhash16 ≡ per-bit aggregates") {
+    val sh = TextFunctions.shingleSet(col("text"))
+    val hofHashes = transform(sh, s => concat(md5(s), md5(concat(lit("x:"), s))))
+    val d1 = spark.read.parquet(docs)
+      .select(TextFunctions.shingleHashes(sh).as("k"), hofHashes.as("h"))
+      .filter(not(col("k") === col("h"))).count()
+    assert(d1 == 0)
+
+    def bitExpr(j: Int): String =
+      s"CASE WHEN substring(md5(t), ${j + 1}, 1) IN " +
+        "('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END"
+    val bitCols = (0 until 16).map { j =>
+      expr(s"CASE WHEN aggregate(toks, 0, (acc, t) -> acc + ${bitExpr(j)}) > 0" +
+        s" THEN ${1 << j} ELSE 0 END")
+    }
+    val toks = split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ")
+    val d2 = spark.read.parquet(docs)
+      .select(toks.as("toks"))
+      .select(TextFunctions.simhash16(col("toks")).as("k"),
+        bitCols.reduce(_ + _).cast("long").as("h"))
+      .filter(col("k") =!= col("h")).count()
+    assert(d2 == 0)
+  }
+
+  test("LongArrayDot ≡ aggregate(zip_with); LshBucket ≡ plane folds") {
+    val v = transform(col("embedding"),
+      x => round(x.cast("double") * 1000).cast("long"))
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), v.as("v"))
+    val hofDot = expr(
+      "aggregate(zip_with(v, v, (x, y) -> x * y), 0L, (acc, x) -> acc + x)")
+    val d1 = emb.select(VectorFunctions.longDot(col("v"), col("v")).as("k"),
+      hofDot.as("h")).filter(col("k") =!= col("h")).count()
+    assert(d1 == 0)
+
+    def lshBitExpr(j: Int): String =
+      s"""CASE WHEN aggregate(zip_with(v, sequence(0, size(v)-1),
+         | (x, i) -> CASE WHEN substring(md5(concat('p$j:', i)), 1, 1)
+         |   IN ('1','3','5','7','9','b','d','f') THEN x ELSE -x END),
+         | 0L, (acc, x) -> acc + x) > 0 THEN ${1 << j} ELSE 0 END"""
+        .stripMargin.replace("\n", "")
+    val hofBucket = (0 until 8).map(j => expr(lshBitExpr(j))).reduce(_ + _)
+    val d2 = emb.select(TextFunctions.lshBucket(col("v"), 8).as("k"),
+      hofBucket.as("h")).filter(col("k") =!= col("h")).count()
+    assert(d2 == 0)
+  }
+}
