@@ -62,7 +62,9 @@ object Registry {
   private def parseAttrType(n: JsonNode): Either[String, AttrType] =
     n.getNodeType match {
       case JsonNodeType.STRING =>
-        PrimitiveType.fromName(n.textValue()).filterNot(_ == PrimitiveType.PFloat)
+        // Float accepted: declared-but-commented-out in the reference
+        // (`types.rs:50,66`), implemented here per SURVEY §2.1
+        PrimitiveType.fromName(n.textValue())
           .map(AttrType.Primitive).toRight(s"unknown type ${n.textValue()}")
       case JsonNodeType.ARRAY =>
         // exactly one element type — [PrimitiveType; 1] (`types.rs:42`)

@@ -89,6 +89,13 @@ class CoreSpec extends AnyFunSuite {
   }
   test("non-JSON input rejected") { reject("no json", "not JSON") }
 
+  test("Float type accepted (capability extension)") {
+    val m = Registry.parseDefinition(
+      movieJson.replace("\"year\": \"Integer\"", "\"year\": \"Float\""))
+    assert(m.isRight)
+    assert(m.toOption.get.schema("year").dataType.typeName == "double")
+  }
+
   test("registry drops plural-camel duplicates and keeps survivors") {
     val dir = Files.createTempDirectory("models")
     def write(name: String, content: String): Unit =
