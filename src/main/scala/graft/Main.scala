@@ -9,17 +9,71 @@ import graft.crud.CrudEngine
 import graft.rest.Server
 import graft.storage.{GusJsonBackend, ParquetBackend, StorageBackend}
 
-/** CLI — the reference's `gus start` (`index.rs:20-110`):
-  * `run --modelspath <dir> [--port N] [--storage parquet:<dir>|gusjson:<file>]`.
-  * Validates arguments the same way (port bounds, existing dirs),
-  * loads the model registry once (the reference re-reads per request),
-  * and serves REST + GraphQL over the Spark CRUD engine.
+/** CLI — the reference's `gus start` / `gus create-model`
+  * (`index.rs:20-110`, `model_cli.rs`):
+  *
+  *  - `start --modelspath <dir> [--port N]
+  *     [--storage parquet:<dir>|gusjson:<file>]` — validates arguments
+  *    the same way (port bounds, existing dirs), loads the model
+  *    registry once (the reference re-reads per request), serves
+  *    REST + GraphQL over the Spark CRUD engine;
+  *  - `create-model --name m --attrs "id:Integer,tags:[String]"
+  *     --pk id --required "id" --out <dir>` — the reference's
+  *    interactive wizard as a flag-driven command, running the same
+  *    validation rules before writing the definition file.
   */
 object Main {
   def main(args: Array[String]): Unit = {
-    val opts = args.sliding(2, 2).collect {
+    val (cmd, rest) =
+      if (args.nonEmpty && !args.head.startsWith("--")) (args.head, args.tail)
+      else ("start", args)
+    val opts = rest.sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
     }.toMap
+    cmd match {
+      case "start" => start(opts)
+      case "create-model" => createModel(opts)
+      case other =>
+        System.err.println(s"unknown command $other " +
+          "(expected: start | create-model)")
+        sys.exit(2)
+    }
+  }
+
+  private def createModel(opts: Map[String, String]): Unit = {
+    def need(k: String): String = opts.getOrElse(k, {
+      System.err.println(s"missing --$k"); sys.exit(2)
+    })
+    val name = need("name")
+    val attrs = need("attrs").split(",").map { a =>
+      val Array(n, t) = a.split(":", 2)
+      val ty = if (t.startsWith("[") && t.endsWith("]"))
+        "[" + core.JsonUtil.quote(t.drop(1).dropRight(1)) + "]"
+      else core.JsonUtil.quote(t)
+      core.JsonUtil.quote(n.trim) + ": " + ty
+    }.mkString(", ")
+    val required = need("required").split(",").map(r =>
+      core.JsonUtil.quote(r.trim)).mkString(", ")
+    val json =
+      s"""{
+         |    "model_name": ${core.JsonUtil.quote(name)},
+         |    "storage_type": "json",
+         |    "attributes": { $attrs },
+         |    "primary_key": ${core.JsonUtil.quote(need("pk"))},
+         |    "required": [ $required ]
+         |}""".stripMargin
+    Registry.parseDefinition(json) match {
+      case Left(err) => System.err.println(s"invalid model: $err"); sys.exit(2)
+      case Right(m) =>
+        val out = Paths.get(opts.getOrElse("out", "."),
+          s"${m.modelName.raw}.json")
+        Files.createDirectories(out.getParent)
+        Files.writeString(out, json)
+        println(s"wrote $out")
+    }
+  }
+
+  private def start(opts: Map[String, String]): Unit = {
 
     val modelsPath = opts.getOrElse("modelspath", {
       System.err.println("missing --modelspath <dir>"); sys.exit(2)

@@ -30,6 +30,11 @@ object SparkEntry {
     "q10_scalar" -> Relational.q10Scalar,
     "q11_events_window" -> Relational.q11EventsWindow,
     "q12_above_avg" -> Relational.q12AboveAvg,
+    "q13_outer_join" -> Relational.q13OuterJoin,
+    "q14_rollup" -> Relational.q14Rollup,
+    "q15_string_agg" -> Relational.q15StringAgg,
+    "q16_sql_subquery" -> Relational.q16SqlSubquery,
+    "q17_full_outer" -> Relational.q17FullOuter,
     // training-data pipeline operators
     "ta_stats" -> TextAnalysis.taStats,
     "ta_langid" -> TextAnalysis.taLangId,
@@ -136,6 +141,45 @@ object SparkEntry {
         |FROM orders JOIN avgs ON o_custkey = ac_custkey
         |WHERE CAST(round(o_totalprice * 100) AS BIGINT) * n > 2 * sum_cents
         |ORDER BY o_orderkey""".stripMargin,
+    "q13_outer_join" ->
+      """SELECT p_partkey, p_brand,
+        |  coalesce(n_bulk, 0) AS n_bulk, bulk_qty
+        |FROM part LEFT OUTER JOIN (
+        |  SELECT l_partkey, count(*) AS n_bulk,
+        |    CAST(sum(l_quantity) AS BIGINT) AS bulk_qty
+        |  FROM lineitem WHERE l_quantity >= 48 GROUP BY l_partkey
+        |) ON p_partkey = l_partkey
+        |ORDER BY p_partkey""".stripMargin,
+    "q14_rollup" ->
+      """SELECT n_name, c_mktsegment, count(*) AS n_customers,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, c_mktsegment)
+        |ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin,
+    "q15_string_agg" ->
+      """SELECT r_name,
+        |  array_to_string(list_sort(list(n_name)), ',') AS nations,
+        |  count(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q16_sql_subquery" ->
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey
+        |     AND o_totalprice > 200000) AS n_big_orders
+        |FROM customer
+        |WHERE c_acctbal > 9000
+        |ORDER BY c_custkey""".stripMargin,
+    "q17_full_outer" ->
+      """SELECT coalesce(k95, k01) AS o_custkey,
+        |  coalesce(n_1995, 0) AS n_1995,
+        |  coalesce(n_2001, 0) AS n_2001
+        |FROM (SELECT o_custkey AS k95, count(*) AS n_1995 FROM orders
+        |      WHERE year(o_orderdate) = 1995 GROUP BY 1)
+        |FULL OUTER JOIN
+        |     (SELECT o_custkey AS k01, count(*) AS n_2001 FROM orders
+        |      WHERE year(o_orderdate) = 2001 GROUP BY 1)
+        |ON k95 = k01
+        |ORDER BY o_custkey""".stripMargin,
     "ta_stats" -> TextAnalysis.taStatsOracle,
     "ta_langid" -> TextAnalysis.taLangIdOracle,
     "ta_fingerprint" -> TextAnalysis.taFingerprintOracle,

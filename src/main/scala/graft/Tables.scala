@@ -18,7 +18,11 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** Register every table as a temp view (for spark.sql entry points). */
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
+  /** Register every table as a temp view (for spark.sql entry points).
+    * events.ts is parquet TIMESTAMP(NANOS), which Spark 4 only reads
+    * via the raw-nanos legacy conf. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+  }
 }

@@ -194,4 +194,76 @@ object Relational {
         cents(col("o_totalprice")).as("price_cents"))
       .orderBy(col("o_orderkey"))
   }
+
+  /** q13: left outer join with an aggregated right side — parts and
+    * their cheap-lineitem stats, null-preserved for parts with none. */
+  def q13OuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+    val li = t(s, dir, "lineitem").filter(col("l_quantity") >= 48)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_bulk"),
+        sum(col("l_quantity")).cast("long").as("bulk_qty"))
+    p.join(li, p("p_partkey") === li("l_partkey"), "left_outer")
+      .select(col("p_partkey"), col("p_brand"),
+        coalesce(col("n_bulk"), lit(0L)).as("n_bulk"),
+        col("bulk_qty")) // stays null when no bulk lineitems
+      .orderBy(col("p_partkey"))
+  }
+
+  /** q14: rollup — nation/mktsegment customer counts with subtotal and
+    * grand-total rows (multi-level aggregate in one pass). */
+  def q14Rollup(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(cents(col("c_acctbal"))).as("acctbal_cents"))
+      .orderBy(col("n_name").asc_nulls_first,
+        col("c_mktsegment").asc_nulls_first)
+  }
+
+  /** q15: sorted string aggregation — per-region alphabetized nation
+    * roster (collect_list is unordered by contract, so sort in-array
+    * before joining: deterministic in any partitioning). */
+  def q15StringAgg(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
+        .as("nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy(col("r_name"))
+  }
+
+  /** q16: correlated scalar subquery via the SQL entry point —
+    * Catalyst decorrelates it into a join. */
+  def q16SqlSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey
+        |     AND o_totalprice > 200000) AS n_big_orders
+        |FROM customer
+        |WHERE c_acctbal > 9000
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** q17: full outer join of two yearly activity aggregates —
+    * customers active in either 1995 or 2001. */
+  def q17FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    def yearAgg(y: Int, cnt: String, key: String): DataFrame =
+      o.filter(year(col("o_orderdate")) === y)
+        .groupBy(col("o_custkey").as(key))
+        .agg(count(lit(1)).as(cnt))
+    val a = yearAgg(1995, "n_1995", "k95")
+    val b = yearAgg(2001, "n_2001", "k01")
+    a.join(b, a("k95") === b("k01"), "full_outer")
+      .select(coalesce(col("k95"), col("k01")).as("o_custkey"),
+        coalesce(col("n_1995"), lit(0L)).as("n_1995"),
+        coalesce(col("n_2001"), lit(0L)).as("n_2001"))
+      .orderBy(col("o_custkey"))
+  }
 }
