@@ -47,7 +47,8 @@ final class CrudEngine(spark: SparkSession, backend: StorageBackend,
       }
       lockFor(m).synchronized {
         if (findInSlice(m, pk).isDefined)
-          Left("record does already exist")
+          // `json/mod.rs:89`
+          Left("A record for the given key already exists, try to update it instead (PUT)")
         else {
           val slice = backend.slice(m, pk)
           val nu = spark.createDataFrame(
@@ -63,7 +64,8 @@ final class CrudEngine(spark: SparkSession, backend: StorageBackend,
   def readOne(m: ModelDefinition, id: String): Either[String, Record] =
     Records.parseUriId(id, m).flatMap { pk =>
       findInSlice(m, pk).map(Records.fromRow(_, m))
-        .toRight("record not found")
+        // `json/mod.rs:103`; id rendered as its JSON form (typed key)
+        .toRight(s"No record found with id: ${pk.jsonKey}")
     }
 
   /** O3 update_one (`model.rs:68-89`): partial merge — only provided
@@ -81,7 +83,8 @@ final class CrudEngine(spark: SparkSession, backend: StorageBackend,
         requiredOverride = Some(m.required.filter(provided.contains)))
       merged <- lockFor(m).synchronized {
         findInSlice(m, pk) match {
-          case None => Left("record not found")
+          case None => // `json/mod.rs:117`
+            Left("No record found for the given key, try to create it instead (POST)")
           case Some(old) =>
             val stored = Records.fromRow(old, m)
             // URI id wins over any body pk (`model.rs:85-87`)
@@ -104,7 +107,8 @@ final class CrudEngine(spark: SparkSession, backend: StorageBackend,
     Records.parseUriId(id, m).flatMap { pk =>
       lockFor(m).synchronized {
         findInSlice(m, pk) match {
-          case None => Left("record not found")
+          case None => // `json/mod.rs:132`
+            Left(s"No record found to remove with id: ${pk.jsonKey}")
           case Some(row) =>
             val slice = backend.slice(m, pk)
             backend.writeSlice(m, pk,

@@ -87,9 +87,11 @@ object Records {
       case AttrType.Primitive(PrimitiveType.PString) =>
         Right(PrimValue.StrVal(id))
       case AttrType.Primitive(p) =>
-        JsonUtil.parse(id).left.map(_ => "invalid id")
-          .flatMap(n => TrueValue.toPrim(n, p, isRequired = true))
-          .map(_.get).left.map(e => s"invalid id: $e")
+        // `model.rs:116-121`: JSON-parse then strict typed conversion
+        JsonUtil.parse(id).left.map(_ => "Invalid value for primary key")
+          .flatMap(n => TrueValue.toPrim(n, p, isRequired = true)
+            .left.map(_ => "Invalid value for primary key"))
+          .map(_.get)
       case _: AttrType.ArrayOf => Left("invalid primary key") // unreachable
     }
 

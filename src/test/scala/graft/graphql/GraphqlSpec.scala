@@ -79,7 +79,7 @@ class GraphqlSpec extends AnyFunSuite {
   test("partial results: data and errors coexist") {
     val r = run(
       """{ a: readOneMovie(id:5) { id } b: readOneMovie(id:999) { id } }""")
-    assert(r.contains(""""errors":[{"message":"record not found"""), r)
+    assert(r.contains(""""errors":[{"message":"No record found with id: 999"""), r)
     assert(r.contains(""""a":{"id":5}"""), r)
   }
 
@@ -127,7 +127,7 @@ class GraphqlSpec extends AnyFunSuite {
       up)
     val dup = run(
       """mutation { addOneMovie(id:6, name:"X", recommended:true) { id } }""")
-    assert(dup.contains("record does already exist"), dup)
+    assert(dup.contains("A record for the given key already exists"), dup)
     val del = run("""mutation { deleteOneMovie(id:6) { id name } }""")
     assert(del == """{"data":{"deleteOneMovie":{"id":6,"name":"Ronin"}}}""",
       del)

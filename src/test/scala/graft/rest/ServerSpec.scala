@@ -84,13 +84,15 @@ class ServerSpec extends AnyFunSuite {
     val (c1, b1) = req("DELETE", "/api/rest/movie/del")
     assert(c1 == 200 && b1.contains(""""id":"del""""), b1)
     val (c2, b2) = req("DELETE", "/api/rest/movie/del")
-    assert(c2 == 400 && b2 == """{"error":"record not found"}""", b2)
+    assert(c2 == 400 &&
+      b2 == """{"error":"No record found to remove with id: \"del\""}""", b2)
   }
 
   test("errors → 400 with error envelope") {
     // not found
     val (c1, b1) = req("GET", "/api/rest/movie/nope")
-    assert(c1 == 400 && b1 == """{"error":"record not found"}""")
+    assert(c1 == 400 &&
+      b1 == """{"error":"No record found with id: \"nope\""}""", b1)
     // unknown model
     val (c2, _) = req("GET", "/api/rest/book/1")
     assert(c2 == 400)
@@ -105,7 +107,9 @@ class ServerSpec extends AnyFunSuite {
     // duplicate create
     req("POST", "/api/rest/movie", """{"id":"dup"}""")
     val (c4, b4) = req("POST", "/api/rest/movie", """{"id":"dup"}""")
-    assert(c4 == 400 && b4 == """{"error":"record does already exist"}""", b4)
+    assert(c4 == 400 && b4 ==
+      """{"error":"A record for the given key already exists, try to update it instead (PUT)"}""",
+      b4)
     // invalid body
     val (c5, _) = req("POST", "/api/rest/movie", "no json")
     assert(c5 == 400)
@@ -117,7 +121,7 @@ class ServerSpec extends AnyFunSuite {
     assert(c1 == 200 && b1 == """{"data":{"addOneMovie":{"id":"gq"}}}""", b1)
     val (c2, b2) = req("POST", "/api/graphql",
       """{"query":"{ readOneMovie(id:\"missing\") { id } }"}""")
-    assert(c2 == 400 && b2.contains("record not found"), b2)
+    assert(c2 == 400 && b2.contains("No record found with id"), b2)
     val (c3, _) = req("POST", "/api/graphql", """{"nope":1}""")
     assert(c3 == 400)
     // GraphiQL page served on GET
