@@ -67,6 +67,36 @@ final case class ModelName(raw: String) {
   def isSingular: Boolean = this == singular
 }
 
+/** Value constraints on an attribute — the reference declares a
+  * `constraints` field with an empty enum and a stubbed check
+  * (`types.rs:83-104`, `model.rs:300-302`); implemented here per
+  * SURVEY §2.1 as record-level checks plus a Spark `Column` predicate
+  * for bulk validation. */
+sealed trait Constraint {
+  /** Human-readable rule for error messages. */
+  def describe: String
+}
+object Constraint {
+  final case class MinValue(v: Double) extends Constraint {
+    def describe = s">= $v"
+  }
+  final case class MaxValue(v: Double) extends Constraint {
+    def describe = s"<= $v"
+  }
+  final case class MinLength(v: Int) extends Constraint {
+    def describe = s"length >= $v"
+  }
+  final case class MaxLength(v: Int) extends Constraint {
+    def describe = s"length <= $v"
+  }
+  final case class MatchesRegex(pattern: String) extends Constraint {
+    def describe = s"matches /$pattern/"
+  }
+  final case class OneOf(values: Vector[String]) extends Constraint {
+    def describe = s"one of ${values.mkString("[", ", ", "]")}"
+  }
+}
+
 /** One model definition (≈ table DDL). `attributes` keeps file order for
   * deterministic error messages; lookup is by name. */
 final case class ModelDefinition(
@@ -74,7 +104,8 @@ final case class ModelDefinition(
     storageType: String,
     attributes: Vector[(String, AttrType)],
     primaryKey: String,
-    required: Vector[String]) {
+    required: Vector[String],
+    constraints: Map[String, Vector[Constraint]] = Map.empty) {
 
   private val attrMap: Map[String, AttrType] = attributes.toMap
   def attrType(name: String): Option[AttrType] = attrMap.get(name)

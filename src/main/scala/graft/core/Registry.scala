@@ -106,9 +106,51 @@ object Registry {
         Right(Vector.empty): Either[String, Vector[String]]) {
         case (acc, e) => for { v <- acc; n <- attrName(e) } yield v :+ n
       }
-      m = ModelDefinition(ModelName(name), storage, attrs, pk, req)
+      cons <- parseConstraints(root.get("constraints"))
+      m = ModelDefinition(ModelName(name), storage, attrs, pk, req, cons)
+      _ <- cons.keys.toVector.foldLeft(Right(()): Either[String, Unit]) {
+        (acc, k) => acc.flatMap(_ => Either.cond(
+          attrs.exists(_._1 == k), (), s"constraint on unknown attribute $k"))
+      }
       valid <- ModelValidation.validate(m)
     } yield valid
+
+  /** Optional `constraints` object (engine extension; the reference
+    * declares the field but supports no constraint kinds). */
+  private def parseConstraints(n: JsonNode)
+      : Either[String, Map[String, Vector[Constraint]]] = {
+    if (n == null || n.isNull) return Right(Map.empty)
+    if (!n.isObject) return Left("constraints must be an object")
+    n.properties().asScala.toVector.foldLeft(
+      Right(Map.empty): Either[String, Map[String, Vector[Constraint]]]) {
+      case (acc, e) => acc.flatMap { m =>
+        val spec = e.getValue
+        if (!spec.isObject) Left("constraint spec must be an object")
+        else spec.properties().asScala.toVector.foldLeft(
+          Right(Vector.empty): Either[String, Vector[Constraint]]) {
+          case (cAcc, c) => cAcc.flatMap { cs =>
+            (c.getKey, c.getValue) match {
+              case ("min", v) if v.isNumber =>
+                Right(cs :+ Constraint.MinValue(v.doubleValue()))
+              case ("max", v) if v.isNumber =>
+                Right(cs :+ Constraint.MaxValue(v.doubleValue()))
+              case ("min_length", v) if v.isIntegralNumber =>
+                Right(cs :+ Constraint.MinLength(v.intValue()))
+              case ("max_length", v) if v.isIntegralNumber =>
+                Right(cs :+ Constraint.MaxLength(v.intValue()))
+              case ("regex", v) if v.isTextual =>
+                try { v.textValue().r; Right(cs :+ Constraint.MatchesRegex(v.textValue())) }
+                catch { case _: Exception => Left("invalid constraint regex") }
+              case ("one_of", v) if v.isArray =>
+                Right(cs :+ Constraint.OneOf(
+                  v.elements().asScala.toVector.map(_.asText())))
+              case (k, _) => Left(s"unknown constraint kind $k")
+            }
+          }
+        }.map(cs => m + (e.getKey -> cs))
+      }
+    }
+  }
 
   /** Directory scan with silent-skip + duplicate-drop semantics. */
   def load(dir: Path): Either[String, Registry] = {

@@ -125,7 +125,46 @@ final class CrudEngine(spark: SparkSession, backend: StorageBackend,
     * DataFrame (callers page with limit). */
   def readMany(m: ModelDefinition): DataFrame = backend.table(m)
 
-  /** Bulk load (engine extension): validated DataFrame → table. */
-  def bulkLoad(m: ModelDefinition, df: DataFrame): Unit =
-    lockFor(m).synchronized { backend.overwrite(m, df) }
+  /** Bulk load (engine extension): validated DataFrame → table.
+    * Constraints are enforced the Spark way — one declarative
+    * predicate over the whole frame, checked before the write. */
+  def bulkLoad(m: ModelDefinition, df: DataFrame): Either[String, Unit] =
+    lockFor(m).synchronized {
+      CrudEngine.constraintPredicate(m) match {
+        case Some(pred) =>
+          val bad = df.filter(!pred).limit(1).count()
+          if (bad > 0) Left("bulk load violates model constraints")
+          else { backend.overwrite(m, df); Right(()) }
+        case None => backend.overwrite(m, df); Right(())
+      }
+    }
+}
+
+object CrudEngine {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{length => strlen, forall, lit => flit}
+
+  /** All model constraints as one Spark `Column` predicate (nulls
+    * pass — requiredness is a separate check). SURVEY §2.1 O8. */
+  def constraintPredicate(m: ModelDefinition): Option[Column] = {
+    def primPred(c: Column, k: Constraint): Column = k match {
+      case Constraint.MinValue(v) => c >= flit(v)
+      case Constraint.MaxValue(v) => c <= flit(v)
+      case Constraint.MinLength(v) => strlen(c) >= flit(v)
+      case Constraint.MaxLength(v) => strlen(c) <= flit(v)
+      case Constraint.MatchesRegex(p) => c.rlike(p)
+      case Constraint.OneOf(vs) => c.isin(vs.map(x => x: Any): _*)
+    }
+    val preds = m.constraints.toSeq.flatMap { case (attr, cs) =>
+      cs.map { k =>
+        val c = col(attr)
+        m.attrType(attr) match {
+          case Some(_: graft.core.AttrType.ArrayOf) =>
+            c.isNull || forall(c, e => primPred(e, k))
+          case _ => c.isNull || primPred(c, k)
+        }
+      }
+    }
+    preds.reduceOption(_ && _)
+  }
 }

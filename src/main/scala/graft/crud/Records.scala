@@ -36,8 +36,42 @@ object Records {
                 convertAttr(key, root.get(key), model, required)
                   .map(v => rec + (key -> v))
               }
-            }
+            }.flatMap(checkConstraints(_, model))
         }
+    }
+  }
+
+  /** `check_constraints` (`model.rs:300-302`, a stub in the reference;
+    * real checks here per SURVEY §2.1): every declared constraint must
+    * hold on the provided non-null values; array attrs are checked
+    * element-wise. */
+  def checkConstraints(rec: Record, model: ModelDefinition)
+      : Either[String, Record] = {
+    def prim(attr: String, c: Constraint, v: PrimValue): Boolean = (c, v) match {
+      case (Constraint.MinValue(m), PrimValue.IntVal(x)) => x >= m
+      case (Constraint.MaxValue(m), PrimValue.IntVal(x)) => x <= m
+      case (Constraint.MinValue(m), PrimValue.FloatVal(x)) => x >= m
+      case (Constraint.MaxValue(m), PrimValue.FloatVal(x)) => x <= m
+      case (Constraint.MinLength(m), PrimValue.StrVal(s)) => s.length >= m
+      case (Constraint.MaxLength(m), PrimValue.StrVal(s)) => s.length <= m
+      case (Constraint.MatchesRegex(p), PrimValue.StrVal(s)) =>
+        p.r.findFirstIn(s).isDefined
+      case (Constraint.OneOf(vs), PrimValue.StrVal(s)) => vs.contains(s)
+      case _ => true // constraint kind doesn't apply to this value type
+    }
+    val violation = model.constraints.iterator.flatMap { case (attr, cs) =>
+      rec.get(attr).toSeq.flatMap {
+        case TrueValue.Prim(v) =>
+          cs.find(!prim(attr, _, v)).map(c => (attr, c))
+        case TrueValue.Arr(es) =>
+          cs.find(c => es.exists(!prim(attr, c, _))).map(c => (attr, c))
+        case TrueValue.Null => None
+      }
+    }.nextOption()
+    violation match {
+      case Some((attr, c)) =>
+        Left(s"""Constraint violated for attribute "$attr": must be ${c.describe}""")
+      case None => Right(rec)
     }
   }
 

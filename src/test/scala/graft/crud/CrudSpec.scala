@@ -164,6 +164,42 @@ class CrudSpec extends AnyFunSuite {
     assert(e2.readMany(movie).count() == 0)
   }
 
+  test("constraints enforced on create/update and bulk load") {
+    val constrained = Registry.parseDefinition(
+      """{"model_name":"movie","storage_type":"json",
+        |"attributes":{"id":"Integer","name":"String","year":"Integer"},
+        |"primary_key":"id","required":["id","name"],
+        |"constraints":{
+        |  "year":{"min":1900,"max":2100},
+        |  "name":{"min_length":1,"max_length":10}}}"""
+        .stripMargin.replace("\n", "")).toOption.get
+    val e = freshEngine()
+    assert(e.createOne(constrained,
+      """{"id":1,"name":"ok","year":1999}""").isRight)
+    val tooOld = e.createOne(constrained,
+      """{"id":2,"name":"ok","year":1600}""")
+    assert(tooOld.isLeft && tooOld.swap.toOption.get.contains("Constraint violated"),
+      tooOld)
+    assert(e.createOne(constrained,
+      """{"id":3,"name":"waaaaaaaytoolong"}""").isLeft)
+    assert(e.updateOne(constrained, "1", """{"year":2200}""").isLeft)
+    assert(e.updateOne(constrained, "1", """{"year":2000}""").isRight)
+    // null non-required constrained attr passes
+    assert(e.createOne(constrained,
+      """{"id":4,"name":"x","year":null}""").isRight)
+
+    // bulk load: declarative Column predicate pre-write
+    val good = e.readMany(constrained)
+    assert(e.bulkLoad(constrained, good).isRight)
+    val bad = spark.createDataFrame(
+      java.util.List.of(Records.toRow(
+        Map("id" -> TrueValue.Prim(PrimValue.IntVal(9L)),
+          "name" -> TrueValue.Prim(PrimValue.StrVal("x")),
+          "year" -> TrueValue.Prim(PrimValue.IntVal(1234L))): Records.Record,
+        constrained)), constrained.schema)
+    assert(e.bulkLoad(constrained, bad).isLeft)
+  }
+
   test("gus json backend: corrupt file errors") {
     val f = Files.createTempDirectory("gusjson3").resolve("corrupt.json")
     Files.writeString(f, "{not json")
