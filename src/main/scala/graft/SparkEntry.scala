@@ -35,6 +35,8 @@ object SparkEntry {
     "q15_string_agg" -> Relational.q15StringAgg,
     "q16_sql_subquery" -> Relational.q16SqlSubquery,
     "q17_full_outer" -> Relational.q17FullOuter,
+    "q18_percentile" -> Relational.q18Percentile,
+    "q19_pivot" -> Relational.q19Pivot,
     // training-data pipeline operators
     "ta_stats" -> TextAnalysis.taStats,
     "ta_langid" -> TextAnalysis.taLangId,
@@ -180,6 +182,22 @@ object SparkEntry {
         |      WHERE year(o_orderdate) = 2001 GROUP BY 1)
         |ON k95 = k01
         |ORDER BY o_custkey""".stripMargin,
+    "q18_percentile" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) AS median_cents,
+        |  quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.9) AS p90_cents,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q19_pivot" ->
+      """SELECT n_name,
+        |  CAST(count(*) FILTER (c_mktsegment = 'AUTOMOBILE') AS BIGINT) AS automobile,
+        |  CAST(count(*) FILTER (c_mktsegment = 'BUILDING') AS BIGINT) AS building,
+        |  CAST(count(*) FILTER (c_mktsegment = 'FURNITURE') AS BIGINT) AS furniture,
+        |  CAST(count(*) FILTER (c_mktsegment = 'HOUSEHOLD') AS BIGINT) AS household,
+        |  CAST(count(*) FILTER (c_mktsegment = 'MACHINERY') AS BIGINT) AS machinery
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "ta_stats" -> TextAnalysis.taStatsOracle,
     "ta_langid" -> TextAnalysis.taLangIdOracle,
     "ta_fingerprint" -> TextAnalysis.taFingerprintOracle,

@@ -266,4 +266,32 @@ object Relational {
         coalesce(col("n_2001"), lit(0L)).as("n_2001"))
       .orderBy(col("o_custkey"))
   }
+
+  /** q18: exact percentiles — median/p90 order value per priority.
+    * Inputs are integer cents, and both engines use the same type-7
+    * linear interpolation, so the doubles are bit-identical. */
+  def q18Percentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        percentile(cents(col("o_totalprice")), lit(0.5)).as("median_cents"),
+        percentile(cents(col("o_totalprice")), lit(0.9)).as("p90_cents"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  /** q19: pivot — customer counts per nation × market segment, one
+    * column per segment (conditional aggregation under the hood). */
+  def q19Pivot(s: SparkSession, dir: String): DataFrame = {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+      "MACHINERY")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .pivot("c_mktsegment", segs)
+      .agg(count(lit(1)))
+      .select(col("n_name") +: segs.map(g =>
+        coalesce(col(g), lit(0L)).as(g.toLowerCase)): _*)
+      .orderBy(col("n_name"))
+  }
 }

@@ -40,6 +40,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("ev_counts").count() > 10, "multiple windows emitted")
   }
 
+  test("flatMapGroupsWithState sessionization emits valid sessions") {
+    val sfDir = "/root/testdata/sf0.001"
+    val streamDir = Files.createTempDirectory("events-sessions")
+    Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val q = Sessionize.sessions(spark, streamDir.toString, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("sessions").collect()
+    assert(rows.length > 10, s"expected closed sessions, got ${rows.length}")
+    // session invariants
+    assert(rows.forall(r =>
+      r.getAs[Long]("end_ms") >= r.getAs[Long]("start_ms") &&
+        r.getAs[Int]("n_events") > 0))
+    // per-user sessions are disjoint and separated by > gap
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.values.foreach { ss =>
+      val sorted = ss.sortBy(_.getAs[Long]("start_ms"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_ms") - a.getAs[Long]("end_ms") >
+            30 * 60000L, "sessions separated by more than the gap")
+        case _ =>
+      }
+    }
+  }
+
   test("CRUD changelog feeds a subscription stream") {
     val modelsDir = Files.createTempDirectory("sub-models")
     Files.writeString(modelsDir.resolve("movie.json"),
