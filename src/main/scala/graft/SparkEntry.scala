@@ -41,6 +41,9 @@ object SparkEntry {
     "ta_stats" -> TextAnalysis.taStats,
     "ta_langid" -> TextAnalysis.taLangId,
     "ta_fingerprint" -> TextAnalysis.taFingerprint,
+    "ta_tokens" -> TextAnalysis.taTokens,
+    "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccard,
+    "ann_ivf" -> Similarity.annIvf,
     "dedup_exact" -> Dedup.dedupExact,
     "dedup_minhash_lsh" -> Dedup.dedupMinhashLsh,
     "dedup_simhash" -> Dedup.dedupSimhash,
@@ -201,6 +204,9 @@ object SparkEntry {
     "ta_stats" -> TextAnalysis.taStatsOracle,
     "ta_langid" -> TextAnalysis.taLangIdOracle,
     "ta_fingerprint" -> TextAnalysis.taFingerprintOracle,
+    "ta_tokens" -> TextAnalysis.taTokensOracle,
+    "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardOracle,
+    "ann_ivf" -> Similarity.annIvfOracle,
     "dedup_exact" -> Dedup.dedupExactOracle,
     "dedup_minhash_lsh" -> Dedup.dedupMinhashLshOracle,
     "dedup_simhash" -> Dedup.dedupSimhashOracle,

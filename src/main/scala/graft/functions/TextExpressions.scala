@@ -46,6 +46,54 @@ object TextHashKernels {
     new GenericArrayData(arr)
   }
 
+  /** Distinct character 5-gram set of the normal form (n-gram Jaccard
+    * dedup); whole-norm fallback for short docs. */
+  def charShingles(text: UTF8String): ArrayData = {
+    val norm = normalize(text)
+    val out = new java.util.LinkedHashSet[String]()
+    if (norm.length >= 5) {
+      var i = 0
+      while (i + 5 <= norm.length) { out.add(norm.substring(i, i + 5)); i += 1 }
+    } else out.add(norm)
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** Polynomial (Rabin-Karp style) rolling hash of the normal form:
+    * fold (acc*31 + charCode) mod (2^31-1) over characters — matches
+    * the SQL fold `aggregate(chars, 0, (acc,c) -> (acc*31+ascii(c)) %
+    * 2147483647)` exactly (ASCII text; codes are the char values). */
+  def rollingHash(text: UTF8String): Long = {
+    val norm = normalize(text)
+    var acc = 0L
+    var i = 0
+    while (i < norm.length) {
+      acc = (acc * 31 + norm.charAt(i)) % 2147483647L
+      i += 1
+    }
+    acc
+  }
+
+  /** min over elements of md5(salt || element) — a 1-row minhash used
+    * as a dedup blocking key / cheap similarity sketch; matches
+    * `list_min(list_transform(a, x -> md5(salt || x)))`. */
+  def minMd5(arr: ArrayData, salt: UTF8String): UTF8String = {
+    val md = MessageDigest.getInstance("MD5")
+    val s = salt.toString
+    var best: String = null
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = md5hex(md, s + arr.getUTF8String(i).toString)
+      if (best == null || h.compareTo(best) < 0) best = h
+      i += 1
+    }
+    if (best == null) null else UTF8String.fromString(best)
+  }
+
   private val hexDigits = "0123456789abcdef".toCharArray
 
   private def md5hex(md: MessageDigest, s: String): String = {
@@ -163,15 +211,64 @@ case class ShingleHashes(child: Expression) extends Utf8ArrayKernelExpression {
     copy(child = c)
 }
 
+/** text → distinct character 5-gram set. */
+case class CharShingles(child: Expression) extends Utf8ArrayKernelExpression {
+  override def prettyName: String = "char_shingles"
+  protected val kernel =
+    "graft.functions.TextHashKernels.charShingles"
+  override def nullSafeEval(t: Any): Any =
+    TextHashKernels.charShingles(t.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** text → polynomial rolling-hash fingerprint (codegen'd kernel). */
+case class RollingHash(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.LongType
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+  override def nullSafeEval(t: Any): Any =
+    TextHashKernels.rollingHash(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashKernels.rollingHash($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** array<string> → min md5 hex over salted elements. */
+case class MinMd5(child: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types.StringType
+  override def left: Expression = child
+  override def dataType: DataType = StringType
+  override def prettyName: String = "min_md5"
+  override def nullSafeEval(a: Any, s: Any): Any =
+    TextHashKernels.minMd5(a.asInstanceOf[ArrayData],
+      s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      (c, s) => s"${ev.value} = graft.functions.TextHashKernels.minMd5($c, $s);")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(child = l, right = r)
+}
+
 object TextFunctions {
   def shingleSet(c: Column): Column =
     Bridge.column(ShingleSet(Bridge.expression(c)))
+  def charShingles(c: Column): Column =
+    Bridge.column(CharShingles(Bridge.expression(c)))
   def shingleHashes(c: Column): Column =
     Bridge.column(ShingleHashes(Bridge.expression(c)))
   def simhash16(c: Column): Column =
     Bridge.column(Simhash16(Bridge.expression(c)))
   def lshBucket(c: Column, planes: Int): Column =
     Bridge.column(LshBucket(Bridge.expression(c), planes))
+  def rollingHash(c: Column): Column =
+    Bridge.column(RollingHash(Bridge.expression(c)))
+  def minMd5(c: Column, salt: String = ""): Column =
+    Bridge.column(MinMd5(Bridge.expression(c),
+      org.apache.spark.sql.catalyst.expressions.Literal(salt)))
 }
 
 /** Tokens → 16-bit SimHash. Replaces 16 interpreted `aggregate(...)`

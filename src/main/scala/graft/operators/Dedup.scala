@@ -158,6 +158,104 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  val JaccardSketch = 4 // salted 1-row minhashes used as a pair prefilter
+
+  /** dedup_ngram_jaccard: character-5-gram Jaccard near-dup pairs.
+    * Three-stage funnel, no all-pairs stage: (1) blocking key = min
+    * md5 over a doc's char-shingles (1-row minhash) → candidate pairs
+    * share it; (2) cheap sketch prefilter — candidates must agree on
+    * ≥ 2 of 4 salted minhash components (a word-soup corpus makes
+    * min-hash blocks degenerate: the top blocks held 60% of docs, and
+    * without this filter every block pair paid the exact set ops);
+    * (3) exact integer Jaccard ≥ 0.3 (10·|∩| ≥ 3·|∪|) on survivors.
+    * Complements the word-level banded MinHash-LSH op. */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{charShingles, minMd5}
+    // cs is re-derived per hash column (CollapseProject inlines it);
+    // the kernel is cheap — the barrier+persist below is what matters
+    val base = (1 to JaccardSketch).foldLeft(
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), charShingles(col("text")).as("cs"))
+        .withColumn("blk", minMd5(col("cs")))) { (df, k) =>
+      df.withColumn(s"mh_$k", minMd5(col("cs"), s"s$k:"))
+    }
+      .repartition(col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // posting-list cap: a block shared by >100 docs means the min
+    // shingle is corpus-boilerplate, not a similarity signal — and its
+    // pair generation is quadratic on ONE join key (unsplittable by
+    // AQE skew handling; measured as a single straggler task). The
+    // standard dedup-pipeline move is to drop oversized blocks.
+    val keptBlocks = base.groupBy(col("blk"))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") >= 2 && col("bn") <= 100)
+      .select(col("blk"))
+    def side(tag: String) = base.select(
+      col("doc_id").as(s"doc_$tag") +:
+        (1 to JaccardSketch).map(k => col(s"mh_$k").as(s"mh_${k}$tag")) :+
+        col("blk"): _*)
+    val agree = (1 to JaccardSketch).map(k =>
+      when(col(s"mh_${k}a") === col(s"mh_${k}b"), 1).otherwise(0))
+      .reduce(_ + _)
+    val cand = side("a")
+      .join(broadcast(keptBlocks), Seq("blk"))
+      .join(side("b"), Seq("blk"))
+      .filter(col("doc_a") < col("doc_b") && agree >= 2)
+      .select(col("doc_a"), col("doc_b"))
+    val sa = base.select(col("doc_id").as("doc_a"), col("cs").as("csa"))
+    val sb = base.select(col("doc_id").as("doc_b"), col("cs").as("csb"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("csa"), col("csb"))).cast("long"))
+      .withColumn("n_union", size(array_union(col("csa"), col("csb"))).cast("long"))
+      .filter(col("n_inter") * 10 >= col("n_union") * 3)
+      .withColumn("jaccard_pct", expr("n_inter * 100 div n_union"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
+        col("jaccard_pct"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val charShinglesSql: String = {
+    val n = normSql
+    s"""list_distinct(CASE WHEN length($n) >= 5
+       | THEN list_transform(range(1, length($n) - 3), i -> substring($n, i, 5))
+       | ELSE [$n] END)""".stripMargin.replace("\n", "")
+  }
+
+  val dedupNgramJaccardOracle: String = {
+    val sketchCols = (1 to JaccardSketch).map(k =>
+      s"list_min(list_transform(cs, x -> md5('s$k:' || x))) AS mh_$k")
+      .mkString(",\n    ")
+    val agree = (1 to JaccardSketch).map(k =>
+      s"CASE WHEN a.mh_$k = b.mh_$k THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT doc_id, $charShinglesSql AS cs FROM documents),
+       |blocked AS (
+       |  SELECT doc_id, cs,
+       |    list_min(list_transform(cs, x -> md5(x))) AS blk,
+       |    $sketchCols
+       |  FROM base),
+       |kept AS (
+       |  SELECT blk FROM blocked GROUP BY blk
+       |  HAVING count(*) BETWEEN 2 AND 100),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM blocked a
+       |  JOIN kept USING (blk)
+       |  JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
+       |  WHERE $agree >= 2),
+       |verified AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(sa.cs, sb.cs)) AS BIGINT) AS n_inter,
+       |    CAST(len(list_distinct(sa.cs || sb.cs)) AS BIGINT) AS n_union
+       |  FROM cand
+       |  JOIN base sa ON sa.doc_id = doc_a
+       |  JOIN base sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, n_inter, n_union,
+       |  CAST(n_inter * 100 // n_union AS BIGINT) AS jaccard_pct
+       |FROM verified WHERE n_inter * 10 >= n_union * 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val SimhashBits = 16
 
   /** Per-token bit: parity class of hex digit `j` of md5(token). */

@@ -152,6 +152,90 @@ object Similarity {
        |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
   }
 
+  val IvfCentroids = 16
+
+  /** ann_ivf: inverted-file ANN — every corpus vector is assigned to
+    * its nearest coarse centroid (here: the first `IvfCentroids`
+    * vectors stand in for a trained k-means codebook, keeping the op
+    * deterministic and oracle-checkable); a query probes only its own
+    * centroid's inverted list (nprobe=1). At cluster scale the
+    * centroid id is the partition key and each posting list is a
+    * co-located partition — the classic IVF trade of recall for a
+    * 1/C corpus scan. */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val b = base(s, dir)
+    val cents = broadcast(b.filter(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        col("sq").as("csq")))
+    // nearest centroid per vector: max cos_e6, ties to smallest id
+    def assign(df: DataFrame, idCol: String): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("cent_cos").desc, col("cent_id").asc)
+      df.crossJoin(cents)
+        .withColumn("cent_cos",
+          cosE6(idot(col("v"), col("cv")), col("sq"), col("csq")))
+        .withColumn("crk", row_number().over(w))
+        .filter(col("crk") === 1)
+        .drop("cv", "csq", "cent_cos", "crk")
+    }
+    val corpus = assign(
+      b.filter(col("vec_id") >= IvfCentroids), "vec_id")
+      .select(col("vec_id").as("neighbor_id"), col("v"), col("sq"),
+        col("cent_id"))
+    val queries = assign(
+      b.filter(col("vec_id") < 10),
+      "vec_id")
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("sq").as("qsq"), col("cent_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_e6").desc, col("neighbor_id").asc)
+    corpus.join(broadcast(queries), "cent_id")
+      .withColumn("cos_e6",
+        cosE6(idot(col("qv"), col("v")), col("qsq"), col("sq")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("cos_e6"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val annIvfOracle: String =
+    s"""WITH base AS (
+       |  SELECT vec_id, $ivecSql AS v FROM embeddings),
+       |sq AS (
+       |  SELECT vec_id, v,
+       |    CAST(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i])) AS BIGINT) AS sq
+       |  FROM base),
+       |cents AS (SELECT vec_id AS cent_id, v AS cv, sq AS csq FROM sq
+       |          WHERE vec_id < $IvfCentroids),
+       |assigned AS (
+       |  SELECT vec_id, v, sq, cent_id,
+       |    CAST(row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      CAST(floor(CAST(list_sum(list_transform(range(1, len(v)+1),
+       |            i -> v[i]*cv[i])) AS DOUBLE)
+       |        / (sqrt(CAST(sq AS DOUBLE)) * sqrt(CAST(csq AS DOUBLE)))
+       |        * 1e6) AS BIGINT) DESC, cent_id ASC) AS INT) AS crk
+       |  FROM sq CROSS JOIN cents),
+       |corpus AS (
+       |  SELECT vec_id AS neighbor_id, v, sq, cent_id FROM assigned
+       |  WHERE crk = 1 AND vec_id >= $IvfCentroids),
+       |queries AS (
+       |  SELECT vec_id AS query_id, v AS qv, sq AS qsq, cent_id FROM assigned
+       |  WHERE crk = 1 AND vec_id < 10),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(floor(CAST(list_sum(list_transform(range(1, len(qv)+1),
+       |          i -> qv[i]*c.v[i])) AS DOUBLE)
+       |      / (sqrt(CAST(qsq AS DOUBLE)) * sqrt(CAST(c.sq AS DOUBLE)))
+       |      * 1e6) AS BIGINT) AS cos_e6
+       |  FROM corpus c JOIN queries q USING (cent_id)),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_e6,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_e6 DESC, neighbor_id ASC) AS INT) AS rk
+       |  FROM scored)
+       |SELECT query_id, rk, neighbor_id, cos_e6 FROM ranked
+       |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
+
   /** dedup_embedding: top-50 most-similar vector pairs — the
     * embedding-cosine near-duplicate miner (all-pairs here at test
     * scale; the LSH bucketing above is the scale path). */

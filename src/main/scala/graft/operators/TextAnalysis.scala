@@ -123,4 +123,32 @@ object TextAnalysis {
        |  md5(array_to_string(list_sort($tokensSql), ' ')) AS fp_bag,
        |  substring(md5($normSql), 1, 4) AS fp_bucket
        |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** BPE-ish subword pattern over the normal form: letter runs, digit
+    * runs, single other symbols — the shape of byte-pair pre-tokenizer
+    * regexes, with semantics identical in Java regex and RE2. */
+  private val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** ta_tokens: token counting three ways — whitespace tokens, BPE-ish
+    * regex tokens, and a polynomial rolling-hash fingerprint (kernel
+    * expression; the fold is defined by the SQL in the oracle). */
+  def taTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("ws_tokens"),
+        regexp_count(norm(col("text")), lit(bpePattern)).cast("long")
+          .as("bpe_tokens"),
+        graft.functions.TextFunctions.rollingHash(col("text"))
+          .as("rollhash"))
+      .orderBy(col("doc_id"))
+
+  val taTokensOracle: String =
+    s"""SELECT doc_id,
+       |  CAST(len($tokensSql) AS BIGINT) AS ws_tokens,
+       |  CAST(len(regexp_extract_all($normSql, '$bpePattern')) AS BIGINT) AS bpe_tokens,
+       |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(string_split($normSql, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |    (acc, c) -> (acc * 31 + c) % 2147483647) AS BIGINT) AS rollhash
+       |FROM documents ORDER BY doc_id""".stripMargin
 }
