@@ -106,10 +106,15 @@ object Main {
         System.err.println(s"unknown storage $other"); sys.exit(2)
     }
 
+    // --changelog <dir> enables subscription streams (SSE + readStream)
+    val changeLog = opts.get("changelog")
+      .map(d => new graft.streaming.ChangeLog(spark, d))
+
     Registry.load(Paths.get(modelsPath)) match {
       case Left(err) => System.err.println(err); sys.exit(2)
       case Right(reg) =>
-        val server = new Server(reg, new CrudEngine(spark, backend), port)
+        val server = new Server(reg,
+          new CrudEngine(spark, backend, changeLog), port, changeLog)
         server.start()
         println(s"graft serving on :${server.boundPort} " +
           s"(models: ${reg.all.map(_.modelName.raw).mkString(", ")})")

@@ -23,14 +23,18 @@ import graft.graphql.{Ast, Executor}
   * handling delegates to the Spark CRUD engine, which serializes
   * writes per model.
   */
-final class Server(registry: Registry, engine: CrudEngine, port: Int) {
+final class Server(registry: Registry, engine: CrudEngine, port: Int,
+    changeLog: Option[graft.streaming.ChangeLog] = None) {
 
   private val executor = new Executor(registry, engine)
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
 
   def start(): Unit = {
     server.createContext("/", handle _)
-    server.setExecutor(null) // single-threaded dispatch; engine locks per model
+    // thread pool: SSE subscriptions hold their connection open, and
+    // must not starve CRUD requests (writes serialize per model in
+    // the engine, so concurrent dispatch is safe)
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
     server.start()
   }
   def stop(): Unit = server.stop(0)
@@ -92,6 +96,8 @@ final class Server(registry: Registry, engine: CrudEngine, port: Int) {
             case Left(err) => respond(ex, 400, errorEnvelope(err))
           }
         }
+      case ("GET", List("api", "subscribe", model)) =>
+        withModel(ex, model)(m => handleSubscribe(ex, m))
       // wrong shapes: exactly-2-segment rule etc (`server.rs:117-123`)
       case _ => respond(ex, 400, errorEnvelope("invalid endpoint"))
     }
@@ -109,6 +115,56 @@ final class Server(registry: Registry, engine: CrudEngine, port: Int) {
       case Right(m) => f(m)
     }
   }
+
+  /** GraphQL-subscription transport: `GET /api/subscribe/{model}` is a
+    * server-sent-event stream of the model's CRUD changelog — the
+    * delivery half of the subscription surface the reference stubs
+    * (`graphql.rs:353`). Catch-up from seq 0 (or `Last-Event-ID`),
+    * then poll the changelog. `?max_events=N` closes after N events
+    * (also what the test uses). */
+  private def handleSubscribe(ex: HttpExchange, m: ModelDefinition): Unit =
+    changeLog match {
+      case None =>
+        respond(ex, 400, errorEnvelope("subscriptions are not enabled"))
+      case Some(log) =>
+        val maxEvents = Option(ex.getRequestURI.getQuery)
+          .flatMap(_.split("&").collectFirst {
+            case kv if kv.startsWith("max_events=") =>
+              kv.stripPrefix("max_events=").toInt
+          }).getOrElse(Int.MaxValue)
+        var lastSeq =
+          Option(ex.getRequestHeaders.getFirst("Last-Event-ID"))
+            .map(_.toLong).getOrElse(0L)
+        ex.getResponseHeaders.set("Content-Type", "text/event-stream")
+        ex.getResponseHeaders.set("Cache-Control", "no-cache")
+        ex.sendResponseHeaders(200, 0)
+        val os = ex.getResponseBody
+        var sent = 0
+        try {
+          while (sent < maxEvents) {
+            val fresh = log.all()
+              .filter(org.apache.spark.sql.functions.col("model") ===
+                m.modelName.pluralCamel)
+              .filter(org.apache.spark.sql.functions.col("seq") > lastSeq)
+              .orderBy("seq").collect()
+            fresh.foreach { row =>
+              if (sent < maxEvents) {
+                val seq = row.getAs[Long]("seq")
+                val payload = s"""{"op":${JsonUtil.quote(row.getAs[String]("op"))},""" +
+                  s""""pk":${row.getAs[String]("pk")},""" +
+                  s""""record":${row.getAs[String]("record")}}"""
+                os.write(s"id: $seq\ndata: $payload\n\n"
+                  .getBytes(StandardCharsets.UTF_8))
+                os.flush()
+                lastSeq = seq
+                sent += 1
+              }
+            }
+            if (sent < maxEvents) Thread.sleep(500)
+          }
+        } catch { case _: java.io.IOException => () /* client gone */ }
+        finally os.close()
+    }
 
   private def handleGraphql(ex: HttpExchange): Unit = {
     val body = readBody(ex)

@@ -115,6 +115,46 @@ class ServerSpec extends AnyFunSuite {
     assert(c5 == 400)
   }
 
+  test("SSE subscription streams CRUD changelog events") {
+    val dir = Files.createTempDirectory("sse-models")
+    Files.writeString(dir.resolve("movie.json"), movieJson)
+    val reg = Registry.load(dir).toOption.get
+    val log = new graft.streaming.ChangeLog(SparkSpec.spark,
+      Files.createTempDirectory("sse-log").toString)
+    val engine = new CrudEngine(SparkSpec.spark,
+      new ParquetBackend(SparkSpec.spark,
+        Files.createTempDirectory("sse-store").toString, buckets = 4),
+      Some(log))
+    val s = new Server(reg, engine, 0, Some(log))
+    s.start()
+    try {
+      val p = s.boundPort
+      val c1 = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://localhost:$p/api/rest/movie"))
+        .method("POST", HttpRequest.BodyPublishers.ofString(
+          """{"id":"s1","name":"first"}""")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(c1.statusCode() == 201)
+      client.send(HttpRequest.newBuilder(
+        URI.create(s"http://localhost:$p/api/rest/movie/s1"))
+        .method("PUT", HttpRequest.BodyPublishers.ofString(
+          """{"name":"second"}""")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val sse = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://localhost:$p/api/subscribe/movie?max_events=2"))
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(sse.statusCode() == 200)
+      assert(sse.headers().firstValue("Content-Type").orElse("")
+        .contains("text/event-stream"))
+      val events = sse.body().split("\n\n").filter(_.nonEmpty)
+      assert(events.length == 2, sse.body())
+      assert(events(0).contains(""""op":"create"""") &&
+        events(0).contains(""""name":"first""""), events(0))
+      assert(events(1).contains(""""op":"update"""") &&
+        events(1).contains(""""name":"second""""), events(1))
+    } finally s.stop()
+  }
+
   test("GraphQL over HTTP: 200 on data, 400 on errors-only") {
     val (c1, b1) = req("POST", "/api/graphql",
       """{"query":"mutation { addOneMovie(id:\"gq\") { id } }"}""")
