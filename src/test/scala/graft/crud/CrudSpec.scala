@@ -200,6 +200,36 @@ class CrudSpec extends AnyFunSuite {
     assert(e.bulkLoad(constrained, bad).isLeft)
   }
 
+  test("typed pk keys: Integer, String, Boolean models in one gus file") {
+    // the reference cycles pk JSON keys "1" / "\"1\"" / "true"
+    // (`json/mod.rs:230,257,283,312`): typed keys must not collide
+    def model(name: String, pkType: String) = Registry.parseDefinition(
+      s"""{"model_name":"$name","storage_type":"json",
+         |"attributes":{"id":"$pkType","note":"String"},
+         |"primary_key":"id","required":["id"]}"""
+        .stripMargin.replace("\n", "")).toOption.get
+    val intM = model("counter", "Integer")
+    val strM = model("label", "String")
+    val boolM = model("flag", "Boolean")
+    val f = Files.createTempDirectory("gusjson-typed").resolve("data.json.gus")
+    val e = new CrudEngine(spark, new GusJsonBackend(spark, f.toString))
+    assert(e.createOne(intM, """{"id":1,"note":"int"}""").isRight)
+    assert(e.createOne(strM, """{"id":"1","note":"str"}""").isRight)
+    assert(e.createOne(boolM, """{"id":true,"note":"bool"}""").isRight)
+    val text = Files.readString(f)
+    assert(text.contains("\"1\":{"), text)      // Integer 1
+    assert(text.contains("\"\\\"1\\\"\":{"), text) // String "1"
+    assert(text.contains("\"true\":{"), text)   // Boolean true
+    assert(e.readOne(intM, "1").toOption.get("note") ==
+      TrueValue.Prim(PrimValue.StrVal("int")))
+    assert(e.readOne(strM, "1").toOption.get("note") ==
+      TrueValue.Prim(PrimValue.StrVal("str")))
+    assert(e.readOne(boolM, "true").toOption.get("note") ==
+      TrueValue.Prim(PrimValue.StrVal("bool")))
+    // Boolean-pk uri parsing is strict: "1" is not a Boolean
+    assert(e.readOne(boolM, "1").isLeft)
+  }
+
   test("gus json backend: corrupt file errors") {
     val f = Files.createTempDirectory("gusjson3").resolve("corrupt.json")
     Files.writeString(f, "{not json")

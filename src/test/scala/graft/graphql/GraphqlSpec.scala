@@ -133,6 +133,28 @@ class GraphqlSpec extends AnyFunSuite {
       del)
   }
 
+  test("multi-word snake_case model round-trips through GraphQL naming") {
+    val dir = Files.createTempDirectory("gql-models-mw")
+    Files.writeString(dir.resolve("cloned_movie.json"),
+      GqlFixture.movieJson.replace("\"movie\"", "\"cloned_movie\""))
+    val reg = Registry.load(dir).toOption.get
+    val engine = new CrudEngine(SparkSpec.spark,
+      new ParquetBackend(SparkSpec.spark,
+        Files.createTempDirectory("gql-store-mw").toString, buckets = 4))
+    val mw = new Executor(reg, engine)
+    val sdl = SchemaGen.sdl(mw.schema)
+    assert(sdl.contains("type ClonedMovie {"), sdl)
+    assert(sdl.contains("readOneClonedMovie"), sdl)
+    assert(sdl.contains("clonedMovies:[ClonedMovie!]!"), sdl)
+    val add = Executor.toJson(mw.handlePost(
+      """mutation { addOneClonedMovie(id:1, name:"c", recommended:true) { id } }""",
+      None, Map.empty))
+    assert(add == """{"data":{"addOneClonedMovie":{"id":1}}}""", add)
+    val many = Executor.toJson(mw.handlePost(
+      """{ clonedMovies { id name } }""", None, Map.empty))
+    assert(many == """{"data":{"clonedMovies":[{"id":1,"name":"c"}]}}""", many)
+  }
+
   test("introspection: __schema and __type") {
     val r = run(
       """{ __schema { queryType { name } mutationType { name }
