@@ -230,6 +230,26 @@ class CrudSpec extends AnyFunSuite {
     assert(e.readOne(boolM, "1").isLeft)
   }
 
+  test("concurrent writers: per-model lock serializes mutations") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val e = freshEngine()
+    val results = Await.result(Future.sequence((1 to 16).map { i =>
+      Future(e.createOne(movie,
+        s"""{"id":$i,"name":"m$i","recommended":true}"""))
+    }), 120.seconds)
+    assert(results.forall(_.isRight), results.filter(_.isLeft))
+    assert(e.readMany(movie).count() == 16)
+    // duplicate storm: exactly one winner for a contended id
+    val dups = Await.result(Future.sequence((1 to 8).map { _ =>
+      Future(e.createOne(movie,
+        """{"id":99,"name":"race","recommended":false}"""))
+    }), 120.seconds)
+    assert(dups.count(_.isRight) == 1, dups)
+    assert(e.readMany(movie).count() == 17)
+  }
+
   test("gus json backend: corrupt file errors") {
     val f = Files.createTempDirectory("gusjson3").resolve("corrupt.json")
     Files.writeString(f, "{not json")

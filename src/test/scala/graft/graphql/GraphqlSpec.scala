@@ -133,6 +133,19 @@ class GraphqlSpec extends AnyFunSuite {
       del)
   }
 
+  test("array-typed arguments and selection") {
+    val r = run(
+      """mutation { addOneMovie(id:77, name:"Docs", recommended:false,
+        |actors:["Ann", "Ben"]) { id actors } }""".stripMargin)
+    assert(r ==
+      """{"data":{"addOneMovie":{"id":77,"actors":["Ann","Ben"]}}}""", r)
+    // element type violations rejected at validation
+    val bad = run(
+      """mutation { addOneMovie(id:78, name:"x", recommended:true,
+        |actors:[1, 2]) { id } }""".stripMargin)
+    assert(bad.contains("expects type String"), bad)
+  }
+
   test("multi-word snake_case model round-trips through GraphQL naming") {
     val dir = Files.createTempDirectory("gql-models-mw")
     Files.writeString(dir.resolve("cloned_movie.json"),
