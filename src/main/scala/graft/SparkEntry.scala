@@ -37,6 +37,7 @@ object SparkEntry {
     "q17_full_outer" -> Relational.q17FullOuter,
     "q18_percentile" -> Relational.q18Percentile,
     "q19_pivot" -> Relational.q19Pivot,
+    "q20_salted_agg" -> Relational.q20SaltedAgg,
     // training-data pipeline operators
     "ta_stats" -> TextAnalysis.taStats,
     "ta_langid" -> TextAnalysis.taLangId,
@@ -201,6 +202,10 @@ object SparkEntry {
         |  CAST(count(*) FILTER (c_mktsegment = 'MACHINERY') AS BIGINT) AS machinery
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q20_salted_agg" -> // plain GROUP BY: salting must not change results
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "ta_stats" -> TextAnalysis.taStatsOracle,
     "ta_langid" -> TextAnalysis.taLangIdOracle,
     "ta_fingerprint" -> TextAnalysis.taFingerprintOracle,

@@ -279,6 +279,27 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("o_orderpriority"))
 
+  /** q20: skew-safe two-phase aggregation — per-user event totals
+    * computed through an explicit salt: phase 1 aggregates
+    * (user, salt) partials, phase 2 merges per user. On a skewed key
+    * distribution the hot key's rows spread over `Salt` reducers in
+    * phase 1 instead of one straggler. The oracle is the PLAIN
+    * GROUP BY — the salted plan must be result-identical, which is
+    * exactly the property that makes the technique safe to apply. */
+  def q20SaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    val Salt = 8
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val partial = t(s, dir, "events")
+      .withColumn("salt", pmod(col("event_id"), lit(Salt)))
+      .groupBy(col("user_id"), col("salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(cents(col("value"))).as("pv"))
+    partial.groupBy(col("user_id"))
+      .agg(sum(col("pn")).cast("long").as("n_events"),
+        sum(col("pv")).as("value_cents"))
+      .orderBy(col("user_id"))
+  }
+
   /** q19: pivot — customer counts per nation × market segment, one
     * column per segment (conditional aggregation under the hood). */
   def q19Pivot(s: SparkSession, dir: String): DataFrame = {
