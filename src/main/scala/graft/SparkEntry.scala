@@ -38,6 +38,7 @@ object SparkEntry {
     "q18_percentile" -> Relational.q18Percentile,
     "q19_pivot" -> Relational.q19Pivot,
     "q20_salted_agg" -> Relational.q20SaltedAgg,
+    "q21_explode" -> Similarity.q21Explode,
     // training-data pipeline operators
     "ta_stats" -> TextAnalysis.taStats,
     "ta_langid" -> TextAnalysis.taLangId,
@@ -206,6 +207,7 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q21_explode" -> Similarity.q21ExplodeOracle,
     "ta_stats" -> TextAnalysis.taStatsOracle,
     "ta_langid" -> TextAnalysis.taLangIdOracle,
     "ta_fingerprint" -> TextAnalysis.taFingerprintOracle,

@@ -236,6 +236,29 @@ object Similarity {
        |SELECT query_id, rk, neighbor_id, cos_e6 FROM ranked
        |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin
 
+  /** q21: explode/unnest — flatten the first five embedding vectors to
+    * (vec_id, pos, milli) rows with posexplode; the row-generator
+    * operator class (LATERAL VIEW / unnest). */
+  def q21Explode(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id"),
+        posexplode(ivec(col("embedding"))).as(Seq("pos", "milli")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"), col("milli"))
+      .orderBy(col("vec_id"), col("pos"))
+
+  val q21ExplodeOracle: String =
+    s"""SELECT vec_id,
+       |  CAST(u.r['pos'] AS BIGINT) AS pos,
+       |  u.r['milli'] AS milli
+       |FROM (
+       |  SELECT vec_id,
+       |    unnest(list_transform(range(1, len(v)+1),
+       |      i -> {'pos': i - 1, 'milli': v[i]})) AS r
+       |  FROM (SELECT vec_id, $ivecSql AS v FROM embeddings
+       |        WHERE vec_id < 5)) u
+       |ORDER BY vec_id, pos""".stripMargin
+
   /** dedup_embedding: top-50 most-similar vector pairs — the
     * embedding-cosine near-duplicate miner (all-pairs here at test
     * scale; the LSH bucketing above is the scale path). */
