@@ -44,6 +44,30 @@ object EventsStream {
         col("n_events"), col("value_cents"))
   }
 
+  /** Stream-stream join: purchases attributed to the same user's
+    * preceding click within 30 minutes. Both sides carry watermarks
+    * and the join condition bounds event time on both ends, so state
+    * for unmatched rows is dropped once the watermark passes —
+    * bounded-state streaming join, the Spark-native form of a CEP
+    * "A followed by B" pattern. */
+  def clickToPurchase(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def side(kind: String, tag: String): DataFrame =
+      spark.readStream.schema(eventsSchema).parquet(dir)
+        .filter(col("event_type") === kind)
+        .select(col("user_id").as(s"user_$tag"),
+          col("event_id").as(s"${tag}_id"),
+          timestamp_micros(expr("ts div 1000")).as(s"${tag}_time"))
+        .withWatermark(s"${tag}_time", "1 hour")
+    side("click", "click").join(side("purchase", "purchase"),
+      col("user_click") === col("user_purchase") &&
+        col("purchase_time") >= col("click_time") &&
+        col("purchase_time") <=
+          col("click_time") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_click").as("user_id"), col("click_id"),
+        col("purchase_id"), col("click_time"), col("purchase_time"))
+  }
+
   /** Sliding-window variant (overlapping windows, same watermark). */
   def slidingCounts(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -168,6 +168,38 @@ class GraphqlSpec extends AnyFunSuite {
     assert(many == """{"data":{"clonedMovies":[{"id":1,"name":"c"}]}}""", many)
   }
 
+  test("standard GraphiQL-style introspection query executes") {
+    // abbreviated form of the standard IntrospectionQuery: deep
+    // nesting, fragments on meta types, wrapper-type chains
+    val r = run(
+      """query IntrospectionQuery {
+        |  __schema {
+        |    queryType { name }
+        |    mutationType { name }
+        |    types { ...FullType }
+        |    directives { name }
+        |  }
+        |}
+        |fragment FullType on __Type {
+        |  kind name description
+        |  fields { name args { ...InputValue } type { ...TypeRef }
+        |           isDeprecated }
+        |  inputFields interfaces enumValues possibleTypes
+        |}
+        |fragment InputValue on __InputValue {
+        |  name description type { ...TypeRef } defaultValue
+        |}
+        |fragment TypeRef on __Type {
+        |  kind name ofType { kind name ofType { kind name } }
+        |}""".stripMargin)
+    assert(r.startsWith("""{"data":{"__schema":"""), r.take(200))
+    assert(r.contains(""""name":"Movie""""), "model type listed")
+    assert(r.contains(""""kind":"SCALAR","""), "builtin scalars listed")
+    assert(r.contains(""""kind":"NON_NULL","""), "wrapper chain resolved")
+    assert(r.contains(""""name":"readOneMovie""""), "query fields listed")
+    assert(r.contains(""""directives":[]"""), "empty directives")
+  }
+
   test("introspection: __schema and __type") {
     val r = run(
       """{ __schema { queryType { name } mutationType { name }

@@ -40,6 +40,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("ev_counts").count() > 10, "multiple windows emitted")
   }
 
+  test("stream-stream join attributes purchases to preceding clicks") {
+    val sfDir = "/root/testdata/sf0.001"
+    val streamDir = Files.createTempDirectory("events-ssj")
+    Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val q = EventsStream.clickToPurchase(spark, streamDir.toString)
+      .writeStream.format("memory").queryName("attributions")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("attributions").collect()
+    assert(rows.nonEmpty, "expected at least one attribution")
+    assert(rows.forall { r =>
+      val dt = r.getAs[java.sql.Timestamp]("purchase_time").getTime -
+        r.getAs[java.sql.Timestamp]("click_time").getTime
+      dt >= 0 && dt <= 30 * 60000L
+    }, "purchases within 30min after the click")
+    // batch cross-check: same join as a plain query
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.schema(EventsStream.eventsSchema)
+      .parquet(streamDir.toString)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val expected = clicks.join(purchases,
+      col("cu") === col("pu") && col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + lit(30L * 60 * 1000000000L)).count()
+    assert(rows.length == expected,
+      s"stream join found ${rows.length}, batch join $expected")
+  }
+
   test("flatMapGroupsWithState sessionization emits valid sessions") {
     val sfDir = "/root/testdata/sf0.001"
     val streamDir = Files.createTempDirectory("events-sessions")
