@@ -33,11 +33,24 @@ object Main {
     cmd match {
       case "start" => start(opts)
       case "create-model" => createModel(opts)
+      case "configure-storages" => configureStorages(opts)
       case other =>
         System.err.println(s"unknown command $other " +
-          "(expected: start | create-model)")
+          "(expected: start | create-model | configure-storages)")
         sys.exit(2)
     }
+  }
+
+  /** The reference's storage-config wizard (`storage_handler.rs:
+    * 102-137`, `json_cli.rs`) as a flag command: writes the
+    * `{"json": {"storage_file": path}}` config file that `start
+    * --storages <file>` reads. */
+  private def configureStorages(opts: Map[String, String]): Unit = {
+    val file = opts.getOrElse("storage-file", "./data.json.gus")
+    val out = Paths.get(opts.getOrElse("out", "./storages.json"))
+    Files.writeString(out,
+      s"""{"json": {"storage_file": ${core.JsonUtil.quote(file)}}}""")
+    println(s"wrote $out")
   }
 
   private def createModel(opts: Map[String, String]): Unit = {
@@ -97,14 +110,23 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val backend: StorageBackend = opts.getOrElse("storage", "parquet:./data") match {
-      case s if s.startsWith("gusjson:") =>
-        new GusJsonBackend(spark, s.stripPrefix("gusjson:"))
-      case s if s.startsWith("parquet:") =>
-        new ParquetBackend(spark, s.stripPrefix("parquet:"))
-      case other =>
-        System.err.println(s"unknown storage $other"); sys.exit(2)
+    // --storages <file>: reference-format storage config
+    // ({"json": {"storage_file": path}}); --storage overrides directly
+    val fromConfig: Option[String] = opts.get("storages").flatMap { f =>
+      core.JsonUtil.parse(Files.readString(Paths.get(f))).toOption
+        .flatMap(n => Option(n.get("json")))
+        .flatMap(n => Option(n.get("storage_file")))
+        .filter(_.isTextual).map(n => "gusjson:" + n.textValue())
     }
+    val backend: StorageBackend =
+      opts.get("storage").orElse(fromConfig).getOrElse("parquet:./data") match {
+        case s if s.startsWith("gusjson:") =>
+          new GusJsonBackend(spark, s.stripPrefix("gusjson:"))
+        case s if s.startsWith("parquet:") =>
+          new ParquetBackend(spark, s.stripPrefix("parquet:"))
+        case other =>
+          System.err.println(s"unknown storage $other"); sys.exit(2)
+      }
 
     // --changelog <dir> enables subscription streams (SSE + readStream)
     val changeLog = opts.get("changelog")

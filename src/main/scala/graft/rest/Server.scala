@@ -62,9 +62,9 @@ final class Server(registry: Registry, engine: CrudEngine, port: Int,
     (method, segs) match {
       case ("POST", List("api", "graphql")) => handleGraphql(ex)
       case ("GET", List("api", "graphql")) =>
-        val page = "<!DOCTYPE html><html><body><h1>graft GraphQL</h1>" +
-          "<p>POST GraphQL requests to /api/graphql</p></body></html>"
-        val bytes = page.getBytes(StandardCharsets.UTF_8)
+        // O20: the query console (reference embeds a GraphiQL fetcher;
+        // offline env → a small self-contained console instead)
+        val bytes = Server.consolePage.getBytes(StandardCharsets.UTF_8)
         ex.getResponseHeaders.set("Content-Type", "text/html")
         ex.sendResponseHeaders(200, bytes.length)
         val os = ex.getResponseBody; os.write(bytes); os.close()
@@ -191,7 +191,7 @@ final class Server(registry: Registry, engine: CrudEngine, port: Int,
     }
   }
 
-  private def jsonToGql(n: com.fasterxml.jackson.databind.JsonNode)
+  private[rest] def jsonToGql(n: com.fasterxml.jackson.databind.JsonNode)
       : Ast.GqlValue = {
     import Ast._
     if (n.isNull) NullV
@@ -208,4 +208,33 @@ final class Server(registry: Registry, engine: CrudEngine, port: Int,
         e.getKey -> jsonToGql(e.getValue)))
     }
   }
+}
+
+object Server {
+  /** Self-contained query console served at GET /api/graphql — no
+    * external assets (zero-egress environment). */
+  val consolePage: String =
+    """<!DOCTYPE html>
+      |<html><head><title>graft GraphQL</title><style>
+      |body{font-family:monospace;margin:2em;background:#1e1e1e;color:#ddd}
+      |textarea{width:100%;height:12em;background:#2a2a2a;color:#ddd;
+      |  border:1px solid #555;padding:.5em;font-family:monospace}
+      |pre{background:#2a2a2a;border:1px solid #555;padding:.5em;
+      |  white-space:pre-wrap}
+      |button{padding:.4em 1.2em;margin:.5em 0}
+      |</style></head><body>
+      |<h2>graft GraphQL console</h2>
+      |<textarea id="q">{ __schema { queryType { name } } }</textarea><br>
+      |<button onclick="run()">Run</button>
+      |<pre id="out">—</pre>
+      |<script>
+      |async function run() {
+      |  const r = await fetch('/api/graphql', {method: 'POST',
+      |    headers: {'Content-Type': 'application/json'},
+      |    body: JSON.stringify({query: document.getElementById('q').value})});
+      |  const j = await r.json();
+      |  document.getElementById('out').textContent =
+      |    JSON.stringify(j, null, 2);
+      |}
+      |</script></body></html>""".stripMargin
 }
