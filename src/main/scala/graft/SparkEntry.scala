@@ -39,6 +39,9 @@ object SparkEntry {
     "q19_pivot" -> Relational.q19Pivot,
     "q20_salted_agg" -> Relational.q20SaltedAgg,
     "q21_explode" -> Similarity.q21Explode,
+    // q22 has no oracle entry: sketch estimates are engine-specific
+    // (driver records the rows-only check)
+    "q22_approx" -> Relational.q22Approx,
     // training-data pipeline operators
     "ta_stats" -> TextAnalysis.taStats,
     "ta_langid" -> TextAnalysis.taLangId,

@@ -300,6 +300,22 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** q22: sketch aggregates — approximate distinct counts (HLL++) and
+    * approximate quantiles per return flag. No DuckDB oracle: sketch
+    * estimates are engine-specific, so the driver records the weaker
+    * rows-only check; the exact twins are q1/q18. At 100 TB these are
+    * the forms that keep distinct-count state O(1) per group. */
+  def q22Approx(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        percentile_approx(cents(col("l_extendedprice")), lit(0.5), lit(1000))
+          .as("approx_median_cents"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   /** q19: pivot — customer counts per nation × market segment, one
     * column per segment (conditional aggregation under the hood). */
   def q19Pivot(s: SparkSession, dir: String): DataFrame = {
