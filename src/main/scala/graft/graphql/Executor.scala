@@ -28,6 +28,8 @@ import graft.graphql.Ast._
   */
 final class Executor(registry: Registry, engine: CrudEngine) {
 
+  import Executor.{CrudOut, ErrOut, ManyOut, OneOut}
+
   val schema: Schema = SchemaGen.build(registry)
 
   def handlePost(query: String, operationName: Option[String],
@@ -107,12 +109,6 @@ final class Executor(registry: Registry, engine: CrudEngine) {
     else GqlResult(Some(data), errors)
   }
 
-  // resolver results: one record, many records, or an error
-  private sealed trait CrudOut
-  private final case class OneOut(rec: Record, ty: String) extends CrudOut
-  private final case class ManyOut(recs: Vector[Record], ty: String)
-      extends CrudOut
-  private final case class ErrOut(msg: String) extends CrudOut
 
   private def flattenRoot(sels: Vector[Selection], doc: Document)
       : Vector[FieldSel] = sels.flatMap {
@@ -243,6 +239,14 @@ final class Executor(registry: Registry, engine: CrudEngine) {
 }
 
 object Executor {
+
+  // resolver results: one record, many records, or an error
+  private[graphql] sealed trait CrudOut
+  private[graphql] final case class OneOut(rec: Record, ty: String)
+      extends CrudOut
+  private[graphql] final case class ManyOut(recs: Vector[Record], ty: String)
+      extends CrudOut
+  private[graphql] final case class ErrOut(msg: String) extends CrudOut
 
   /** Ordered JSON serialization of results — `Data` keeps insertion
     * order (`graphql.rs:66-97`), so this must NOT go through an

@@ -14,6 +14,12 @@ object Validator {
 
   def validate(doc: Document, schema: Schema): Vector[GqlError] = {
     val errs = Vector.newBuilder[GqlError]
+    // fragment cycles would make execution non-terminating — reject
+    // first (apollo does the same in the reference pipeline)
+    findFragmentCycle(doc).foreach { name =>
+      errs += GqlError(s"""fragment "$name" spreads itself (cycle)""")
+      return errs.result()
+    }
     doc.operations.foreach { op =>
       val rootType = op.opType.defaultTypeName
       schema.obj(rootType) match {
@@ -36,6 +42,25 @@ object Validator {
         }
     }
     errs.result()
+  }
+
+  /** DFS over fragment spreads; Some(name) if any fragment can reach
+    * itself. */
+  private def findFragmentCycle(doc: Document): Option[String] = {
+    def spreads(sels: Vector[Selection]): Vector[String] = sels.flatMap {
+      case FragmentSpread(n) => Vector(n)
+      case f: FieldSel => spreads(f.selections)
+      case InlineFragment(_, s) => spreads(s)
+    }
+    def reaches(from: String, target: String,
+        seen: Set[String]): Boolean =
+      doc.fragments.get(from).exists { frag =>
+        val next = spreads(frag.selections)
+        next.contains(target) ||
+          next.exists(n => !seen.contains(n) &&
+            reaches(n, target, seen + n))
+      }
+    doc.fragments.keys.find(n => reaches(n, n, Set(n)))
   }
 
   private def validateSet(sels: Vector[Selection], onType: ObjectDef,

@@ -168,6 +168,18 @@ class GraphqlSpec extends AnyFunSuite {
     assert(many == """{"data":{"clonedMovies":[{"id":1,"name":"c"}]}}""", many)
   }
 
+  test("fragment cycles are rejected, not executed") {
+    val r = run(
+      """query { readOneMovie(id:5) { ...A } }
+        |fragment A on Movie { id ...B }
+        |fragment B on Movie { name ...A }""".stripMargin)
+    assert(r.contains("cycle"), r)
+    val self = run(
+      """query { readOneMovie(id:5) { ...A } }
+        |fragment A on Movie { id ...A }""".stripMargin)
+    assert(self.contains("cycle"), self)
+  }
+
   test("standard GraphiQL-style introspection query executes") {
     // abbreviated form of the standard IntrospectionQuery: deep
     // nesting, fragments on meta types, wrapper-type chains
