@@ -42,6 +42,8 @@ object SparkEntry {
     // q22 has no oracle entry: sketch estimates are engine-specific
     // (driver records the rows-only check)
     "q22_approx" -> Relational.q22Approx,
+    "q23_running_sum" -> Relational.q23RunningSum,
+    "q24_lag" -> Relational.q24Lag,
     // training-data pipeline operators
     "ta_stats" -> TextAnalysis.taStats,
     "ta_langid" -> TextAnalysis.taLangId,
@@ -211,6 +213,27 @@ object SparkEntry {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q21_explode" -> Similarity.q21ExplodeOracle,
+    "q23_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w_all AS BIGINT) AS running_cents,
+        |  CAST(floor(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w3 AS DOUBLE)
+        |    / count(*) OVER w3) AS BIGINT) AS moving3_cents
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW
+        |  w_all AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q24_lag" ->
+      """SELECT o_custkey, o_orderkey, days_since_prev FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    epoch_day - lag(epoch_day, 1) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate ASC, o_orderkey ASC) AS days_since_prev
+        |  FROM (SELECT *, CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS epoch_day
+        |        FROM orders))
+        |WHERE days_since_prev IS NOT NULL
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "ta_stats" -> TextAnalysis.taStatsOracle,
     "ta_langid" -> TextAnalysis.taLangIdOracle,
     "ta_fingerprint" -> TextAnalysis.taFingerprintOracle,

@@ -300,6 +300,43 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** q23: window frames — per-customer running order total and moving
+    * 3-order average (ROWS BETWEEN frames; integer cents keep the
+    * running sums engine-exact, the moving average is one fp division
+    * on identical operands). */
+  def q23RunningSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .filter(col("o_custkey") < 100)
+      .withColumn("cents", cents(col("o_totalprice")))
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(col("cents"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("running_cents"),
+        // explicit floor: DuckDB's double→bigint cast rounds while
+        // Spark's truncates — floor() agrees bit-for-bit in both
+        floor(sum(col("cents")).over(w.rowsBetween(-2, 0)).cast("double") /
+          count(lit(1)).over(w.rowsBetween(-2, 0)))
+          .cast("long").as("moving3_cents"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** q24: window navigation — days since the customer's previous order
+    * (lag), computed on epoch days so the arithmetic is integer-exact. */
+  def q24Lag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("epoch_day", expr("unix_timestamp(o_orderdate) div 86400"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        (col("epoch_day") - lag(col("epoch_day"), 1).over(w))
+          .as("days_since_prev"))
+      .filter(col("days_since_prev").isNotNull)
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** q22: sketch aggregates — approximate distinct counts (HLL++) and
     * approximate quantiles per return flag. No DuckDB oracle: sketch
     * estimates are engine-specific, so the driver records the weaker
