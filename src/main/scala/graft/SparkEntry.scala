@@ -44,6 +44,9 @@ object SparkEntry {
     "q22_approx" -> Relational.q22Approx,
     "q23_running_sum" -> Relational.q23RunningSum,
     "q24_lag" -> Relational.q24Lag,
+    "q25_rank_funcs" -> Relational.q25RankFuncs,
+    "q26_array_funcs" -> Relational.q26ArrayFuncs,
+    "q27_json_funcs" -> Relational.q27JsonFuncs,
     // training-data pipeline operators
     "ta_stats" -> TextAnalysis.taStats,
     "ta_langid" -> TextAnalysis.taLangId,
@@ -234,6 +237,37 @@ object SparkEntry {
         |        FROM orders))
         |WHERE days_since_prev IS NOT NULL
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q25_rank_funcs" ->
+      """SELECT c_custkey, CAST(c_nationkey AS INT) AS nation,
+        |  CAST(rk AS BIGINT) AS rk, CAST(drk AS BIGINT) AS drk,
+        |  CAST(quartile AS BIGINT) AS quartile, prk, cd
+        |FROM (
+        |  SELECT c_custkey, c_nationkey,
+        |    rank() OVER w AS rk, dense_rank() OVER w AS drk,
+        |    ntile(4) OVER w AS quartile,
+        |    percent_rank() OVER w AS prk, cume_dist() OVER w AS cd
+        |  FROM customer WHERE c_custkey <= 300
+        |  WINDOW w AS (PARTITION BY c_nationkey
+        |    ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) DESC, c_custkey ASC))
+        |ORDER BY c_custkey""".stripMargin,
+    "q26_array_funcs" ->
+      """SELECT vec_id,
+        |  CAST(len(v) AS BIGINT) AS dim,
+        |  v[1] AS first_milli,
+        |  list_max(v) AS max_milli,
+        |  list_min(v) AS min_milli,
+        |  CAST(list_contains(v, 0) AS INT) AS has_zero,
+        |  CAST(list_sum(v[1:8]) AS BIGINT) AS head8_sum,
+        |  list_sort(v)[32] AS median_lo_milli
+        |FROM (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings WHERE vec_id < 50)
+        |ORDER BY vec_id""".stripMargin,
+    "q27_json_funcs" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "ta_stats" -> TextAnalysis.taStatsOracle,
     "ta_langid" -> TextAnalysis.taLangIdOracle,
     "ta_fingerprint" -> TextAnalysis.taFingerprintOracle,

@@ -337,6 +337,56 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** q25: ranking-function family — rank, dense_rank, ntile,
+    * percent_rank, cume_dist over per-nation account balances. All
+    * integer-derived except percent_rank/cume_dist, which are single
+    * exact divisions of identical integers in both engines. */
+  def q25RankFuncs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(cents(col("c_acctbal")).desc, col("c_custkey").asc)
+    t(s, dir, "customer")
+      .filter(col("c_custkey") <= 300)
+      .select(col("c_custkey"), col("c_nationkey").cast("int").as("nation"),
+        rank().over(w).cast("long").as("rk"),
+        dense_rank().over(w).cast("long").as("drk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("prk"),
+        cume_dist().over(w).as("cd"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q26: array-function zoo over milli-quantized embeddings — size,
+    * contains, element access, slice, min/max, sort head. */
+  def q26ArrayFuncs(s: SparkSession, dir: String): DataFrame = {
+    val v = Similarity.ivec(col("embedding"))
+    t(s, dir, "embeddings")
+      .filter(col("vec_id") < 50)
+      .select(
+        col("vec_id"),
+        size(v).cast("long").as("dim"),
+        element_at(v, 1).as("first_milli"),
+        array_max(v).as("max_milli"),
+        array_min(v).as("min_milli"),
+        array_contains(v, 0L).cast("int").as("has_zero"),
+        aggregate(slice(v, 1, 8), lit(0L), (a, x) => a + x)
+          .as("head8_sum"),
+        element_at(array_sort(v), 32).as("median_lo_milli"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** q27: JSON functions — extract the `k` field from the events
+    * `props` JSON strings and aggregate it. */
+  def q27JsonFuncs(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).cast("long").as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
   /** q22: sketch aggregates — approximate distinct counts (HLL++) and
     * approximate quantiles per return flag. No DuckDB oracle: sketch
     * estimates are engine-specific, so the driver records the weaker
