@@ -45,6 +45,7 @@ object SparkEntry {
     "q23_running_sum" -> Relational.q23RunningSum,
     "q24_lag" -> Relational.q24Lag,
     "q25_rank_funcs" -> Relational.q25RankFuncs,
+    "q28_topk_agg" -> Relational.q28TopKAgg,
     "q26_array_funcs" -> Relational.q26ArrayFuncs,
     "q27_json_funcs" -> Relational.q27JsonFuncs,
     // training-data pipeline operators
@@ -237,6 +238,16 @@ object SparkEntry {
         |        FROM orders))
         |WHERE days_since_prev IS NOT NULL
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q28_topk_agg" -> // window formulation as the aggregator's oracle
+      """SELECT o_custkey, CAST(rk AS INT) AS rk, o_orderkey, price_cents
+        |FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+        |               o_orderkey ASC) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
     "q25_rank_funcs" ->
       """SELECT c_custkey, CAST(c_nationkey AS INT) AS nation,
         |  CAST(rk AS BIGINT) AS rk, CAST(drk AS BIGINT) AS drk,

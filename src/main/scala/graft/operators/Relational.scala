@@ -387,6 +387,22 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** q28: per-group top-k via the typed `TopKAggregator` — the bounded
+    * partial buffers shuffle O(groups×k) instead of O(rows). The
+    * oracle is the window row_number formulation, so the custom
+    * aggregator is itself correctness-gated against DuckDB. */
+  def q28TopKAgg(s: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(3))
+    t(s, dir, "orders")
+      .withColumn("cents", cents(col("o_totalprice")))
+      .groupBy(col("o_custkey"))
+      .agg(topk(col("o_orderkey"), col("cents")).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("rk0", "s")))
+      .select(col("o_custkey"), (col("rk0") + 1).cast("int").as("rk"),
+        col("s.id").as("o_orderkey"), col("s.score").as("price_cents"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
   /** q22: sketch aggregates — approximate distinct counts (HLL++) and
     * approximate quantiles per return flag. No DuckDB oracle: sketch
     * estimates are engine-specific, so the driver records the weaker
