@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions as SQL functions, so `spark.sql` users get the same
+  * codegen'd kernels the DataFrame API uses:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions)...
+  * // or: --conf spark.sql.extensions=graft.functions.GraftExtensions
+  * spark.sql("SELECT long_array_dot(a, b), simhash16(toks) FROM t")
+  * }}}
+  *
+  * No custom Rule/SparkStrategy is injected — SURVEY §4: every gus
+  * behavior maps to DataFrame built-ins, so scalar/agg expressions are
+  * the only Catalyst extension this engine needs.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(e.injectFunction)
+}
+
+object GraftExtensions {
+
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "scala_udf")
+
+  private def one(args: Seq[Expression], name: String)
+      (f: Expression => Expression): Expression =
+    args match {
+      case Seq(a) => f(a)
+      case _ => throw new IllegalArgumentException(
+        s"$name expects exactly 1 argument, got ${args.length}")
+    }
+
+  val functions: Seq[FunctionDescription] = {
+    val out = Seq.newBuilder[FunctionDescription]
+    def e = new Object {
+      def injectFunction(f: FunctionDescription): Unit = out += f
+    }
+    e.injectFunction((FunctionIdentifier("long_array_dot"),
+      info("long_array_dot", "_FUNC_(a, b) - exact integer dot product of two bigint arrays"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => LongArrayDot(a, b)
+        case _ => throw new IllegalArgumentException(
+          "long_array_dot expects exactly 2 arguments")
+      }))
+    e.injectFunction((FunctionIdentifier("shingle_set"),
+      info("shingle_set", "_FUNC_(text) - distinct 3-word shingle set of the normalized text"),
+      (args: Seq[Expression]) => one(args, "shingle_set")(ShingleSet)))
+    e.injectFunction((FunctionIdentifier("char_shingles"),
+      info("char_shingles", "_FUNC_(text) - distinct character 5-gram set"),
+      (args: Seq[Expression]) => one(args, "char_shingles")(CharShingles)))
+    e.injectFunction((FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", "_FUNC_(shingles) - 64-hex md5 material per shingle"),
+      (args: Seq[Expression]) => one(args, "shingle_hashes")(ShingleHashes)))
+    e.injectFunction((FunctionIdentifier("simhash16"),
+      info("simhash16", "_FUNC_(tokens) - 16-bit SimHash of a token array"),
+      (args: Seq[Expression]) => one(args, "simhash16")(Simhash16)))
+    e.injectFunction((FunctionIdentifier("lsh_bucket"),
+      info("lsh_bucket", "_FUNC_(v[, planes]) - random-hyperplane LSH bucket of a bigint vector"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v) => LshBucket(v, 8)
+        case Seq(v, Literal(p: Int, _)) => LshBucket(v, p)
+        case _ => throw new IllegalArgumentException(
+          "lsh_bucket expects (array[, planes-literal])")
+      }))
+    e.injectFunction((FunctionIdentifier("min_md5"),
+      info("min_md5", "_FUNC_(arr[, salt]) - min md5 hex over salted elements"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a) => MinMd5(a, Literal(""))
+        case Seq(a, s) => MinMd5(a, s)
+        case _ => throw new IllegalArgumentException(
+          "min_md5 expects (array[, salt])")
+      }))
+    e.injectFunction((FunctionIdentifier("rolling_hash"),
+      info("rolling_hash", "_FUNC_(text) - polynomial rolling hash of the normalized text"),
+      (args: Seq[Expression]) => one(args, "rolling_hash")(RollingHash)))
+    out.result()
+  }
+
+  /** Register the same functions into an already-running session
+    * (builder-time extensions can't be added post-hoc). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    functions.foreach { case (id, inf, builder) =>
+      registry.registerFunction(id, inf, builder)
+    }
+  }
+}

@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The kernel expressions must be reachable from plain SQL via
+  * SparkSessionExtensions (spark.sql.extensions=GraftExtensions). */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("kernel functions are callable from spark.sql") {
+    // register into the shared test session (creating a second
+    // SparkContext/stopping it would break sibling suites); the
+    // builder path (`withExtensions(new GraftExtensions)`) injects the
+    // identical function list
+    val spark = graft.SparkSpec.spark
+    GraftExtensions.register(spark)
+    locally {
+      val row = spark.sql(
+        """SELECT
+          |  long_array_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS dot,
+          |  size(shingle_set('a b c d')) AS n_shingles,
+          |  size(char_shingles('abcdefgh')) AS n_cgrams,
+          |  simhash16(array('alpha', 'beta')) AS sh,
+          |  lsh_bucket(array(5L, -3L, 9L)) AS bucket,
+          |  min_md5(array('x', 'y'), 's1:') AS mh,
+          |  rolling_hash('a b') AS rh""".stripMargin).head()
+      assert(row.getAs[Long]("dot") == 4 + 10 + 18)
+      assert(row.getAs[Int]("n_shingles") == 2) // "a b c", "b c d"
+      assert(row.getAs[Int]("n_cgrams") == 4)
+      assert(row.getAs[Long]("sh") ==
+        TextHashKernels.simhash16(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString("alpha"),
+              org.apache.spark.unsafe.types.UTF8String.fromString("beta")))))
+      assert(row.getAs[Int]("bucket") >= 0 && row.getAs[Int]("bucket") < 256)
+      assert(row.getAs[String]("mh").length == 32)
+      // fold of "a b": ((0*31+'a')%M *31 + ' ')%M *31 + 'b') % M
+      val m = 2147483647L
+      val expected = ((('a'.toLong * 31 + ' ') % m) * 31 + 'b') % m
+      assert(row.getAs[Long]("rh") == expected)
+    }
+  }
+}
