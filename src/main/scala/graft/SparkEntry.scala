@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Pipeline, Relational, Relational2, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -48,6 +48,22 @@ object SparkEntry {
     "q28_topk_agg" -> Relational.q28TopKAgg,
     "q26_array_funcs" -> Relational.q26ArrayFuncs,
     "q27_json_funcs" -> Relational.q27JsonFuncs,
+    "q29_asof_join" -> Relational2.q29AsofJoin,
+    "q30_range_join" -> Relational2.q30RangeJoin,
+    "q31_cube" -> Relational2.q31Cube,
+    "q32_grouping_sets" -> Relational2.q32GroupingSets,
+    "q33_date_funcs" -> Relational2.q33DateFuncs,
+    "q34_regex_funcs" -> Relational2.q34RegexFuncs,
+    "q35_sample_hash" -> Relational2.q35SampleHash,
+    "q39_multiset_ops" -> Relational2.q39MultisetOps,
+    "q40_subqueries" -> Relational2.q40Subqueries,
+    "q41_lateral" -> Relational2.q41Lateral,
+    "q42_map_funcs" -> Relational2.q42MapFuncs,
+    "q43_range_frame" -> Relational2.q43RangeFrame,
+    "q44_salted_join" -> Relational2.q44SaltedJoin,
+    "q36_tfidf" -> Pipeline.q36Tfidf,
+    "q37_quality_filter" -> Pipeline.q37QualityFilter,
+    "q38_cc_labels" -> Pipeline.q38CcLabels,
     // training-data pipeline operators
     "ta_stats" -> TextAnalysis.taStats,
     "ta_langid" -> TextAnalysis.taLangId,
@@ -279,6 +295,22 @@ object SparkEntry {
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q29_asof_join" -> Relational2.q29AsofJoinOracle,
+    "q30_range_join" -> Relational2.q30RangeJoinOracle,
+    "q31_cube" -> Relational2.q31CubeOracle,
+    "q32_grouping_sets" -> Relational2.q32GroupingSetsOracle,
+    "q33_date_funcs" -> Relational2.q33DateFuncsOracle,
+    "q34_regex_funcs" -> Relational2.q34RegexFuncsOracle,
+    "q35_sample_hash" -> Relational2.q35SampleHashOracle,
+    "q39_multiset_ops" -> Relational2.q39MultisetOpsOracle,
+    "q40_subqueries" -> Relational2.q40SubqueriesOracle,
+    "q41_lateral" -> Relational2.q41LateralOracle,
+    "q42_map_funcs" -> Relational2.q42MapFuncsOracle,
+    "q43_range_frame" -> Relational2.q43RangeFrameOracle,
+    "q44_salted_join" -> Relational2.q44SaltedJoinOracle,
+    "q36_tfidf" -> Pipeline.q36TfidfOracle,
+    "q37_quality_filter" -> Pipeline.q37QualityFilterOracle,
+    "q38_cc_labels" -> Pipeline.q38CcLabelsOracle,
     "ta_stats" -> TextAnalysis.taStatsOracle,
     "ta_langid" -> TextAnalysis.taLangIdOracle,
     "ta_fingerprint" -> TextAnalysis.taFingerprintOracle,

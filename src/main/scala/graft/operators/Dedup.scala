@@ -281,11 +281,16 @@ object Dedup {
       .orderBy(col("survivor_id"))
   }
 
-  val dedupSimhashOracle: String = {
-    val bitSum = (0 until SimhashBits).map { j =>
-      s"CASE WHEN list_sum(list_transform(toks, t -> ${bitExpr(j)})) > 0" +
+  /** SimHash16 as DuckDB SQL over a token-list expression (shared by
+    * the dedup_simhash and q38 connected-components oracles). */
+  private[operators] def simhashSql(toksExpr: String): String =
+    (0 until SimhashBits).map { j =>
+      s"CASE WHEN list_sum(list_transform($toksExpr, t -> ${bitExpr(j)})) > 0" +
         s" THEN ${1 << j} ELSE 0 END"
     }.mkString(" + ")
+
+  val dedupSimhashOracle: String = {
+    val bitSum = simhashSql("toks")
     s"""WITH base AS (SELECT doc_id, $tokensSql AS toks FROM documents)
        |SELECT CAST($bitSum AS BIGINT) AS simhash,
        |  min(doc_id) AS survivor_id, count(*) AS n_members

@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.TextAnalysis.{norm, tokens, normSql, tokensSql}
+
+/** Composite training-data pipeline operators over `documents`:
+  * TF-IDF term scoring, a quality-filter pass (the keep/drop decision a
+  * corpus pipeline runs before training), and near-dup clustering via
+  * label-propagation connected components.
+  *
+  * Same engine-portability contract as [[Dedup]]: integer arithmetic
+  * and md5-string fingerprints only, so every score is bit-identical in
+  * the DuckDB oracle.
+  */
+object Pipeline {
+
+  /** q36: TF-IDF top terms — token explode → (doc,term) TF shuffle
+    * with map-side combine → document-frequency agg on term → integer
+    * idf (n_docs*1000 div df) → per-doc top-3 by score. At scale: two
+    * hash shuffles (term cardinality ≈ vocabulary, far smaller than the
+    * corpus) and a WindowGroupLimit for the top-k — no full sort. */
+  def q36Tfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token").asc)
+    tf.join(df, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("idf_x1000", expr("(n_docs * 1000) div df"))
+      .withColumn("score", col("tf") * col("idf_x1000"))
+      .filter(col("doc_id") < 100)
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("token"), col("tf"), col("df"),
+        col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  val q36TfidfOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($tokensSql) AS token FROM documents),
+       |tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT doc_id, token, tf, df,
+       |    tf * ((n_docs * 1000) // df) AS score
+       |  FROM tf JOIN df USING (token) CROSS JOIN n
+       |  WHERE doc_id < 100),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, token ASC) AS INT) AS rk
+       |  FROM scored)
+       |SELECT doc_id, rk, token, tf, df, score FROM ranked
+       |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  /** q37: corpus quality filter — the keep set of a pre-training
+    * cleaning pass: token-count band, type-token-ratio floor, and
+    * exact-dup survivor election (min doc_id per content hash), all in
+    * one window + filter. Map-only except the single content-hash
+    * shuffle. */
+  def q37QualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val base = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        md5(norm(col("text"))).as("h"),
+        size(toks).cast("long").as("n_tokens"),
+        (size(array_distinct(toks)).cast("long") * 100)
+          .as("distinct_x100"))
+      .withColumn("ttr_pct", expr("distinct_x100 div n_tokens"))
+    base
+      .withColumn("survivor", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .filter(col("doc_id") === col("survivor") &&
+        col("n_tokens").between(10, 5000) && col("ttr_pct") >= 30)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("ttr_pct"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q37QualityFilterOracle: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, md5($normSql) AS h,
+       |    CAST(len($tokensSql) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct($tokensSql)) * 100 // len($tokensSql)
+       |      AS BIGINT) AS ttr_pct
+       |  FROM documents),
+       |survivors AS (
+       |  SELECT *, min(doc_id) OVER (PARTITION BY h) AS survivor FROM base)
+       |SELECT doc_id, lang, n_tokens, ttr_pct FROM survivors
+       |WHERE doc_id = survivor AND n_tokens BETWEEN 10 AND 5000
+       |  AND ttr_pct >= 30
+       |ORDER BY doc_id""".stripMargin
+
+  val CcRounds = 3
+
+  /** q38: near-dup clustering — connected components by min-label
+    * propagation over two fingerprint relations (SimHash collisions +
+    * token-bag-md5 collisions). Star edges (group-min → member) give
+    * the same components as within-group cliques at O(group) instead of
+    * O(group²) edges; `CcRounds` synchronous rounds of
+    * label(v) := min(label(v), min label of neighbors) — the standard
+    * large-graph CC (hash-partitioned joins, no driver-side state).
+    * Fixed round count keeps the op deterministic and oracle-checkable;
+    * a production run iterates to fixpoint. */
+  def q38CcLabels(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.simhash16(tokens(col("text"))).as("sh"),
+        md5(concat_ws(" ", array_sort(tokens(col("text"))))).as("fb"))
+      // barrier: sh/fb are each consumed by a window below —
+      // compute the fingerprints once, not once per consumer
+      .repartition(col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def starEdges(key: String): DataFrame = base
+      .withColumn("u", min(col("doc_id")).over(Window.partitionBy(col(key))))
+      .filter(col("u") =!= col("doc_id"))
+      .select(col("u"), col("doc_id").as("v"))
+    val edges = starEdges("sh").union(starEdges("fb")).distinct()
+    val bidir = edges
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    val labels0 = base.select(col("doc_id"), col("doc_id").as("label"))
+    val labels = (1 to CcRounds).foldLeft(labels0) { (l, _) =>
+      l.union(
+        l.join(bidir, l("doc_id") === bidir("u"))
+          .select(col("v").as("doc_id"), col("label")))
+        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+    }
+    labels
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("label"))))
+      .orderBy(col("doc_id"))
+  }
+
+  val q38CcLabelsOracle: String = {
+    val sh = Dedup.simhashSql("toks")
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT doc_id, min(label) AS label FROM (
+         |    SELECT doc_id, label FROM $prev
+         |    UNION ALL
+         |    SELECT b.v AS doc_id, l.label FROM $prev l
+         |    JOIN bidir b ON l.doc_id = b.u)
+         |  GROUP BY doc_id)""".stripMargin
+    val rounds = (1 to CcRounds)
+      .map(i => round(s"l${i - 1}", s"l$i")).mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT doc_id, CAST($sh AS BIGINT) AS sh,
+       |    md5(array_to_string(list_sort(toks), ' ')) AS fb
+       |  FROM (SELECT doc_id, $tokensSql AS toks FROM documents)),
+       |e1 AS (
+       |  SELECT min(doc_id) OVER (PARTITION BY sh) AS u, doc_id AS v
+       |  FROM base),
+       |e2 AS (
+       |  SELECT min(doc_id) OVER (PARTITION BY fb) AS u, doc_id AS v
+       |  FROM base),
+       |edges AS (
+       |  SELECT u, v FROM e1 WHERE u <> v
+       |  UNION
+       |  SELECT u, v FROM e2 WHERE u <> v),
+       |bidir AS (
+       |  SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+       |l0 AS (SELECT doc_id, doc_id AS label FROM base),
+       |$rounds
+       |SELECT doc_id, label,
+       |  count(*) OVER (PARTITION BY label) AS n_members
+       |FROM l$CcRounds ORDER BY doc_id""".stripMargin
+  }
+}

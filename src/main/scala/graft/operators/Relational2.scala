@@ -1,0 +1,424 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-2 extension of the generalized relational surface (SURVEY.md
+  * §2.2): as-of/range joins, cube/grouping sets, date/regex/map
+  * function zoos, deterministic hash sampling, multiset set-ops,
+  * subquery forms, range window frames, and a salted skew join.
+  *
+  * Same determinism contract as [[Relational]]: integer cents, explicit
+  * aliases, engine-portable expressions (see each oracle in
+  * `SparkEntry.oracleSql`).
+  */
+object Relational2 {
+
+  import Relational.cents
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** events.ts is parquet TIMESTAMP(NANOS); Spark 4 reads it only as
+    * raw nanos via the legacy conf (same note as q11). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+  }
+
+  /** q29: as-of join — for each event, the most recent order of the
+    * same customer at-or-before the event day. Spark has no ASOF JOIN
+    * operator; the scalable formulation is the union trick: tag both
+    * streams, one shuffle on the key, then a running `last(...,
+    * ignoreNulls)` window — no per-event range scan, no point-in-time
+    * explode, O(n log n) per partition. At 100 TB this is the standard
+    * point-in-time-correct feature join (no candidate blowup). */
+  def q29AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      col("o_custkey").as("k"),
+      expr("unix_timestamp(o_orderdate) div 86400").as("t"),
+      lit(0).as("is_ev"),
+      col("o_orderkey"),
+      lit(null).cast("long").as("event_id"))
+    val e = events(s, dir).select(
+      col("user_id").as("k"),
+      expr("ts div 86400000000000").as("t"), // integer div: ns → day
+      lit(1).as("is_ev"),
+      lit(null).cast("long").as("o_orderkey"),
+      col("event_id"))
+    // order rows sort before event rows on the same day (is_ev asc):
+    // an order on the event's day IS visible ("<=" as-of semantics);
+    // ties among same-day orders resolve to the max o_orderkey
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t").asc, col("is_ev").asc,
+        coalesce(col("o_orderkey"), lit(0L)).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.unionByName(e)
+      .withColumn("asof_orderkey",
+        last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("asof_day",
+        last(when(col("is_ev") === 0, col("t")), ignoreNulls = true).over(w))
+      .filter(col("is_ev") === 1)
+      .select(col("event_id"), col("k").as("user_id"), col("asof_orderkey"),
+        (col("t") - col("asof_day")).as("days_since_order"))
+      .orderBy(col("event_id"))
+  }
+
+  val q29AsofJoinOracle: String =
+    """WITH tagged AS (
+      |  SELECT o_custkey AS k,
+      |    CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS t,
+      |    0 AS is_ev, o_orderkey, CAST(NULL AS BIGINT) AS event_id
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT user_id, epoch_ns(ts) // 86400000000000, 1,
+      |    CAST(NULL AS BIGINT), event_id
+      |  FROM events),
+      |w AS (
+      |  SELECT *,
+      |    last_value(o_orderkey IGNORE NULLS) OVER win AS asof_orderkey,
+      |    last_value(CASE WHEN is_ev = 0 THEN t END IGNORE NULLS)
+      |      OVER win AS asof_day
+      |  FROM tagged
+      |  WINDOW win AS (PARTITION BY k
+      |    ORDER BY t ASC, is_ev ASC, coalesce(o_orderkey, 0) ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id, k AS user_id, asof_orderkey,
+      |  t - asof_day AS days_since_order
+      |FROM w WHERE is_ev = 1 ORDER BY event_id""".stripMargin
+
+  /** q30: range (banded interval) join — orders matched to price bands
+    * on lo <= price < hi. The band table is tiny and broadcast, so the
+    * non-equi condition runs as a broadcast nested-loop against 5 rows
+    * — the right physical shape for a dimension-interval join at any
+    * fact-side scale (no shuffle of the fact table at all). */
+  def q30RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      ("B0_low", 0L, 10000000L),
+      ("B1_mid", 10000000L, 20000000L),
+      ("B2_high", 20000000L, 30000000L),
+      ("B3_vhigh", 30000000L, 40000000L),
+      ("B4_top", 40000000L, 60000000L))
+      .toDF("band", "lo_cents", "hi_cents")
+    t(s, dir, "orders").withColumn("pc", cents(col("o_totalprice")))
+      .join(broadcast(bands),
+        col("pc") >= col("lo_cents") && col("pc") < col("hi_cents"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("pc")).as("sum_cents"),
+        min(col("pc")).as("min_cents"), max(col("pc")).as("max_cents"))
+      .orderBy(col("band"))
+  }
+
+  val q30RangeJoinOracle: String =
+    """SELECT band, count(*) AS n_orders,
+      |  CAST(sum(pc) AS BIGINT) AS sum_cents,
+      |  min(pc) AS min_cents, max(pc) AS max_cents
+      |FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders)
+      |JOIN (VALUES ('B0_low', 0, 10000000), ('B1_mid', 10000000, 20000000),
+      |             ('B2_high', 20000000, 30000000), ('B3_vhigh', 30000000, 40000000),
+      |             ('B4_top', 40000000, 60000000)) AS b(band, lo_cents, hi_cents)
+      |  ON pc >= lo_cents AND pc < hi_cents
+      |GROUP BY band ORDER BY band""".stripMargin
+
+  /** q31: CUBE — all 2^2 grouping combinations of (status, priority)
+    * in one Expand pass (no re-scan per grouping set). */
+  def q31Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("sum_cents"))
+      .orderBy(col("gid").asc, col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  val q31CubeOracle: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY gid ASC, o_orderstatus ASC NULLS FIRST,
+      |  o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** q32: explicit GROUPING SETS — per-nation, per-segment, and grand
+    * totals in one pass, with per-column grouping flags. */
+  def q32GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT n_name, c_mktsegment,
+        |  CAST(grouping(n_name) AS INT) AS g_nation,
+        |  CAST(grouping(c_mktsegment) AS INT) AS g_segment,
+        |  count(*) AS n_customers,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        |ORDER BY g_nation ASC, g_segment ASC,
+        |  n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin)
+  }
+
+  val q32GroupingSetsOracle: String =
+    """SELECT n_name, c_mktsegment,
+      |  CAST(grouping(n_name) AS INT) AS g_nation,
+      |  CAST(grouping(c_mktsegment) AS INT) AS g_segment,
+      |  count(*) AS n_customers,
+      |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+      |ORDER BY g_nation ASC, g_segment ASC,
+      |  n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin
+
+  /** Epoch day of 1995-01-01 (25 years × 365 + 6 leap days) — a shared
+    * constant in both engines, avoiding engine-specific date-diff
+    * semantics. */
+  private val Epoch19950101Day = 9131L
+
+  /** q33: date/time function zoo over o_orderdate — extraction fields,
+    * month truncation, last-day, ISO week, day arithmetic. Map-only. */
+  def q33DateFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 3000)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        month(col("o_orderdate")).cast("long").as("mon"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        // Spark dayofweek is 1=Sunday; DuckDB is 0=Sunday
+        (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow"),
+        weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+        expr("unix_timestamp(date_trunc('month', o_orderdate)) div 86400")
+          .as("month_start_day"),
+        dayofmonth(last_day(col("o_orderdate"))).cast("long").as("last_dom"),
+        (expr("unix_timestamp(o_orderdate) div 86400") - Epoch19950101Day)
+          .as("days_since_1995"))
+      .orderBy(col("o_orderkey"))
+
+  val q33DateFuncsOracle: String =
+    s"""SELECT o_orderkey,
+       |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+       |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+       |  CAST(month(o_orderdate) AS BIGINT) AS mon,
+       |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+       |  CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+       |  CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+       |  CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) // 86400
+       |    AS month_start_day,
+       |  CAST(day(last_day(o_orderdate)) AS BIGINT) AS last_dom,
+       |  CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 - $Epoch19950101Day
+       |    AS days_since_1995
+       |FROM orders WHERE o_orderkey <= 3000 ORDER BY o_orderkey""".stripMargin
+
+  /** q34: regex function zoo over part names/types — extract, global
+    * replace, match test, split, match counting. Patterns restricted to
+    * constructs with identical semantics in Java regex and RE2. */
+  def q34RegexFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+        regexp_replace(col("p_type"), "[aeiou]", "").as("type_novowel"),
+        col("p_name").rlike("[0-9]").cast("int").as("has_digit"),
+        size(split(col("p_name"), " ")).cast("long").as("n_words"),
+        regexp_count(col("p_name"), lit("[aeiou]")).cast("long").as("n_vowels"))
+      .orderBy(col("p_partkey"))
+
+  val q34RegexFuncsOracle: String =
+    """SELECT p_partkey,
+      |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+      |  regexp_replace(p_type, '[aeiou]', '', 'g') AS type_novowel,
+      |  CAST(regexp_matches(p_name, '[0-9]') AS INT) AS has_digit,
+      |  CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+      |  CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** q35: deterministic hash sampling — a ~10% Bernoulli sample keyed
+    * on md5 of the row key, then an aggregate over the sample. Unlike
+    * `df.sample`, the selection is a pure function of the data: stable
+    * across engines, runs, partitionings, and cluster sizes — the form
+    * a 100 TB pipeline needs for reproducible subsets. 26/256 hash
+    * prefixes ≈ 10.16%. */
+  def q35SampleHash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(substring(
+        md5(concat_ws(":", col("l_orderkey"), col("l_linenumber"))), 1, 2)
+        <= "19")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_cents"))
+      .orderBy(col("l_returnflag"))
+
+  val q35SampleHashOracle: String =
+    """SELECT l_returnflag, count(*) AS n_sampled,
+      |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM lineitem
+      |WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+      |  CAST(l_linenumber AS VARCHAR)), 1, 2) <= '19'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q39: multiset set-ops — INTERSECT ALL / EXCEPT ALL preserve
+    * duplicate counts (bag semantics), unlike q8's distinct set ops.
+    * Output folded to (op, key, multiplicity) for a deterministic
+    * row order. */
+  def q39MultisetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    def part(y: Int): DataFrame =
+      o.filter(year(col("o_orderdate")) === y).select(col("o_custkey"))
+    part(1995).intersectAll(part(1996)).withColumn("op", lit("i"))
+      .unionByName(
+        part(1995).exceptAll(part(1996)).withColumn("op", lit("e")))
+      .groupBy(col("op"), col("o_custkey"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("op"), col("o_custkey"))
+  }
+
+  val q39MultisetOpsOracle: String =
+    """WITH a AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+      |     b AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+      |     m AS (
+      |       SELECT 'i' AS op, o_custkey
+      |       FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+      |       UNION ALL
+      |       SELECT 'e' AS op, o_custkey
+      |       FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b))
+      |SELECT op, o_custkey, count(*) AS n FROM m
+      |GROUP BY op, o_custkey ORDER BY op, o_custkey""".stripMargin
+
+  /** q40: subquery forms — IN, NOT IN, and an uncorrelated scalar
+    * subquery (integer average) in one predicate. Catalyst rewrites the
+    * IN/NOT IN to left-semi/anti joins and the scalar to a broadcast
+    * subquery result. */
+  def q40Subqueries(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9500)
+        |  AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < -900)
+        |  AND CAST(round(o_totalprice * 100) AS BIGINT) >
+        |    (SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT)) div count(*)
+        |     FROM orders)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val q40SubqueriesOracle: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      |FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9500)
+      |  AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < -900)
+      |  AND CAST(round(o_totalprice * 100) AS BIGINT) >
+      |    (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // count(*) AS BIGINT)
+      |     FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q41: correlated LATERAL subquery — top-2 customers per nation by
+    * balance, written as a lateral per-row subquery (Catalyst
+    * decorrelates the LIMIT into a partitioned window). */
+  def q41Lateral(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT n_name, c_custkey, acctbal_cents
+        |FROM nation,
+        |LATERAL (SELECT c_custkey,
+        |           CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+        |         FROM customer WHERE c_nationkey = n_nationkey
+        |         ORDER BY acctbal_cents DESC, c_custkey ASC LIMIT 2)
+        |ORDER BY n_name, acctbal_cents DESC, c_custkey""".stripMargin)
+  }
+
+  val q41LateralOracle: String =
+    """SELECT n_name, c_custkey, acctbal_cents
+      |FROM nation,
+      |LATERAL (SELECT c_custkey,
+      |           CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+      |         FROM customer WHERE c_nationkey = n_nationkey
+      |         ORDER BY acctbal_cents DESC, c_custkey ASC LIMIT 2) t
+      |ORDER BY n_name, acctbal_cents DESC, c_custkey""".stripMargin
+
+  /** q42: map functions — parse the event props JSON into a map, then
+    * key-set, cardinality, and point lookups. Map-only transform. */
+  def q42MapFuncs(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(col("event_id") < 3000)
+      .withColumn("m", from_json(col("props"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)))
+      .select(
+        col("event_id"),
+        size(map_keys(col("m"))).cast("long").as("n_keys"),
+        concat_ws(",", array_sort(map_keys(col("m")))).as("keys_sorted"),
+        element_at(col("m"), "k").cast("long").as("k_val"))
+      .orderBy(col("event_id"))
+
+  val q42MapFuncsOracle: String =
+    """SELECT event_id,
+      |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+      |  array_to_string(list_sort(json_keys(props)), ',') AS keys_sorted,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+      |FROM events WHERE event_id < 3000 ORDER BY event_id""".stripMargin
+
+  /** q43: RANGE window frame — per-customer 7-day rolling order value,
+    * frame bounded by the *value* of the day key (peers with the same
+    * day share the frame), vs q23's ROWS frames. */
+  def q43RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("ed"))
+      .rangeBetween(-6, Window.currentRow)
+    t(s, dir, "orders")
+      .filter(col("o_custkey") < 300)
+      .withColumn("ed", expr("unix_timestamp(o_orderdate) div 86400"))
+      .withColumn("pc", cents(col("o_totalprice")))
+      .select(col("o_custkey"), col("o_orderkey"), col("ed"),
+        sum(col("pc")).over(w).as("rolling7_cents"),
+        count(lit(1)).over(w).as("n_in_window"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q43RangeFrameOracle: String =
+    """SELECT o_custkey, o_orderkey, ed,
+      |  CAST(sum(pc) OVER w AS BIGINT) AS rolling7_cents,
+      |  count(*) OVER w AS n_in_window
+      |FROM (SELECT o_custkey, o_orderkey,
+      |        CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS ed,
+      |        CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+      |      FROM orders WHERE o_custkey < 300)
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY ed
+      |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  val SaltBuckets = 8
+
+  /** q44: salted skew join — the large⋈large join (events ⋈ orders on
+    * customer) with the hot-key mitigation pattern: the probe side gets
+    * a deterministic salt, the build side is replicated SaltBuckets
+    * ways, and the join key becomes (key, salt) so one hot customer
+    * spreads over SaltBuckets reducers. The oracle is the UNSALTED
+    * join — proving the rewrite is semantics-preserving (q20 proves the
+    * same for aggregation). */
+  def q44SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(SaltBuckets)))
+      .select(col("user_id"), col("salt"))
+    val o = t(s, dir, "orders")
+      .select(col("o_custkey"), cents(col("o_totalprice")).as("pc"))
+      .withColumn("salt", explode(sequence(lit(0), lit(SaltBuckets - 1))))
+    e.join(o, e("user_id") === o("o_custkey") &&
+        e("salt") === o("salt").cast("long"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("pc")).as("order_cents"))
+      .orderBy(col("user_id"))
+  }
+
+  val q44SaltedJoinOracle: String =
+    """SELECT user_id, count(*) AS n_pairs,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS order_cents
+      |FROM events JOIN orders ON user_id = o_custkey
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+}
