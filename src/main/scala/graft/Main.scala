@@ -100,12 +100,11 @@ object Main {
       System.err.println(s"invalid port $port"); sys.exit(2)
     }
 
-    val spark = SparkSession.builder()
+    val spark = Sessions.defaults(SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("graft-server")
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.sql.session.timeZone", "UTC")
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -22,7 +22,6 @@ object Tables {
     * events.ts is parquet TIMESTAMP(NANOS), which Spark 4 only reads
     * via the raw-nanos legacy conf. */
   def registerAll(spark: SparkSession, sfDir: String): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
   }
 }

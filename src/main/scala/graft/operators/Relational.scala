@@ -164,7 +164,6 @@ object Relational {
     // bucket with integer arithmetic — output is epoch seconds
     // (bigint), which also sidesteps any ns-vs-µs comparison issue
     // with the DuckDB oracle.
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // integer `div`, not `/`: epoch-nanos (~1.7e18) exceeds double's
     // 53-bit mantissa, so float division would misbucket edge rows
     t(s, dir, "events")
@@ -288,7 +287,6 @@ object Relational {
     * exactly the property that makes the technique safe to apply. */
   def q20SaltedAgg(s: SparkSession, dir: String): DataFrame = {
     val Salt = 8
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val partial = t(s, dir, "events")
       .withColumn("salt", pmod(col("event_id"), lit(Salt)))
       .groupBy(col("user_id"), col("salt"))
@@ -377,7 +375,6 @@ object Relational {
   /** q27: JSON functions — extract the `k` field from the events
     * `props` JSON strings and aggregate it. */
   def q27JsonFuncs(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(s, dir, "events")
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .groupBy(col("event_type"))

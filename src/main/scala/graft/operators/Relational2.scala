@@ -22,12 +22,11 @@ object Relational2 {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
-  /** events.ts is parquet TIMESTAMP(NANOS); Spark 4 reads it only as
-    * raw nanos via the legacy conf (same note as q11). */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** events.ts is parquet TIMESTAMP(NANOS); readable because every
+    * graft session sets the raw-nanos legacy conf at build time
+    * ([[graft.Sessions.defaults]]). */
+  private def events(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
-  }
 
   /** q29: as-of join — for each event, the most recent order of the
     * same customer at-or-before the event day. Spark has no ASOF JOIN
@@ -94,7 +93,9 @@ object Relational2 {
     * on lo <= price < hi. The band table is tiny and broadcast, so the
     * non-equi condition runs as a broadcast nested-loop against 5 rows
     * — the right physical shape for a dimension-interval join at any
-    * fact-side scale (no shuffle of the fact table at all). */
+    * fact-side scale (no shuffle of the fact table at all). The top
+    * band is open-ended (hi = Long.MaxValue) so no order can silently
+    * miss every band at larger scale factors. */
   def q30RangeJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val bands = Seq(
@@ -102,7 +103,7 @@ object Relational2 {
       ("B1_mid", 10000000L, 20000000L),
       ("B2_high", 20000000L, 30000000L),
       ("B3_vhigh", 30000000L, 40000000L),
-      ("B4_top", 40000000L, 60000000L))
+      ("B4_top", 40000000L, Long.MaxValue))
       .toDF("band", "lo_cents", "hi_cents")
     t(s, dir, "orders").withColumn("pc", cents(col("o_totalprice")))
       .join(broadcast(bands),
@@ -120,7 +121,7 @@ object Relational2 {
       |FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders)
       |JOIN (VALUES ('B0_low', 0, 10000000), ('B1_mid', 10000000, 20000000),
       |             ('B2_high', 20000000, 30000000), ('B3_vhigh', 30000000, 40000000),
-      |             ('B4_top', 40000000, 60000000)) AS b(band, lo_cents, hi_cents)
+      |             ('B4_top', 40000000, 9223372036854775807)) AS b(band, lo_cents, hi_cents)
       |  ON pc >= lo_cents AND pc < hi_cents
       |GROUP BY band ORDER BY band""".stripMargin
 
@@ -240,7 +241,15 @@ object Relational2 {
     * `df.sample`, the selection is a pure function of the data: stable
     * across engines, runs, partitionings, and cluster sizes — the form
     * a 100 TB pipeline needs for reproducible subsets. 26/256 hash
-    * prefixes ≈ 10.16%. */
+    * prefixes ≈ 10.16%.
+    *
+    * Cost profile (sf0.1, local[32], graft.tools.ProfileQ35): plain
+    * scan 0.4s; + md5 filter 1.0s; full query 0.7s warm / 2.0s cold
+    * (first run pays whole-stage-codegen compile). The 5.6s seen in
+    * BENCH_r02 was concurrent machine load, not the plan — the same
+    * suite re-run measures 0.73s. md5 is the portable cross-engine
+    * sampler; Spark-only pipelines can halve the cost with xxhash64
+    * (0.34s measured) at the price of a DuckDB-checkable oracle. */
   def q35SampleHash(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .filter(substring(
@@ -351,6 +360,9 @@ object Relational2 {
         org.apache.spark.sql.types.MapType(
           org.apache.spark.sql.types.StringType,
           org.apache.spark.sql.types.StringType)))
+      // malformed props: from_json yields null while DuckDB json_keys
+      // errors — both sides keep only rows that parse as a JSON object
+      .filter(col("m").isNotNull)
       .select(
         col("event_id"),
         size(map_keys(col("m"))).cast("long").as("n_keys"),
@@ -363,7 +375,9 @@ object Relational2 {
       |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
       |  array_to_string(list_sort(json_keys(props)), ',') AS keys_sorted,
       |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
-      |FROM events WHERE event_id < 3000 ORDER BY event_id""".stripMargin
+      |FROM events WHERE event_id < 3000
+      |  AND json_valid(props) AND json_type(props) = 'OBJECT'
+      |ORDER BY event_id""".stripMargin
 
   /** q43: RANGE window frame — per-customer 7-day rolling order value,
     * frame bounded by the *value* of the day key (peers with the same

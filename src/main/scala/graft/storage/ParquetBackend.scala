@@ -70,19 +70,9 @@ final class ParquetBackend(spark: SparkSession, root: String,
 
   override def overwrite(model: ModelDefinition, df: DataFrame): Unit = {
     import org.apache.spark.sql.functions._
-    import graft.core.{AttrType, PrimitiveType}
-    val n = buckets
-    // typed per-pk-type UDFs (executor-side) matching driver-side bucketOf
-    val bucketCol = model.pkType match {
-      case AttrType.Primitive(PrimitiveType.PInteger) =>
-        udf((v: Long) => StorageBackend.bucketOf(v, n)).apply(col(model.primaryKey))
-      case AttrType.Primitive(PrimitiveType.PString) =>
-        udf((v: String) => StorageBackend.bucketOf(v, n)).apply(col(model.primaryKey))
-      case AttrType.Primitive(PrimitiveType.PBoolean) =>
-        udf((v: Boolean) => StorageBackend.bucketOf(v, n)).apply(col(model.primaryKey))
-      case _ =>
-        udf((v: Double) => StorageBackend.bucketOf(v, n)).apply(col(model.primaryKey))
-    }
+    // codegen'd routing expression (dispatches on the pk column's Spark
+    // type at planning time; semantics identical to driver-side bucketOf)
+    val bucketCol = BucketRoute(col(model.primaryKey), buckets)
     val tmp = Paths.get(root, s".tmp-${java.util.UUID.randomUUID()}")
     df.withColumn("_bucket", bucketCol)
       .write.mode(SaveMode.Overwrite).partitionBy("_bucket")

@@ -31,7 +31,6 @@ object EventsStream {
     * late data. Streaming twin of `Relational.q11EventsWindow`. */
   def windowedCounts(spark: SparkSession, dir: String,
       window_ : String = "1 hour", watermark: String = "1 hour"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(eventsSchema)
       .parquet(dir)
@@ -51,7 +50,6 @@ object EventsStream {
     * bounded-state streaming join, the Spark-native form of a CEP
     * "A followed by B" pattern. */
   def clickToPurchase(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def side(kind: String, tag: String): DataFrame =
       spark.readStream.schema(eventsSchema).parquet(dir)
         .filter(col("event_type") === kind)
@@ -70,7 +68,6 @@ object EventsStream {
 
   /** Sliding-window variant (overlapping windows, same watermark). */
   def slidingCounts(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(eventsSchema)
       .parquet(dir)

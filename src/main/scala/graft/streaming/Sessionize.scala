@@ -27,7 +27,6 @@ object Sessionize {
   def sessions(spark: SparkSession, dir: String, gapMinutes: Int = 30)
       : DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val gapMs = gapMinutes * 60000L
     val events = spark.readStream
       .schema(EventsStream.eventsSchema)

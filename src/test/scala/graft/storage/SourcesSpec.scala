@@ -28,6 +28,31 @@ class SourcesSpec extends AnyFunSuite {
     assert(json.exceptAll(nation).isEmpty && nation.exceptAll(json).isEmpty)
   }
 
+  test("BucketRoute matches driver-side bucketOf for every pk type") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val longs = Seq(0L, 1L, -1L, 42L, Long.MaxValue, Long.MinValue)
+    val strs = Seq("", "1", "true", "a", "zebra", "ümlaut £")
+    val bools = Seq(true, false)
+    val dbls = Seq(0.0, -0.0, 1.0, -3.25, 1e300)
+    def routed[T](df: org.apache.spark.sql.DataFrame): Seq[Int] =
+      df.select(BucketRoute(col("v"), 64)).collect().map(_.getInt(0)).toSeq
+    assert(routed(longs.toDF("v")) ==
+      longs.map(StorageBackend.bucketOf(_, 64)))
+    assert(routed(strs.toDF("v")) ==
+      strs.map(StorageBackend.bucketOf(_, 64)))
+    assert(routed(bools.toDF("v")) ==
+      bools.map(StorageBackend.bucketOf(_, 64)))
+    assert(routed(dbls.toDF("v")) ==
+      dbls.map(StorageBackend.bucketOf(_, 64)))
+    // typed keys: 1 ≠ "1" ≠ true may land in different buckets — just
+    // assert the three hashes are the typed ones, not a common coercion
+    assert(StorageBackend.bucketOf(1L, 64) ==
+      Math.floorMod(java.lang.Long.hashCode(1L), 64))
+    assert(StorageBackend.bucketOf("1", 64) ==
+      Math.floorMod("1".hashCode, 64))
+  }
+
   test("parquet writes preserve model schema through the backend") {
     import graft.core.Registry
     val m = Registry.parseDefinition(

@@ -30,7 +30,6 @@ class StreamingSpec extends AnyFunSuite {
 
     val streamed = spark.table("ev_counts")
       .agg(sum("n_events"), sum("value_cents")).head
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batch = spark.read
       .schema(EventsStream.eventsSchema)
       .parquet(s"$sfDir/events.parquet")
@@ -57,7 +56,6 @@ class StreamingSpec extends AnyFunSuite {
       dt >= 0 && dt <= 30 * 60000L
     }, "purchases within 30min after the click")
     // batch cross-check: same join as a plain query
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.schema(EventsStream.eventsSchema)
       .parquet(streamDir.toString)
     val clicks = ev.filter(col("event_type") === "click")
