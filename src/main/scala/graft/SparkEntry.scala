@@ -39,8 +39,6 @@ object SparkEntry {
     "q19_pivot" -> Relational.q19Pivot,
     "q20_salted_agg" -> Relational.q20SaltedAgg,
     "q21_explode" -> Similarity.q21Explode,
-    // q22 has no oracle entry: sketch estimates are engine-specific
-    // (driver records the rows-only check)
     "q22_approx" -> Relational.q22Approx,
     "q23_running_sum" -> Relational.q23RunningSum,
     "q24_lag" -> Relational.q24Lag,
@@ -233,6 +231,7 @@ object SparkEntry {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q21_explode" -> Similarity.q21ExplodeOracle,
+    "q22_approx" -> Relational.q22ApproxOracle,
     "q23_running_sum" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w_all AS BIGINT) AS running_cents,

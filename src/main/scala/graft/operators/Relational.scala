@@ -401,20 +401,53 @@ object Relational {
   }
 
   /** q22: sketch aggregates — approximate distinct counts (HLL++) and
-    * approximate quantiles per return flag. No DuckDB oracle: sketch
-    * estimates are engine-specific, so the driver records the weaker
-    * rows-only check; the exact twins are q1/q18. At 100 TB these are
-    * the forms that keep distinct-count state O(1) per group. */
+    * approximate quantiles per return flag, each paired with its exact
+    * counterpart and an in-query error-bound assertion. The sketch
+    * estimates themselves are engine-specific (and a quantile sketch's
+    * merge order isn't even guaranteed stable run-to-run), so the
+    * OUTPUT is the exact values plus 0/1 within-bound flags: fully
+    * deterministic, hence hash-checkable against DuckDB — and if a
+    * sketch ever violated its published error bound the flag would
+    * flip and the oracle would catch it. Bounds: 3σ for the default
+    * HLL++ rsd 0.05, 4σ for rsd 0.01, rank ±2% for the approximate
+    * median (accuracy 1000 ⇒ rank error ≤ 0.1%). At 100 TB the
+    * sketches are the forms that keep distinct-count state O(1) per
+    * group. */
   def q22Approx(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
+      .withColumn("pc", cents(col("l_extendedprice")))
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        percentile_approx(cents(col("l_extendedprice")), lit(0.5), lit(1000))
-          .as("approx_median_cents"),
+        approx_count_distinct(col("l_orderkey")).as("a_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("a_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        percentile_approx(col("pc"), lit(0.5), lit(1000))
+          .as("a_median"),
+        expr("percentile(pc, 0.5)").as("median_cents"),
+        expr("percentile(pc, 0.48)").as("p48"),
+        expr("percentile(pc, 0.52)").as("p52"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        col("exact_orders"), col("exact_parts"), col("median_cents"),
+        col("n"),
+        (abs(col("a_orders") - col("exact_orders"))
+          <= col("exact_orders") * 0.15).cast("int").as("ok_orders"),
+        (abs(col("a_parts") - col("exact_parts"))
+          <= col("exact_parts") * 0.04).cast("int").as("ok_parts"),
+        (col("a_median") >= floor(col("p48")) &&
+          col("a_median") <= ceil(col("p52"))).cast("int").as("ok_median"))
       .orderBy(col("l_returnflag"))
+
+  val q22ApproxOracle: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_orderkey) AS exact_orders,
+      |  count(DISTINCT l_partkey) AS exact_parts,
+      |  quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5)
+      |    AS median_cents,
+      |  count(*) AS n,
+      |  1 AS ok_orders, 1 AS ok_parts, 1 AS ok_median
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** q19: pivot — customer counts per nation × market segment, one
     * column per segment (conditional aggregation under the hood). */

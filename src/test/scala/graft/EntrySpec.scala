@@ -8,11 +8,10 @@ class EntrySpec extends AnyFunSuite {
   test("entry returns rows") {
     assert(SparkEntry.entry(SparkSpec.spark).count() > 0)
   }
-  test("every oracle key has a query; queries without oracle are known") {
+  test("every query has an oracle and vice versa") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o diff q}")
-    assert((q diff o) == Set("q22_approx"),
-      s"rows-only queries: ${q diff o}")
+    assert((q diff o).isEmpty, s"rows-only queries: ${q diff o}")
   }
 }
