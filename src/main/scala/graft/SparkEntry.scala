@@ -62,6 +62,7 @@ object SparkEntry {
     "q36_tfidf" -> Pipeline.q36Tfidf,
     "q37_quality_filter" -> Pipeline.q37QualityFilter,
     "q38_cc_labels" -> Pipeline.q38CcLabels,
+    "q45_cc_fixpoint" -> Pipeline.q45CcFixpoint,
     // training-data pipeline operators
     "ta_stats" -> TextAnalysis.taStats,
     "ta_langid" -> TextAnalysis.taLangId,
@@ -310,6 +311,7 @@ object SparkEntry {
     "q36_tfidf" -> Pipeline.q36TfidfOracle,
     "q37_quality_filter" -> Pipeline.q37QualityFilterOracle,
     "q38_cc_labels" -> Pipeline.q38CcLabelsOracle,
+    "q45_cc_fixpoint" -> Pipeline.q45CcFixpointOracle,
     "ta_stats" -> TextAnalysis.taStatsOracle,
     "ta_langid" -> TextAnalysis.taLangIdOracle,
     "ta_fingerprint" -> TextAnalysis.taFingerprintOracle,

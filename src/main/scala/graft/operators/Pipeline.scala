@@ -112,6 +112,17 @@ object Pipeline {
     * Fixed round count keeps the op deterministic and oracle-checkable;
     * a production run iterates to fixpoint. */
   def q38CcLabels(s: SparkSession, dir: String): DataFrame = {
+    val (base, bidir) = docGraph(s, dir)
+    val labels0 = base.select(col("doc_id"), col("doc_id").as("label"))
+    val labels = (1 to CcRounds).foldLeft(labels0)((l, _) => propagate(l, bidir))
+    withMembers(labels)
+  }
+
+  /** The near-dup graph shared by q38 and the fixpoint variant:
+    * fingerprint base (localCheckpoint barrier — see scaladoc note on
+    * GC-cleaned blocks vs an un-unpersisted cache) and bidirectional
+    * star edges. */
+  private def docGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val base = Tables.load(s, dir, "documents")
       .select(col("doc_id"),
         graft.functions.TextFunctions.simhash16(tokens(col("text"))).as("sh"),
@@ -131,20 +142,68 @@ object Pipeline {
     val edges = starEdges("sh").union(starEdges("fb")).distinct()
     val bidir = edges
       .union(edges.select(col("v").as("u"), col("u").as("v")))
-    val labels0 = base.select(col("doc_id"), col("doc_id").as("label"))
-    val labels = (1 to CcRounds).foldLeft(labels0) { (l, _) =>
-      l.union(
-        l.join(bidir, l("doc_id") === bidir("u"))
-          .select(col("v").as("doc_id"), col("label")))
-        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
-    }
+    (base, bidir)
+  }
+
+  /** One synchronous min-label round: label(v) := min(label(v),
+    * min label over v's neighbors) — a hash join + hash agg, both
+    * partitioned on doc_id at any scale. */
+  private def propagate(l: DataFrame, bidir: DataFrame): DataFrame =
+    l.union(
+      l.join(bidir, l("doc_id") === bidir("u"))
+        .select(col("v").as("doc_id"), col("label")))
+      .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+
+  private def withMembers(labels: DataFrame): DataFrame =
     labels
       .withColumn("n_members",
         count(lit(1)).over(Window.partitionBy(col("label"))))
       .orderBy(col("doc_id"))
+
+  /** Generic fixpoint connected components over an arbitrary edge set:
+    * iterate min-label propagation until no label changes, with an
+    * eager `localCheckpoint` per round — without it the plan/lineage
+    * doubles every round, which is what kills iterative Spark jobs at
+    * scale (q38's fixed `CcRounds` twin stays as the oracle-gated
+    * form). Convergence test: labels only ever decrease, so the label
+    * sum is strictly monotone — one tiny agg per round, no join.
+    *
+    * `labels0` must be (doc_id, label = doc_id); `bidir` must contain
+    * both edge directions. */
+  private[operators] def fixpointLabels(labels0: DataFrame,
+      bidir: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val edges = bidir.localCheckpoint(true) // reused every round
+    var labels = labels0.localCheckpoint(true)
+    var sum0 = labels.agg(sum(col("label"))).head.getLong(0)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      labels = propagate(labels, edges).localCheckpoint(true)
+      val sum1 = labels.agg(sum(col("label"))).head.getLong(0)
+      converged = sum1 == sum0
+      sum0 = sum1
+      round += 1
+    }
+    labels
   }
 
-  val q38CcLabelsOracle: String = {
+  /** q45: fixpoint connected components over the q38 near-dup graph —
+    * the production path (true components at any graph diameter; q38's
+    * fixed 3 rounds truncate chains longer than 3). The oracle runs the
+    * same propagation for [[CcOracleRounds]] rounds, enough to be at
+    * fixpoint on this corpus (measured: 1 round suffices at every SF;
+    * PipelineSpec pins a synthetic long chain where fixed-round and
+    * fixpoint genuinely differ). */
+  def q45CcFixpoint(s: SparkSession, dir: String): DataFrame = {
+    val (base, bidir) = docGraph(s, dir)
+    val labels0 = base.select(col("doc_id"), col("doc_id").as("label"))
+    withMembers(fixpointLabels(labels0, bidir))
+  }
+
+  /** k-round min-label-propagation CC as DuckDB SQL (shared by the q38
+    * and q45 oracles — q45 runs enough rounds to be at fixpoint on
+    * this corpus). */
+  private def ccOracleSql(nRounds: Int): String = {
     val sh = Dedup.simhashSql("toks")
     def round(prev: String, cur: String): String =
       s"""$cur AS (
@@ -154,7 +213,7 @@ object Pipeline {
          |    SELECT b.v AS doc_id, l.label FROM $prev l
          |    JOIN bidir b ON l.doc_id = b.u)
          |  GROUP BY doc_id)""".stripMargin
-    val rounds = (1 to CcRounds)
+    val rounds = (1 to nRounds)
       .map(i => round(s"l${i - 1}", s"l$i")).mkString(",\n")
     s"""WITH base AS (
        |  SELECT doc_id, CAST($sh AS BIGINT) AS sh,
@@ -176,6 +235,12 @@ object Pipeline {
        |$rounds
        |SELECT doc_id, label,
        |  count(*) OVER (PARTITION BY label) AS n_members
-       |FROM l$CcRounds ORDER BY doc_id""".stripMargin
+       |FROM l$nRounds ORDER BY doc_id""".stripMargin
   }
+
+  val q38CcLabelsOracle: String = ccOracleSql(CcRounds)
+
+  val CcOracleRounds = 6
+
+  val q45CcFixpointOracle: String = ccOracleSql(CcOracleRounds)
 }
