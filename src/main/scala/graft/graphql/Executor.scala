@@ -200,8 +200,75 @@ final class Executor(registry: Registry, engine: CrudEngine) {
           }
         else ErrOut(s"""unknown mutation "${field.name}"""")
       case Subscription =>
-        ErrOut("subscriptions are not supported")
+        // valid documents reach here only via the request/response
+        // endpoint; the streaming transports resolve subscriptions
+        // through subscriptionPlan instead
+        ErrOut("subscription operations must use the event-stream " +
+          "transport (GET /api/subscribe/{model}, or POST /api/graphql " +
+          "with the subscription served as text/event-stream)")
     }
+  }
+
+  /** Resolve a subscription document to the model whose changelog
+    * feeds it plus the per-event projection — the execution half the
+    * reference leaves `todo!()` (`graphql.rs:353`). The transports
+    * (SSE in `rest.Server`, Structured Streaming via
+    * [[subscriptionFrame]]) apply [[projectEvent]] to each change. */
+  def subscriptionPlan(query: String, operationName: Option[String])
+      : Either[String, Executor.SubscriptionPlan] =
+    Parser.parse(query) match {
+      case Left(syntaxErr) => Left(syntaxErr)
+      case Right(doc) =>
+        val verrs = Validator.validate(doc, schema)
+        if (verrs.nonEmpty) Left(verrs.head.message)
+        else pickOperation(doc, operationName) match {
+          case Left(err) => Left(err)
+          case Right(op) if op.opType != Subscription =>
+            Left("operation is not a subscription")
+          case Right(op) =>
+            flattenRoot(op.selections, doc) match {
+              case Vector(field) =>
+                registry.lookup(field.name).map(m =>
+                  Executor.SubscriptionPlan(m, field, doc))
+              case _ =>
+                Left("a subscription operation must have exactly one root field")
+            }
+        }
+    }
+
+  /** One subscription event: the changed record projected through the
+    * plan's selection set, wrapped as a GraphQL `data` payload. */
+  def projectEvent(plan: Executor.SubscriptionPlan, rec: Record): GData = {
+    val fields = GData(rec.toVector.map { case (k, v) =>
+      k -> (GScalar(v): GValue)
+    })
+    GData.empty.add(plan.field.responseKey,
+      GObj(project(plan.field.selections,
+        Named(SchemaGen.typeName(plan.model)), fields, plan.doc)))
+  }
+
+  /** Streaming execution: the model's changelog as a Structured
+    * Streaming DataFrame of (seq, op, data) where `data` is the
+    * GraphQL payload JSON for each change event. Projection runs
+    * executor-side (from_json on the model schema → selected columns
+    * in query order with aliases → to_json), so the stream scales
+    * like any other streaming transform. */
+  def subscriptionFrame(plan: Executor.SubscriptionPlan,
+      changeLog: graft.streaming.ChangeLog)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val m = plan.model
+    val cols = flattenRoot(plan.field.selections, plan.doc).map { sel =>
+      if (sel.name == "__typename")
+        lit(SchemaGen.typeName(m)).as(sel.name)
+      else col(s"rec.${sel.name}").as(
+        if (sel.selections.isEmpty) sel.responseKey else sel.name)
+    }
+    changeLog.subscribe(m)
+      .withColumn("rec", from_json(col("record"), m.schema))
+      .select(col("seq"), col("op"),
+        to_json(struct(cols: _*),
+          java.util.Map.of("ignoreNullFields", "false")).as("data"))
   }
 
   /** `resolve_selection_set_order` (`graphql.rs:415-442`): project in
@@ -239,6 +306,11 @@ final class Executor(registry: Registry, engine: CrudEngine) {
 }
 
 object Executor {
+
+  /** A resolved subscription: which model's changelog to consume and
+    * how to project each change event. */
+  final case class SubscriptionPlan(model: ModelDefinition,
+      field: Ast.FieldSel, doc: Ast.Document)
 
   // resolver results: one record, many records, or an error
   private[graphql] sealed trait CrudOut

@@ -28,7 +28,10 @@ object Introspection {
     "types" -> typeSystem(schema),
     "queryType" -> GObj(typeDefinition(Named("Query"), schema).get),
     "mutationType" -> GObj(typeDefinition(Named("Mutation"), schema).get),
-    "subscriptionType" -> nul,
+    // non-null since the Subscription capability extension (the
+    // reference reports null here because it never executes them)
+    "subscriptionType" -> typeDefinition(Named("Subscription"), schema)
+      .map(GObj(_): GValue).getOrElse(nul),
     "directives" -> emptyArr))
 
   private def typeSystem(schema: Schema): GValue =

@@ -83,9 +83,17 @@ object SchemaGen {
               else gqlType(t))
           }, retTy))
     }
+    // capability-parity extension (like readMany): one subscription
+    // field per model — each changelog event resolves one record of
+    // the model; the reference leaves subscription execution todo!()
+    // (`graphql.rs:353`)
+    val subscriptionFields = reg.all.map { m =>
+      FieldDef(readManyField(m), Vector.empty, NonNull(Named(typeName(m))))
+    }
     Schema(builtinScalars ++ objects :+
       ObjectDef("Query", queryFields) :+
-      ObjectDef("Mutation", mutationFields))
+      ObjectDef("Mutation", mutationFields) :+
+      ObjectDef("Subscription", subscriptionFields))
   }
 
   private def render(t: GqlType): String = t match {

@@ -184,11 +184,70 @@ final class Server(registry: Registry, engine: CrudEngine, port: Int,
             v.properties().asScala.map(e =>
               e.getKey -> jsonToGql(e.getValue)).toMap
           }.getOrElse(Map.empty)
-        val result = executor.handlePost(query, opName, variables)
-        // errors-only → 400, else 200 (`server.rs:183-186`)
-        val status = if (result.isErrorOnly) 400 else 200
-        respond(ex, status, Executor.toJson(result))
+        // subscription documents stream as text/event-stream (the
+        // GraphQL-over-SSE shape); anything else — including every
+        // parse/validation error — takes the request/response path
+        executor.subscriptionPlan(query, opName) match {
+          case Right(plan) if changeLog.isDefined =>
+            streamSubscription(ex, plan)
+          case _ =>
+            val result = executor.handlePost(query, opName, variables)
+            // errors-only → 400, else 200 (`server.rs:183-186`)
+            val status = if (result.isErrorOnly) 400 else 200
+            respond(ex, status, Executor.toJson(result))
+        }
     }
+  }
+
+  /** GraphQL subscription over SSE: one event per changelog entry for
+    * the plan's model, each `data:` line a GraphQL `{"data":{...}}`
+    * payload projected through the subscription's selection set.
+    * Same catch-up/poll/`max_events` contract as `/api/subscribe`. */
+  private def streamSubscription(ex: HttpExchange,
+      plan: Executor.SubscriptionPlan): Unit = {
+    val log = changeLog.get
+    val m = plan.model
+    val maxEvents = Option(ex.getRequestURI.getQuery)
+      .flatMap(_.split("&").collectFirst {
+        case kv if kv.startsWith("max_events=") =>
+          kv.stripPrefix("max_events=").toInt
+      }).getOrElse(Int.MaxValue)
+    var lastSeq = Option(ex.getRequestHeaders.getFirst("Last-Event-ID"))
+      .map(_.toLong).getOrElse(0L)
+    ex.getResponseHeaders.set("Content-Type", "text/event-stream")
+    ex.getResponseHeaders.set("Cache-Control", "no-cache")
+    ex.sendResponseHeaders(200, 0)
+    val os = ex.getResponseBody
+    var sent = 0
+    try {
+      while (sent < maxEvents) {
+        val fresh = log.all()
+          .filter(org.apache.spark.sql.functions.col("model") ===
+            m.modelName.pluralCamel)
+          .filter(org.apache.spark.sql.functions.col("seq") > lastSeq)
+          .orderBy("seq").collect()
+        fresh.foreach { row =>
+          if (sent < maxEvents) {
+            val seq = row.getAs[Long]("seq")
+            val payload = graft.crud.Records.parseRecord(
+              row.getAs[String]("record"), m, Some(Seq.empty)) match {
+              case Right(rec) =>
+                """{"data":""" +
+                  Executor.dataJson(executor.projectEvent(plan, rec)) + "}"
+              case Left(err) =>
+                s"""{"errors":[{"message":${JsonUtil.quote(err)},"locations":[]}]}"""
+            }
+            os.write(s"id: $seq\ndata: $payload\n\n"
+              .getBytes(StandardCharsets.UTF_8))
+            os.flush()
+            lastSeq = seq
+            sent += 1
+          }
+        }
+        if (sent < maxEvents) Thread.sleep(500)
+      }
+    } catch { case _: java.io.IOException => () /* client gone */ }
+    finally os.close()
   }
 
   private[rest] def jsonToGql(n: com.fasterxml.jackson.databind.JsonNode)

@@ -155,6 +155,52 @@ class ServerSpec extends AnyFunSuite {
     } finally s.stop()
   }
 
+  test("GraphQL subscription over HTTP streams projected events") {
+    val dir = Files.createTempDirectory("gqlsse-models")
+    Files.writeString(dir.resolve("movie.json"), movieJson)
+    val reg = Registry.load(dir).toOption.get
+    val log = new graft.streaming.ChangeLog(SparkSpec.spark,
+      Files.createTempDirectory("gqlsse-log").toString)
+    val engine = new CrudEngine(SparkSpec.spark,
+      new ParquetBackend(SparkSpec.spark,
+        Files.createTempDirectory("gqlsse-store").toString, buckets = 4),
+      Some(log))
+    val s = new Server(reg, engine, 0, Some(log))
+    s.start()
+    try {
+      val p = s.boundPort
+      client.send(HttpRequest.newBuilder(
+        URI.create(s"http://localhost:$p/api/rest/movie"))
+        .method("POST", HttpRequest.BodyPublishers.ofString(
+          """{"id":"g1","name":"first"}""")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val sse = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://localhost:$p/api/graphql?max_events=1"))
+        .method("POST", HttpRequest.BodyPublishers.ofString(
+          """{"query":"subscription { movies { id theName: name } }"}"""))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(sse.statusCode() == 200)
+      assert(sse.headers().firstValue("Content-Type").orElse("")
+        .contains("text/event-stream"))
+      assert(sse.body().contains(
+        """data: {"data":{"movies":{"id":"g1","theName":"first"}}}"""),
+        sse.body())
+      // a subscription without a changelog falls back to the
+      // request/response error path
+      val s2 = new Server(reg, engine, 0, None)
+      s2.start()
+      try {
+        val r2 = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://localhost:${s2.boundPort}/api/graphql"))
+          .method("POST", HttpRequest.BodyPublishers.ofString(
+            """{"query":"subscription { movies { id } }"}"""))
+          .build(), HttpResponse.BodyHandlers.ofString())
+        assert(r2.statusCode() == 400 && r2.body().contains("event-stream"),
+          r2.body())
+      } finally s2.stop()
+    } finally s.stop()
+  }
+
   test("GraphQL over HTTP: 200 on data, 400 on errors-only") {
     val (c1, b1) = req("POST", "/api/graphql",
       """{"query":"mutation { addOneMovie(id:\"gq\") { id } }"}""")
