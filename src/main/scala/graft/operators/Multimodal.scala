@@ -1,6 +1,9 @@
 package graft.operators
 
+import java.io.ByteArrayInputStream
 import java.security.MessageDigest
+
+import javax.imageio.ImageIO
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -14,12 +17,13 @@ import graft.Tables
   * analogue of a pandas/Arrow batch UDF: one iterator per partition,
   * work done in fixed-size batches, no shuffle.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked STUB (`stubDecode`) producing deterministic fake
-  * features from the bytes; everything Spark-side — binary schema,
-  * partitioning, batch shape, output encoding — is real. Swapping
-  * `stubDecode` for a JNI/codec call is the only change needed at
-  * scale.
+  * The decode step is real for the formats the JVM ships codecs for
+  * (PNG/BMP/GIF/JPEG via `javax.imageio`, no native deps); payloads
+  * that aren't decodable images — e.g. the text-as-binary test corpus —
+  * fall back to a clearly-marked deterministic STUB so the pipeline
+  * stays testable end-to-end, and so the DuckDB oracle (which can't
+  * decode images) remains exact on that corpus. Audio/video decode
+  * would slot into the same branch point.
   */
 object Multimodal {
 
@@ -33,24 +37,26 @@ object Multimodal {
     StructField("height", IntegerType, nullable = false),
     StructField("n_frames", LongType, nullable = false)))
 
-  /** STUB decoder: stands in for image/audio decode + resize +
-    * frame-sampling. Deterministic fake features derived from the raw
-    * bytes so the pipeline is testable end-to-end without codecs. */
-  private def stubDecode(bytes: Array[Byte]): (String, Int, Int, Long) = {
+  /** Decode one payload → (fingerprint, width, height, n_frames).
+    * Real path: `javax.imageio` still-image decode (n_frames = 1).
+    * STUB fallback for undecodable bytes: deterministic fake features
+    * derived from the raw bytes (length-mod dimensions). */
+  private[operators] def decode(bytes: Array[Byte]): (String, Int, Int, Long) = {
     val md = MessageDigest.getInstance("MD5")
     val fp = md.digest(bytes).map("%02x".format(_)).mkString
-    val n = bytes.length.toLong
-    // fake "decoded dimensions" and "sampled frame count"
-    ((fp), (n % 640).toInt, (n % 480).toInt, n / 100)
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img != null) (fp, img.getWidth, img.getHeight, 1L)
+    else {
+      // STUB: fake "decoded dimensions" and "sampled frame count"
+      val n = bytes.length.toLong
+      (fp, (n % 640).toInt, (n % 480).toInt, n / 100)
+    }
   }
 
-  /** mm_features: documents.text re-cast as an opaque binary payload
-    * (the container ships no real media), then batch-"decoded". */
-  def mmFeatures(s: SparkSession, dir: String): DataFrame = {
-    val bin = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      // media work is CPU-bound per item: spread batches evenly
-      .repartition(col("doc_id"))
+  /** Batched decode of any (doc_id, payload: binary) relation. */
+  def features(bin: DataFrame): DataFrame = {
     val enc = Encoders.row(featureSchema)
     bin.mapPartitions { it =>
       // batched iteration — the shape a vectorized decoder needs
@@ -58,15 +64,25 @@ object Multimodal {
         batch.map { row =>
           val id = row.getLong(0)
           val payload = row.getAs[Array[Byte]](1)
-          val (fp, w, h, frames) = stubDecode(payload)
+          val (fp, w, h, frames) = decode(payload)
           Row(id, payload.length.toLong, fp, w, h, frames)
         }
       }
-    }(enc).orderBy(col("doc_id"))
+    }(enc)
   }
 
-  /** The stub features are md5/length-derived, so the oracle can state
-    * them in SQL exactly. */
+  /** mm_features: documents.text re-cast as an opaque binary payload
+    * (the test corpus ships no real media; ImageSpec feeds `features`
+    * a real PNG), then batch-decoded. */
+  def mmFeatures(s: SparkSession, dir: String): DataFrame =
+    features(Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      // media work is CPU-bound per item: spread batches evenly
+      .repartition(col("doc_id")))
+      .orderBy(col("doc_id"))
+
+  /** The test-corpus payloads are not decodable images, so the stub
+    * branch's md5/length-derived features state the oracle exactly. */
   val mmFeaturesOracle: String =
     """SELECT doc_id,
       |  CAST(strlen(text) AS BIGINT) AS n_bytes,

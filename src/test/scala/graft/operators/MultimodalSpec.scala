@@ -1,0 +1,49 @@
+package graft.operators
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** The multimodal decode path: real still-image payloads decode to
+  * their true dimensions through the batched mapPartitions pipeline;
+  * non-image payloads take the deterministic stub branch the oracle
+  * states. */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val s = SparkSpec.spark
+
+  private def png(w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff8800)
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("real PNG/BMP payloads decode to true dimensions") {
+    import s.implicits._
+    val bmpOut = new ByteArrayOutputStream()
+    ImageIO.write(new BufferedImage(7, 5, BufferedImage.TYPE_INT_RGB),
+      "bmp", bmpOut)
+    val rows = Multimodal.features(Seq(
+      (1L, png(12, 34)),
+      (2L, bmpOut.toByteArray),
+      (3L, "not an image".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")).orderBy("doc_id").collect()
+
+    assert(rows(0).getAs[Int]("width") == 12)
+    assert(rows(0).getAs[Int]("height") == 34)
+    assert(rows(0).getAs[Long]("n_frames") == 1L)
+    assert(rows(1).getAs[Int]("width") == 7)
+    assert(rows(1).getAs[Int]("height") == 5)
+    // stub branch: length-mod dimensions, md5 fingerprint
+    val n = "not an image".length
+    assert(rows(2).getAs[Int]("width") == n % 640)
+    assert(rows(2).getAs[Int]("height") == n % 480)
+    assert(rows(2).getAs[String]("fp").length == 32)
+  }
+}
