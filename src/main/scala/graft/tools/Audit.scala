@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Plan-property auditor: extracts the SURVEY §8.5 table from the
+  * physical plan of every `SparkEntry.queries` entry — cartesian
+  * products, parquet filter pushdown, join strategies, rank-limit and
+  * top-k shapes — and prints one markdown row per query.
+  *
+  * Exit code 1 if any query shows a CartesianProduct or an unintended
+  * BroadcastNestedLoopJoin (intended = a broadcast non-equi join
+  * against a constant-size side, see `PlanAudit.intendedNonEqui`).
+  */
+object Audit {
+  def main(args: Array[String]): Unit = {
+    val sfDir =
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = graft.Sessions.defaults(SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var bad = List.empty[String]
+    println("| query | pushdown | BHJ | SMJ | BNLJ | WGL | topK | expand | cartesian |")
+    println("|---|---|---|---|---|---|---|---|---|")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val a = PlanAudit.of(fn(spark, sfDir))
+      def y(b: Boolean) = if (b) "yes" else ""
+      println(s"| $name | ${y(a.pushedFilters)} | ${y(a.bhj)} | ${y(a.smj)} " +
+        s"| ${y(a.bnlj)} | ${y(a.windowGroupLimit)} | ${y(a.takeOrdered)} " +
+        s"| ${y(a.expand)} | ${y(a.cartesian)} |")
+      if (a.cartesian) bad ::= s"$name: CartesianProduct"
+      if (a.bnlj && !PlanAudit.intendedNonEqui(name))
+        bad ::= s"$name: unintended BroadcastNestedLoopJoin"
+    }
+    bad.foreach(b => System.err.println(s"[audit] VIOLATION $b"))
+    spark.stop()
+    if (bad.nonEmpty) sys.exit(1)
+  }
+}
+
+/** Shared plan-property extraction (Audit main + AuditSpec). */
+object PlanAudit {
+  final case class Props(cartesian: Boolean, bnlj: Boolean, bhj: Boolean,
+      smj: Boolean, pushedFilters: Boolean, windowGroupLimit: Boolean,
+      takeOrdered: Boolean, expand: Boolean)
+
+  def of(df: org.apache.spark.sql.DataFrame): Props = {
+    val plan = df.queryExecution.executedPlan.toString
+    Props(
+      cartesian = plan.contains("CartesianProduct"),
+      bnlj = plan.contains("BroadcastNestedLoopJoin"),
+      bhj = plan.contains("BroadcastHashJoin"),
+      smj = plan.contains("SortMergeJoin"),
+      pushedFilters = raw"PushedFilters: \[[^\]]".r
+        .findFirstIn(plan).isDefined,
+      windowGroupLimit = plan.contains("WindowGroupLimit"),
+      takeOrdered = plan.contains("TakeOrderedAndProject"),
+      expand = plan.contains("Expand"))
+  }
+
+  /** Queries whose broadcast non-equi join is the intended physical
+    * shape: a constant-size broadcast side (band table, count-1 row,
+    * <=10 query vectors) against one fact scan — no shuffle of the
+    * fact side, which is the right plan at any fact-side scale. */
+  val intendedNonEqui: Set[String] =
+    Set("q30_range_join", "q36_tfidf", "ann_brute", "ann_ivf")
+}
