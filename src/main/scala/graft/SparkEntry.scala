@@ -63,6 +63,9 @@ object SparkEntry {
     "q37_quality_filter" -> Pipeline.q37QualityFilter,
     "q38_cc_labels" -> Pipeline.q38CcLabels,
     "q45_cc_fixpoint" -> Pipeline.q45CcFixpoint,
+    "q46_chunks" -> Pipeline.q46Chunks,
+    "q47_stratified_sample" -> Pipeline.q47StratifiedSample,
+    "q48_unpivot" -> Relational2.q48Unpivot,
     // training-data pipeline operators
     "ta_stats" -> TextAnalysis.taStats,
     "ta_langid" -> TextAnalysis.taLangId,
@@ -312,6 +315,9 @@ object SparkEntry {
     "q37_quality_filter" -> Pipeline.q37QualityFilterOracle,
     "q38_cc_labels" -> Pipeline.q38CcLabelsOracle,
     "q45_cc_fixpoint" -> Pipeline.q45CcFixpointOracle,
+    "q46_chunks" -> Pipeline.q46ChunksOracle,
+    "q47_stratified_sample" -> Pipeline.q47StratifiedSampleOracle,
+    "q48_unpivot" -> Relational2.q48UnpivotOracle,
     "ta_stats" -> TextAnalysis.taStatsOracle,
     "ta_langid" -> TextAnalysis.taLangIdOracle,
     "ta_fingerprint" -> TextAnalysis.taFingerprintOracle,

@@ -200,6 +200,88 @@ object Pipeline {
     withMembers(fixpointLabels(labels0, bidir))
   }
 
+  val ChunkSize = 50
+  val ChunkStride = 40 // 10-token overlap between consecutive chunks
+
+  /** q46: document chunking — the pre-training windowing op: each doc
+    * becomes ceil-div((n_tokens - size), stride) + 1 overlapping
+    * token windows (size 50, stride 40). Output carries the chunk's
+    * token count and an md5 fingerprint of the joined window (not the
+    * text itself), so the row stays narrow. Map-only + generator: no
+    * shuffle, scales linearly — the chunk explosion happens inside
+    * one projection, never through an exchange. */
+  def q46Chunks(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), toks.as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      // n_chunks = 1 + ceil(max(0, n - size) / stride), integer form
+      .withColumn("n_chunks",
+        expr(s"1 + (greatest(0, n_tokens - $ChunkSize) + $ChunkStride - 1) div $ChunkStride"))
+      .select(col("doc_id"), col("n_tokens"),
+        explode(expr("sequence(0, n_chunks - 1)")).as("chunk_id"),
+        col("toks"))
+      .withColumn("chunk_toks",
+        expr(s"slice(toks, chunk_id * $ChunkStride + 1, $ChunkSize)"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(col("chunk_toks")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("chunk_toks"))).as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val q46ChunksOracle: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, $tokensSql AS toks,
+       |    CAST(len($tokensSql) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |counted AS (
+       |  SELECT *,
+       |    1 + (greatest(0, n_tokens - $ChunkSize) + $ChunkStride - 1) // $ChunkStride
+       |      AS n_chunks
+       |  FROM base),
+       |exploded AS (
+       |  SELECT doc_id, n_tokens, unnest(range(n_chunks)) AS chunk_id, toks
+       |  FROM counted)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  CAST(len(toks[chunk_id * $ChunkStride + 1 :
+       |    chunk_id * $ChunkStride + $ChunkSize]) AS BIGINT) AS n_chunk_tokens,
+       |  md5(array_to_string(toks[chunk_id * $ChunkStride + 1 :
+       |    chunk_id * $ChunkStride + $ChunkSize], ' ')) AS chunk_fp
+       |FROM exploded ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Per-language sampling rates for q47, as hex-prefix thresholds on
+    * md5(lang || ':' || doc_id): "keep if first two hex digits <
+    * threshold" ⇒ rate = threshold/256 (en 25%, de 50%, fr 75%,
+    * everything else 10%). */
+  val StratRates: Seq[(String, String)] =
+    Seq("en" -> "40", "de" -> "80", "fr" -> "c0")
+  val StratDefault = "1a"
+
+  /** q47: stratified deterministic sampling — per-stratum Bernoulli
+    * rates keyed on a content hash (the `sampleBy` of a reproducible
+    * 100 TB pipeline: selection is a pure function of the row, stable
+    * across engines/runs/partitionings). Map-only. */
+  def q47StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val thr = StratRates.foldLeft(lit(StratDefault)) { case (acc, (lang, t)) =>
+      when(col("lang") === lang, lit(t)).otherwise(acc)
+    }
+    Tables.load(s, dir, "documents")
+      .withColumn("thr", thr)
+      .filter(substring(md5(concat_ws(":", col("lang"), col("doc_id"))), 1, 2)
+        < col("thr"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q47StratifiedSampleOracle: String = {
+    val cases = StratRates.map { case (l, t) => s"WHEN lang = '$l' THEN '$t'" }
+      .mkString(" ")
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE substring(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 2)
+       |  < (CASE $cases ELSE '$StratDefault' END)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** k-round min-label-propagation CC as DuckDB SQL (shared by the q38
     * and q45 oracles — q45 runs enough rounds to be at fixpoint on
     * this corpus). */

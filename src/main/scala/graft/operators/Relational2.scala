@@ -407,6 +407,31 @@ object Relational2 {
       |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** q48: unpivot/melt — wide → long over part's numeric measures
+    * (the inverse operator class of q19's pivot). Spark plans
+    * `Dataset.unpivot` as a single Expand pass: one scan, no join, no
+    * shuffle beyond the output sort. */
+  def q48Unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_partkey") <= 500)
+      .select(col("p_partkey"),
+        col("p_size").cast("long").as("size_units"),
+        cents(col("p_retailprice")).as("retail_cents"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("size_units"), col("retail_cents")),
+        "measure", "value")
+      .orderBy(col("p_partkey"), col("measure"))
+
+  val q48UnpivotOracle: String =
+    """SELECT p_partkey, measure, value FROM (
+      |  SELECT p_partkey, 'size_units' AS measure,
+      |    CAST(p_size AS BIGINT) AS value FROM part
+      |  UNION ALL
+      |  SELECT p_partkey, 'retail_cents',
+      |    CAST(round(p_retailprice * 100) AS BIGINT) FROM part)
+      |WHERE p_partkey <= 500
+      |ORDER BY p_partkey, measure""".stripMargin
+
   val SaltBuckets = 8
 
   /** q44: salted skew join — the large⋈large join (events ⋈ orders on
