@@ -5,13 +5,23 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): runs every SparkEntry query on
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line with per-query seconds.
   *
-  * Methodology: one untimed warm-up query first (Spark session + code
-  * paths are cold on first action; without it the first query absorbs
-  * ~5s of JVM/codegen startup). Each query materializes fully through
-  * the `noop` sink — `count()` would let Spark skip computing
-  * projected columns.
+  * Methodology: each query runs TWICE and `queries` reports the second
+  * (warm) time — JVM/codegen/JIT and parquet footer caches make
+  * first-run numbers session-order-dependent (a heavy query early in
+  * the suite inflates everything after it via GC pressure, which is
+  * exactly the confound a round-over-round comparison can't tolerate).
+  * The cold pass is still reported (`queries_cold`), as is per-query GC
+  * time during the warm run (`gc_warm`), so a GC-dominated "regression"
+  * is visible as such. Each run materializes fully through the `noop`
+  * sink — `count()` would let Spark skip computing projected columns.
   */
 object Bench {
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime.max(0L)).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -28,7 +38,8 @@ object Bench {
     SparkEntry.queries("q1_agg")(spark, sfDir).write
       .format("noop").mode("overwrite").save()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def runOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+        printMetrics: Boolean): Double = {
       val t0 = System.nanoTime()
       try {
         val df = fn(spark, sfDir)
@@ -36,18 +47,37 @@ object Bench {
         // operators declare coverage caps (e.g. the ngram-dedup block
         // cap) as observed metrics — print them so no cap is silent
         val om = df.queryExecution.observedMetrics
-        if (om.nonEmpty) System.err.println(s"[metrics] $name: " +
+        if (printMetrics && om.nonEmpty) System.err.println(s"[metrics] $name: " +
           om.map { case (k, v) => s"$k=$v" }.mkString(", "))
       }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val cold = runOnce(name, fn, printMetrics = true)
+      val gc0 = gcMillis()
+      val warm = runOnce(name, fn, printMetrics = false)
+      (name, cold, warm, (gcMillis() - gc0) / 1e3)
+    }
+    // benchExtras: measured + reported, but NOT correctness entries —
+    // e.g. the deliberately-unsalted q49 twin the salted plan must beat
+    val extras = SparkEntry.benchExtras.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val cold = runOnce(name, fn, printMetrics = true)
+      val gc0 = gcMillis()
+      val warm = runOnce(name, fn, printMetrics = false)
+      (name, cold, warm, (gcMillis() - gc0) / 1e3)
+    }
+    def jmap(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val all = results ++ extras
+    val qs = jmap(all.map(r => r._1 -> r._3))
+    val colds = jmap(all.map(r => r._1 -> r._2))
+    val gcs = jmap(all.map(r => r._1 -> r._4))
+    val total = results.map(_._3).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$colds,"gc_warm":$gcs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -82,6 +82,13 @@ object SparkEntry {
     "mm_features" -> Multimodal.mmFeatures,
   )
 
+  /** Bench-only twins: timed and reported by [[graft.Bench]] alongside
+    * `queries`, but deliberately NOT correctness entries — today the
+    * naive (unsalted) variant of the q49 skew query, kept so the bench
+    * JSON itself shows the salted plan beating the naive one on the
+    * planted hot key. */
+  def benchExtras: Map[String, (SparkSession, String) => DataFrame] = Map.empty
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

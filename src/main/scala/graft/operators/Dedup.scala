@@ -98,7 +98,9 @@ object Dedup {
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .withColumn("hashes", shingleHashes(col("sh")))
       .repartition(col("doc_id"))
-      .localCheckpoint(true)
+      // lazy: barrier + block reuse on first action, free for
+      // plan-only consumers (Explain/Audit)
+      .localCheckpoint(false)
     val sigs = base.select(col("doc_id") +:
       (0 until NumHashes).map(k => minhashSig(col("hashes"), k).as(s"sig_$k")): _*)
     val bandCols = (0 until NumHashes / BandSize).map { b =>
@@ -182,26 +184,30 @@ object Dedup {
       df.withColumn(s"mh_$k", minMd5(col("cs"), s"s$k:"))
     }
       .repartition(col("doc_id"))
-      .localCheckpoint(true)
+      // lazy barrier: same single-computation semantics (the blocks are
+      // cached on first materialization), but plan-only consumers
+      // (Explain / the Audit CI gate) no longer execute the full
+      // shingle/minhash job at DataFrame-construction time
+      .localCheckpoint(false)
     // posting-list cap: a block shared by >100 docs means the min
     // shingle is corpus-boilerplate, not a similarity signal — and its
     // pair generation is quadratic on ONE join key (unsplittable by
     // AQE skew handling; measured as a single straggler task). The
     // standard dedup-pipeline move is to drop oversized blocks.
-    // block-size stats are tiny (≤ one row per distinct min-shingle);
-    // checkpoint once, reuse for both the coverage metric and the kept
-    // set. The cap is a coverage decision — log what it drops so the
-    // truncation is never silent (the judge-visible bench/verify logs
-    // carry this line).
+    // The cap is a coverage decision — it is surfaced as OBSERVED
+    // metrics riding the normal execution (Bench/Verify print every
+    // observed metric), not an eager side-effect action, so the
+    // truncation is never silent and plan-only consumers stay free.
+    // `blk` is one-per-doc (a doc's single min-shingle), so
+    // n_docs_affected counts distinct dropped docs exactly — no doc
+    // can sit in two oversized blocks.
     val blockStats = base.groupBy(col("blk"))
       .agg(count(lit(1)).as("bn"))
-      .localCheckpoint(true)
-    val capRow = blockStats.filter(col("bn") > 100)
-      .agg(count(lit(1)).as("n_blocks_dropped"),
-        coalesce(sum(col("bn")), lit(0L)).as("n_docs_affected")).head
-    System.err.println("[metrics] dedup_ngram_jaccard_block_cap: " +
-      s"n_blocks_dropped=${capRow.getLong(0)} " +
-      s"n_docs_affected=${capRow.getLong(1)}")
+      .observe("dedup_ngram_jaccard_block_cap",
+        coalesce(sum(when(col("bn") > 100, 1L)), lit(0L))
+          .as("n_blocks_dropped"),
+        coalesce(sum(when(col("bn") > 100, col("bn"))), lit(0L))
+          .as("n_docs_affected"))
     val keptBlocks = blockStats
       .filter(col("bn") >= 2 && col("bn") <= 100)
       .select(col("blk"))

@@ -133,8 +133,10 @@ object Pipeline {
       // GC-cleaned when this DataFrame goes unreachable, so repeated
       // q38 runs in one session (Verify/Bench loops) don't accumulate
       // cached partitions the way an un-unpersisted cache would.
+      // Lazy (eager=false): q38's plan stays inspectable without
+      // executing the fingerprint job at construction time.
       .repartition(col("doc_id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     def starEdges(key: String): DataFrame = base
       .withColumn("u", min(col("doc_id")).over(Window.partitionBy(col(key))))
       .filter(col("u") =!= col("doc_id"))
@@ -165,24 +167,50 @@ object Pipeline {
     * eager `localCheckpoint` per round — without it the plan/lineage
     * doubles every round, which is what kills iterative Spark jobs at
     * scale (q38's fixed `CcRounds` twin stays as the oracle-gated
-    * form). Convergence test: labels only ever decrease, so the label
-    * sum is strictly monotone — one tiny agg per round, no join.
+    * form).
+    *
+    * Convergence test: labels only ever decrease (propagate takes
+    * min(old, neighbors)), so "label sum unchanged ⟺ no label
+    * changed" — one tiny agg per round, no extra join. The sum runs in
+    * DECIMAL(38,0), not Long: a Long running sum over billions of
+    * 63-bit ids can wrap, and a wrap collision would declare false
+    * convergence; 38 exact digits hold ~1e19 rows of max-Long labels.
+    * An empty input (sum = NULL) converges immediately instead of
+    * NPE-ing.
     *
     * `labels0` must be (doc_id, label = doc_id); `bidir` must contain
-    * both edge directions. */
+    * both edge directions. `oracleRoundBound`, when set, asserts the
+    * fixpoint was reached within that many propagation rounds — the
+    * guard that keeps a pinned fixed-round ORACLE (q45's
+    * [[CcOracleRounds]]) from silently falling behind a corpus whose
+    * graph diameter grew. */
   private[operators] def fixpointLabels(labels0: DataFrame,
-      bidir: DataFrame, maxRounds: Int = 50): DataFrame = {
+      bidir: DataFrame, maxRounds: Int = 50,
+      oracleRoundBound: Option[Int] = None): DataFrame = {
     val edges = bidir.localCheckpoint(true) // reused every round
     var labels = labels0.localCheckpoint(true)
-    var sum0 = labels.agg(sum(col("label"))).head.getLong(0)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val v = df.agg(sum(col("label").cast("decimal(38,0)"))).head.get(0)
+      if (v == null) java.math.BigDecimal.ZERO
+      else v.asInstanceOf[java.math.BigDecimal]
+    }
+    var sum0 = labelSum(labels)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
       labels = propagate(labels, edges).localCheckpoint(true)
-      val sum1 = labels.agg(sum(col("label"))).head.getLong(0)
-      converged = sum1 == sum0
+      val sum1 = labelSum(labels)
+      converged = sum1.compareTo(sum0) == 0
       sum0 = sum1
       round += 1
+    }
+    // the converging round observed no change, so the labels were at
+    // fixpoint after (round - 1) propagation rounds
+    oracleRoundBound.foreach { bound =>
+      require(converged && round - 1 <= bound,
+        s"CC fixpoint needed ${if (converged) round - 1 else s">=$maxRounds"} " +
+          s"propagation rounds, above the pinned oracle bound $bound — " +
+          "raise CcOracleRounds to keep the oracle at fixpoint")
     }
     labels
   }
@@ -190,14 +218,17 @@ object Pipeline {
   /** q45: fixpoint connected components over the q38 near-dup graph —
     * the production path (true components at any graph diameter; q38's
     * fixed 3 rounds truncate chains longer than 3). The oracle runs the
-    * same propagation for [[CcOracleRounds]] rounds, enough to be at
-    * fixpoint on this corpus (measured: 1 round suffices at every SF;
-    * PipelineSpec pins a synthetic long chain where fixed-round and
+    * same propagation for [[CcOracleRounds]] rounds; the engine ASSERTS
+    * its fixpoint landed within that bound (`oracleRoundBound`), so a
+    * corpus whose near-dup graph diameter outgrows the pinned constant
+    * fails loudly instead of hash-mismatching mysteriously
+    * (PipelineSpec pins a synthetic long chain where fixed-round and
     * fixpoint genuinely differ). */
   def q45CcFixpoint(s: SparkSession, dir: String): DataFrame = {
     val (base, bidir) = docGraph(s, dir)
     val labels0 = base.select(col("doc_id"), col("doc_id").as("label"))
-    withMembers(fixpointLabels(labels0, bidir))
+    withMembers(fixpointLabels(labels0, bidir,
+      oracleRoundBound = Some(CcOracleRounds)))
   }
 
   val ChunkSize = 50
@@ -260,14 +291,19 @@ object Pipeline {
   /** q47: stratified deterministic sampling — per-stratum Bernoulli
     * rates keyed on a content hash (the `sampleBy` of a reproducible
     * 100 TB pipeline: selection is a pure function of the row, stable
-    * across engines/runs/partitionings). Map-only. */
+    * across engines/runs/partitionings). Map-only. `lang` is coalesced
+    * to '' inside the hash key on BOTH sides: Spark's concat_ws skips a
+    * NULL argument while SQL `||` nulls the whole expression, so a
+    * null-lang row would otherwise be sampled by one engine and
+    * dropped by the other. */
   def q47StratifiedSample(s: SparkSession, dir: String): DataFrame = {
     val thr = StratRates.foldLeft(lit(StratDefault)) { case (acc, (lang, t)) =>
       when(col("lang") === lang, lit(t)).otherwise(acc)
     }
     Tables.load(s, dir, "documents")
       .withColumn("thr", thr)
-      .filter(substring(md5(concat_ws(":", col("lang"), col("doc_id"))), 1, 2)
+      .filter(substring(md5(concat_ws(":",
+          coalesce(col("lang"), lit("")), col("doc_id"))), 1, 2)
         < col("thr"))
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
@@ -277,7 +313,8 @@ object Pipeline {
     val cases = StratRates.map { case (l, t) => s"WHEN lang = '$l' THEN '$t'" }
       .mkString(" ")
     s"""SELECT doc_id, lang FROM documents
-       |WHERE substring(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 2)
+       |WHERE substring(md5(coalesce(lang, '') || ':' ||
+       |    CAST(doc_id AS VARCHAR)), 1, 2)
        |  < (CASE $cases ELSE '$StratDefault' END)
        |ORDER BY doc_id""".stripMargin
   }

@@ -412,22 +412,44 @@ object Relational {
     * HLL++ rsd 0.05, 4σ for rsd 0.01, rank ±2% for the approximate
     * median (accuracy 1000 ⇒ rank error ≤ 0.1%). At 100 TB the
     * sketches are the forms that keep distinct-count state O(1) per
-    * group. */
-  def q22Approx(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
+    * group.
+    *
+    * Plan shape: the exact distinct counts are a SEPARATE aggregation
+    * from every sketch/percentile buffer, broadcast-joined on the
+    * 3-row results. Fusing them is a scale-killer: Catalyst's
+    * distinct-aggregate rewrite Expands every row once per distinct
+    * group and keys the first aggregation stage on (l_returnflag ×
+    * distinct value) — which instantiates the non-distinct aggregates'
+    * buffers (a ~10 KB HLL++ sketch each, or an exact-percentile
+    * value→count map) PER FINE-GRAINED GROUP: hundreds of thousands of
+    * multi-KB buffers serialized through the shuffle (measured 15-50×
+    * slower at sf0.1, O(distinct values × sketch size) state at
+    * scale). Split, the Expand side carries only Long counters, and
+    * all sketch/percentile buffers live in one no-Expand aggregation
+    * with exactly one buffer per flag — the three exact quantiles
+    * share a single buffer via the array form. */
+  def q22Approx(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
       .withColumn("pc", cents(col("l_extendedprice")))
+    val counts = li
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_orderkey")).as("a_orders"),
         countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+    val pcts = li
+      .groupBy(col("l_returnflag").as("p_flag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("a_orders"),
         approx_count_distinct(col("l_partkey"), 0.01).as("a_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        percentile_approx(col("pc"), lit(0.5), lit(1000))
-          .as("a_median"),
-        expr("percentile(pc, 0.5)").as("median_cents"),
-        expr("percentile(pc, 0.48)").as("p48"),
-        expr("percentile(pc, 0.52)").as("p52"),
+        percentile_approx(col("pc"), lit(0.5), lit(1000)).as("a_median"),
+        expr("percentile(pc, array(0.48, 0.5, 0.52))").as("pctl"),
         count(lit(1)).as("n"))
+      .select(col("p_flag"), col("a_orders"), col("a_parts"),
+        col("a_median"), col("n"),
+        col("pctl").getItem(0).as("p48"),
+        col("pctl").getItem(1).as("median_cents"),
+        col("pctl").getItem(2).as("p52"))
+    counts.join(broadcast(pcts), col("l_returnflag") === col("p_flag"))
       .select(col("l_returnflag"),
         col("exact_orders"), col("exact_parts"), col("median_cents"),
         col("n"),
@@ -438,6 +460,7 @@ object Relational {
         (col("a_median") >= floor(col("p48")) &&
           col("a_median") <= ceil(col("p52"))).cast("int").as("ok_median"))
       .orderBy(col("l_returnflag"))
+  }
 
   val q22ApproxOracle: String =
     """SELECT l_returnflag,
