@@ -66,6 +66,7 @@ object SparkEntry {
     "q46_chunks" -> Pipeline.q46Chunks,
     "q47_stratified_sample" -> Pipeline.q47StratifiedSample,
     "q48_unpivot" -> Relational2.q48Unpivot,
+    "q49_skew_agg" -> Relational2.q49SkewAgg,
     // training-data pipeline operators
     "ta_stats" -> TextAnalysis.taStats,
     "ta_langid" -> TextAnalysis.taLangId,
@@ -87,7 +88,9 @@ object SparkEntry {
     * naive (unsalted) variant of the q49 skew query, kept so the bench
     * JSON itself shows the salted plan beating the naive one on the
     * planted hot key. */
-  def benchExtras: Map[String, (SparkSession, String) => DataFrame] = Map.empty
+  def benchExtras: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_skew_naive" -> Relational2.q49SkewAggNaive,
+  )
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -325,6 +328,7 @@ object SparkEntry {
     "q46_chunks" -> Pipeline.q46ChunksOracle,
     "q47_stratified_sample" -> Pipeline.q47StratifiedSampleOracle,
     "q48_unpivot" -> Relational2.q48UnpivotOracle,
+    "q49_skew_agg" -> Relational2.q49SkewAggOracle,
     "ta_stats" -> TextAnalysis.taStatsOracle,
     "ta_langid" -> TextAnalysis.taLangIdOracle,
     "ta_fingerprint" -> TextAnalysis.taFingerprintOracle,

@@ -460,4 +460,76 @@ object Relational2 {
       |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS order_cents
       |FROM events JOIN orders ON user_id = o_custkey
       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q49 planted skew: 4 of 5 user_ids map to join key 1, so ONE key
+    * carries ~80% of the fact rows — the hot-key regime q20/q44's
+    * uniform TPC-H keys never exercise. The fact side is events ×
+    * [[SkewReps]] deterministic replicas (~5M rows at sf0.1). */
+  val SkewReps = 50
+  val SkewSalt = 16
+
+  private def skewFact(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), cents(col("value")).as("vc"))
+      .withColumn("rep", explode(sequence(lit(0), lit(SkewReps - 1))))
+      .select(
+        when(col("user_id") % 5 =!= 4, lit(1L))
+          .otherwise(col("user_id")).as("k"),
+        (col("vc") + col("rep")).as("val_cents"),
+        col("event_id"), col("rep"))
+
+  /** q49: skew-stress join+agg — fact (planted 50%-hot key) ⋈ customer,
+    * then a per-segment rollup. The dim join is forced to sort-merge
+    * (`hint("merge")`): at 100 TB the dim side is NOT broadcastable,
+    * and that is exactly the regime where a hot key strands one reducer
+    * with half the join's rows (AQE's skew split only triggers above
+    * its partition-size threshold, and a single join KEY is
+    * unsplittable by partition anyway once output rows concentrate on
+    * it — salting is the in-plan guarantee). Fact rows get a
+    * deterministic salt, the dim replicates ×[[SkewSalt]], and the hot
+    * key spreads over SkewSalt reducers. The oracle (and the
+    * [[q49SkewAggNaive]] bench twin) is the UNSALTED join — the
+    * rewrite must be result-identical, and graft.Bench reports both so
+    * the JSON itself shows salted < naive on the planted hot key. */
+  def q49SkewAgg(s: SparkSession, dir: String): DataFrame = {
+    val f = skewFact(s, dir)
+      .withColumn("salt", pmod(col("event_id") + col("rep"), lit(SkewSalt)))
+    val d = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("salt", explode(sequence(lit(0), lit(SkewSalt - 1))))
+    f.hint("merge")
+      .join(d, f("k") === d("c_custkey") &&
+        f("salt") === d("salt").cast("long"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("val_cents")).as("val_cents_sum"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** The deliberately-unsalted q49 twin (bench-only, not a correctness
+    * entry): same fact, same forced sort-merge join, hot key left on
+    * one reducer. Exists so BENCH_r*.json carries the salted-vs-naive
+    * comparison on a genuinely skewed key distribution. */
+  def q49SkewAggNaive(s: SparkSession, dir: String): DataFrame = {
+    val f = skewFact(s, dir)
+    val d = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    f.hint("merge")
+      .join(d, f("k") === d("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("val_cents")).as("val_cents_sum"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q49SkewAggOracle: String =
+    s"""WITH fact AS (
+       |  SELECT CASE WHEN user_id % 5 <> 4 THEN 1 ELSE user_id END AS k,
+       |    CAST(round(value * 100) AS BIGINT) + rep AS val_cents
+       |  FROM events
+       |  CROSS JOIN (SELECT unnest(range($SkewReps)) AS rep))
+       |SELECT c_mktsegment, count(*) AS n_pairs,
+       |  CAST(sum(val_cents) AS BIGINT) AS val_cents_sum
+       |FROM fact JOIN customer ON k = c_custkey
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 }
