@@ -81,6 +81,7 @@ object SparkEntry {
     "ann_brute" -> Similarity.annBrute,
     "ann_lsh" -> Similarity.annLsh,
     "mm_features" -> Multimodal.mmFeatures,
+    "mm_decode" -> Multimodal.mmDecode,
   )
 
   /** Bench-only twins: timed and reported by [[graft.Bench]] alongside
@@ -342,5 +343,6 @@ object SparkEntry {
     "ann_brute" -> Similarity.annBruteOracle,
     "ann_lsh" -> Similarity.annLshOracle,
     "mm_features" -> Multimodal.mmFeaturesOracle,
+    "mm_decode" -> Multimodal.mmDecodeOracle,
   )
 }

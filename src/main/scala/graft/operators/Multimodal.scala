@@ -91,4 +91,112 @@ object Multimodal {
       |  CAST(strlen(text) % 480 AS INT) AS height,
       |  CAST(strlen(text) // 100 AS BIGINT) AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- mm_decode: the REAL decode branch under the oracle ----------
+
+  /** (img_id, width, height) of the deterministic PNG corpus. */
+  val DecodeImgs: Seq[(Long, Int, Int)] = Seq(
+    (1L, 31, 17), (2L, 64, 48), (3L, 5, 3), (4L, 128, 1),
+    (5L, 16, 16), (6L, 7, 29))
+
+  /** Deterministic undecodable payloads exercising the stub branch in
+    * the same query (ids continue after the images). */
+  val DecodeStubs: Seq[(Long, String)] = Seq(
+    (7L, "definitely not a png payload"),
+    (8L, "another opaque binary blob, 42 bytes long!?"))
+
+  /** The per-pixel ground truth: RGB as a pure function of (img, x, y).
+    * Both sides derive from this formula, through DIFFERENT paths — the
+    * engine encodes it into real PNG bytes and must get the numbers
+    * back through an actual `javax.imageio` decode; the oracle computes
+    * them arithmetically (DuckDB cannot decode PNGs), so any decode
+    * defect (wrong dims, channel swap, lossy round-trip) hash-fails. */
+  private def pixelRgb(id: Long, x: Int, y: Int): Int = {
+    val r = ((x * 31 + y * 17 + id * 97) % 256).toInt
+    val g = ((x * 13 + y * 41 + id * 53) % 256).toInt
+    val b = ((x * 7 + y * 3 + id * 29) % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  private def rgbStat(rgb: Int): Long = {
+    val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+    3L * r + 5L * g + 7L * b
+  }
+
+  /** Encode one deterministic image to real PNG bytes (lossless RGB888
+    * round-trip; the encoder's exact byte stream is irrelevant — only
+    * decoded pixels are compared). */
+  private[operators] def pngBytes(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, pixelRgb(id, x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  val decodeSchema: StructType = StructType(Seq(
+    StructField("img_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("pix_sum", LongType, nullable = false),
+    StructField("real_decode", IntegerType, nullable = false)))
+
+  /** mm_decode: the oracle-gated REAL image decode — payloads are
+    * actual PNG byte streams (plus two stub blobs), features are
+    * derived from DECODED PIXELS, not payload bytes. Same batched
+    * mapPartitions shape as [[features]]; the tiny corpus is the
+    * correctness probe, the plumbing (binary column → batch decode →
+    * typed features) is the 100 TB path. */
+  def mmDecode(s: SparkSession, dir: String): DataFrame = {
+    val rows = DecodeImgs.map { case (id, w, h) => (id, pngBytes(id, w, h)) } ++
+      DecodeStubs.map { case (id, t) => (id, t.getBytes("UTF-8")) }
+    val enc = Encoders.row(decodeSchema)
+    import s.implicits._
+    s.createDataset(rows).toDF("img_id", "payload")
+      .repartition(col("img_id"))
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.map { row =>
+            val id = row.getLong(0)
+            val payload = row.getAs[Array[Byte]](1)
+            val img =
+              try ImageIO.read(new ByteArrayInputStream(payload))
+              catch { case _: Exception => null }
+            if (img != null) {
+              var sum = 0L
+              for (x <- 0 until img.getWidth; y <- 0 until img.getHeight)
+                sum += rgbStat(img.getRGB(x, y) & 0xffffff)
+              Row(id, img.getWidth, img.getHeight, sum, 1)
+            } else {
+              val n = payload.length
+              val sum = payload.map(b => (b & 0xff).toLong).sum
+              Row(id, n % 640, n % 480, sum, 0)
+            }
+          }
+        }
+      }(enc)
+      .orderBy(col("img_id"))
+  }
+
+  /** Expected rows computed in closed form from [[pixelRgb]] / the stub
+    * math — constants in SQL, real decode work in the engine. */
+  val mmDecodeOracle: String = {
+    val imgRows = DecodeImgs.map { case (id, w, h) =>
+      var sum = 0L
+      for (x <- 0 until w; y <- 0 until h) sum += rgbStat(pixelRgb(id, x, y))
+      s"($id, $w, $h, $sum, 1)"
+    }
+    val stubRows = DecodeStubs.map { case (id, t) =>
+      val bytes = t.getBytes("UTF-8")
+      val sum = bytes.map(b => (b & 0xff).toLong).sum
+      s"($id, ${bytes.length % 640}, ${bytes.length % 480}, $sum, 0)"
+    }
+    s"""SELECT CAST(img_id AS BIGINT) AS img_id, CAST(width AS INT) AS width,
+       |  CAST(height AS INT) AS height, CAST(pix_sum AS BIGINT) AS pix_sum,
+       |  CAST(real_decode AS INT) AS real_decode
+       |FROM (VALUES ${(imgRows ++ stubRows).mkString(",\n  ")})
+       |  AS t(img_id, width, height, pix_sum, real_decode)
+       |ORDER BY img_id""".stripMargin
+  }
 }

@@ -33,8 +33,14 @@ final class Server(registry: Registry, engine: CrudEngine, port: Int,
     server.createContext("/", handle _)
     // thread pool: SSE subscriptions hold their connection open, and
     // must not starve CRUD requests (writes serialize per model in
-    // the engine, so concurrent dispatch is safe)
-    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    // the engine, so concurrent dispatch is safe). BOUNDED at
+    // MaxHttpThreads — each subscriber pins a thread, and an unbounded
+    // cached pool would let subscriber count grow without limit;
+    // beyond the bound new connections are rejected rather than
+    // silently degrading the whole server. Idle threads wind down.
+    server.setExecutor(new java.util.concurrent.ThreadPoolExecutor(
+      4, Server.MaxHttpThreads, 60L, java.util.concurrent.TimeUnit.SECONDS,
+      new java.util.concurrent.SynchronousQueue[Runnable]()))
     server.start()
   }
   def stop(): Unit = server.stop(0)
@@ -116,54 +122,71 @@ final class Server(registry: Registry, engine: CrudEngine, port: Int,
     }
   }
 
+  /** Shared SSE poll loop: catch-up from `Last-Event-ID` (default 0),
+    * then poll the changelog's cached snapshot (`eventsSince` — idle
+    * polls compare two counters, no Spark job) every PollMs. A
+    * `: keep-alive` comment goes out every KeepAliveMs of idle, so a
+    * vanished client surfaces as an IOException and frees its handler
+    * thread instead of looping forever. `?max_events=N` closes after N
+    * events (also what the tests use). */
+  private def sseLoop(ex: HttpExchange, log: graft.streaming.ChangeLog,
+      modelPlural: String)(render: org.apache.spark.sql.Row => String): Unit = {
+    val maxEvents = Option(ex.getRequestURI.getQuery)
+      .flatMap(_.split("&").collectFirst {
+        case kv if kv.startsWith("max_events=") =>
+          kv.stripPrefix("max_events=").toInt
+      }).getOrElse(Int.MaxValue)
+    var lastSeq = Option(ex.getRequestHeaders.getFirst("Last-Event-ID"))
+      .map(_.toLong).getOrElse(0L)
+    ex.getResponseHeaders.set("Content-Type", "text/event-stream")
+    ex.getResponseHeaders.set("Cache-Control", "no-cache")
+    ex.sendResponseHeaders(200, 0)
+    val os = ex.getResponseBody
+    var sent = 0
+    var idleMs = 0L
+    try {
+      while (sent < maxEvents) {
+        val fresh = log.eventsSince(lastSeq)
+          .filter(_.getAs[String]("model") == modelPlural)
+        fresh.foreach { row =>
+          if (sent < maxEvents) {
+            val seq = row.getAs[Long]("seq")
+            os.write(s"id: $seq\ndata: ${render(row)}\n\n"
+              .getBytes(StandardCharsets.UTF_8))
+            os.flush()
+            lastSeq = seq
+            sent += 1
+            idleMs = 0L
+          }
+        }
+        if (sent < maxEvents) {
+          Thread.sleep(Server.PollMs)
+          idleMs += Server.PollMs
+          if (idleMs >= Server.KeepAliveMs) {
+            os.write(": keep-alive\n\n".getBytes(StandardCharsets.UTF_8))
+            os.flush() // dead client → IOException → loop exits
+            idleMs = 0L
+          }
+        }
+      }
+    } catch { case _: java.io.IOException => () /* client gone */ }
+    finally os.close()
+  }
+
   /** GraphQL-subscription transport: `GET /api/subscribe/{model}` is a
     * server-sent-event stream of the model's CRUD changelog — the
     * delivery half of the subscription surface the reference stubs
-    * (`graphql.rs:353`). Catch-up from seq 0 (or `Last-Event-ID`),
-    * then poll the changelog. `?max_events=N` closes after N events
-    * (also what the test uses). */
+    * (`graphql.rs:353`). */
   private def handleSubscribe(ex: HttpExchange, m: ModelDefinition): Unit =
     changeLog match {
       case None =>
         respond(ex, 400, errorEnvelope("subscriptions are not enabled"))
       case Some(log) =>
-        val maxEvents = Option(ex.getRequestURI.getQuery)
-          .flatMap(_.split("&").collectFirst {
-            case kv if kv.startsWith("max_events=") =>
-              kv.stripPrefix("max_events=").toInt
-          }).getOrElse(Int.MaxValue)
-        var lastSeq =
-          Option(ex.getRequestHeaders.getFirst("Last-Event-ID"))
-            .map(_.toLong).getOrElse(0L)
-        ex.getResponseHeaders.set("Content-Type", "text/event-stream")
-        ex.getResponseHeaders.set("Cache-Control", "no-cache")
-        ex.sendResponseHeaders(200, 0)
-        val os = ex.getResponseBody
-        var sent = 0
-        try {
-          while (sent < maxEvents) {
-            val fresh = log.all()
-              .filter(org.apache.spark.sql.functions.col("model") ===
-                m.modelName.pluralCamel)
-              .filter(org.apache.spark.sql.functions.col("seq") > lastSeq)
-              .orderBy("seq").collect()
-            fresh.foreach { row =>
-              if (sent < maxEvents) {
-                val seq = row.getAs[Long]("seq")
-                val payload = s"""{"op":${JsonUtil.quote(row.getAs[String]("op"))},""" +
-                  s""""pk":${row.getAs[String]("pk")},""" +
-                  s""""record":${row.getAs[String]("record")}}"""
-                os.write(s"id: $seq\ndata: $payload\n\n"
-                  .getBytes(StandardCharsets.UTF_8))
-                os.flush()
-                lastSeq = seq
-                sent += 1
-              }
-            }
-            if (sent < maxEvents) Thread.sleep(500)
-          }
-        } catch { case _: java.io.IOException => () /* client gone */ }
-        finally os.close()
+        sseLoop(ex, log, m.modelName.pluralCamel) { row =>
+          s"""{"op":${JsonUtil.quote(row.getAs[String]("op"))},""" +
+            s""""pk":${row.getAs[String]("pk")},""" +
+            s""""record":${row.getAs[String]("record")}}"""
+        }
     }
 
   private def handleGraphql(ex: HttpExchange): Unit = {
@@ -202,52 +225,21 @@ final class Server(registry: Registry, engine: CrudEngine, port: Int,
   /** GraphQL subscription over SSE: one event per changelog entry for
     * the plan's model, each `data:` line a GraphQL `{"data":{...}}`
     * payload projected through the subscription's selection set.
-    * Same catch-up/poll/`max_events` contract as `/api/subscribe`. */
+    * Same catch-up/poll/keep-alive/`max_events` contract as
+    * `/api/subscribe` (shared [[sseLoop]]). */
   private def streamSubscription(ex: HttpExchange,
       plan: Executor.SubscriptionPlan): Unit = {
-    val log = changeLog.get
     val m = plan.model
-    val maxEvents = Option(ex.getRequestURI.getQuery)
-      .flatMap(_.split("&").collectFirst {
-        case kv if kv.startsWith("max_events=") =>
-          kv.stripPrefix("max_events=").toInt
-      }).getOrElse(Int.MaxValue)
-    var lastSeq = Option(ex.getRequestHeaders.getFirst("Last-Event-ID"))
-      .map(_.toLong).getOrElse(0L)
-    ex.getResponseHeaders.set("Content-Type", "text/event-stream")
-    ex.getResponseHeaders.set("Cache-Control", "no-cache")
-    ex.sendResponseHeaders(200, 0)
-    val os = ex.getResponseBody
-    var sent = 0
-    try {
-      while (sent < maxEvents) {
-        val fresh = log.all()
-          .filter(org.apache.spark.sql.functions.col("model") ===
-            m.modelName.pluralCamel)
-          .filter(org.apache.spark.sql.functions.col("seq") > lastSeq)
-          .orderBy("seq").collect()
-        fresh.foreach { row =>
-          if (sent < maxEvents) {
-            val seq = row.getAs[Long]("seq")
-            val payload = graft.crud.Records.parseRecord(
-              row.getAs[String]("record"), m, Some(Seq.empty)) match {
-              case Right(rec) =>
-                """{"data":""" +
-                  Executor.dataJson(executor.projectEvent(plan, rec)) + "}"
-              case Left(err) =>
-                s"""{"errors":[{"message":${JsonUtil.quote(err)},"locations":[]}]}"""
-            }
-            os.write(s"id: $seq\ndata: $payload\n\n"
-              .getBytes(StandardCharsets.UTF_8))
-            os.flush()
-            lastSeq = seq
-            sent += 1
-          }
-        }
-        if (sent < maxEvents) Thread.sleep(500)
+    sseLoop(ex, changeLog.get, m.modelName.pluralCamel) { row =>
+      graft.crud.Records.parseRecord(
+        row.getAs[String]("record"), m, Some(Seq.empty)) match {
+        case Right(rec) =>
+          """{"data":""" +
+            Executor.dataJson(executor.projectEvent(plan, rec)) + "}"
+        case Left(err) =>
+          s"""{"errors":[{"message":${JsonUtil.quote(err)},"locations":[]}]}"""
       }
-    } catch { case _: java.io.IOException => () /* client gone */ }
-    finally os.close()
+    }
   }
 
   private[rest] def jsonToGql(n: com.fasterxml.jackson.databind.JsonNode)
@@ -270,6 +262,13 @@ final class Server(registry: Registry, engine: CrudEngine, port: Int,
 }
 
 object Server {
+  /** Handler-pool ceiling: each SSE subscriber pins one thread, so the
+    * pool must be bounded (beyond it, connections are rejected — the
+    * failure is visible instead of an unbounded thread pile-up). */
+  val MaxHttpThreads = 64
+  val PollMs = 500L
+  val KeepAliveMs = 15000L
+
   /** Self-contained query console served at GET /api/graphql — no
     * external assets (zero-egress environment). */
   val consolePage: String =

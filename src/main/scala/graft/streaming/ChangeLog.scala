@@ -48,4 +48,31 @@ final class ChangeLog(spark: SparkSession, dir: String) {
 
   /** Batch view (for catch-up reads). */
   def all(): DataFrame = spark.read.schema(schema).parquet(dir)
+
+  // ---- poller snapshot cache ---------------------------------------
+  // SSE subscribers poll every 500 ms; without a cache each poll of
+  // each subscriber runs a full Spark collect() even when nothing
+  // changed — many idle subscribers become continuous Spark jobs. The
+  // in-memory `seq` counter already knows whether an append happened,
+  // so idle polls compare two longs and touch Spark not at all; at
+  // most ONE collect runs per sequence advance regardless of how many
+  // subscribers are connected.
+  @volatile private var cachedRows: Array[Row] = Array.empty
+  @volatile private var cachedSeq: Long = -1L
+
+  /** All events with seq > lastSeq, ascending — served from the cached
+    * snapshot, which is refreshed only when an append has advanced the
+    * sequence since the last collect. The initial refresh (cachedSeq
+    * = -1) also loads any events persisted by a previous process, so
+    * catch-up-from-0 semantics are unchanged. */
+  def eventsSince(lastSeq: Long): Array[Row] = {
+    val cur = seq.get()
+    if (cur > cachedSeq) synchronized {
+      if (cur > cachedSeq) {
+        cachedRows = all().orderBy(col("seq")).collect()
+        cachedSeq = cur
+      }
+    }
+    cachedRows.filter(_.getAs[Long]("seq") > lastSeq)
+  }
 }

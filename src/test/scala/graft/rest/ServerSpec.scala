@@ -201,6 +201,48 @@ class ServerSpec extends AnyFunSuite {
     } finally s.stop()
   }
 
+  test("live GraphQL subscription: SSE opened FIRST, concurrent mutation arrives") {
+    // the full loop in one case: subscription document → subscriptionPlan
+    // → open SSE over HTTP → a mutation lands on a DIFFERENT connection
+    // while the stream is live → the projected event is pushed to the
+    // already-open stream (not a catch-up read)
+    val dir = Files.createTempDirectory("livesse-models")
+    Files.writeString(dir.resolve("movie.json"), movieJson)
+    val reg = Registry.load(dir).toOption.get
+    val log = new graft.streaming.ChangeLog(SparkSpec.spark,
+      Files.createTempDirectory("livesse-log").toString)
+    val engine = new CrudEngine(SparkSpec.spark,
+      new ParquetBackend(SparkSpec.spark,
+        Files.createTempDirectory("livesse-store").toString, buckets = 4),
+      Some(log))
+    val s = new Server(reg, engine, 0, Some(log))
+    s.start()
+    try {
+      val p = s.boundPort
+      // open the stream first — nothing in the changelog yet
+      val sseF = client.sendAsync(HttpRequest.newBuilder(
+        URI.create(s"http://localhost:$p/api/graphql?max_events=1"))
+        .method("POST", HttpRequest.BodyPublishers.ofString(
+          """{"query":"subscription { movies { id theName: name } }"}"""))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      Thread.sleep(1500) // let the subscriber reach its poll loop
+      assert(!sseF.isDone, "stream must still be open before the mutation")
+      val mut = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://localhost:$p/api/graphql"))
+        .method("POST", HttpRequest.BodyPublishers.ofString(
+          """{"query":"mutation { addOneMovie(id:\"live\", name:\"now\") { id } }"}"""))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(mut.statusCode() == 200, mut.body())
+      val sse = sseF.get(30, java.util.concurrent.TimeUnit.SECONDS)
+      assert(sse.statusCode() == 200)
+      assert(sse.headers().firstValue("Content-Type").orElse("")
+        .contains("text/event-stream"))
+      assert(sse.body().contains(
+        """data: {"data":{"movies":{"id":"live","theName":"now"}}}"""),
+        sse.body())
+    } finally s.stop()
+  }
+
   test("GraphQL over HTTP: 200 on data, 400 on errors-only") {
     val (c1, b1) = req("POST", "/api/graphql",
       """{"query":"mutation { addOneMovie(id:\"gq\") { id } }"}""")
