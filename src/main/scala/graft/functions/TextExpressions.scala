@@ -164,17 +164,21 @@ object TextHashKernels {
     }
   }
 
-  def lshBucket(v: ArrayData, planes: Int): Int = {
+  def lshBucket(v: ArrayData, planes: Int): Long = {
+    // Long signature: up to 63 planes in one pass — band width must
+    // grow with corpus size (buckets ≈ n/2^bits), and an Int cap of
+    // 31 planes was the hidden ceiling behind a quadratic candidate
+    // stage at 10× scale
     val n = v.numElements()
     val s = signs(planes, n)
-    var bucket = 0
+    var bucket = 0L
     var j = 0
     while (j < planes) {
       val row = s(j)
       var acc = 0L
       var i = 0
       while (i < n) { acc += row(i) * v.getLong(i); i += 1 }
-      if (acc > 0) bucket |= (1 << j)
+      if (acc > 0) bucket |= (1L << j)
       j += 1
     }
     bucket
@@ -288,15 +292,15 @@ case class Simhash16(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
-/** Milli-vector → 8-bit random-hyperplane LSH bucket. The ±1 plane
-  * components come from md5 digit parities ("p<j>:<i>"), which are
-  * row-independent — the kernel precomputes the sign matrix once per
-  * JVM instead of 8 interpreted zip_with folds per row. Identical to
-  * the SQL form in `Similarity.annLshOracle`. */
+/** Milli-vector → up-to-63-bit random-hyperplane LSH signature. The ±1
+  * plane components come from md5 digit parities ("p<j>:<i>"), which
+  * are row-independent — the kernel precomputes the sign matrix once
+  * per JVM instead of `planes` interpreted zip_with folds per row.
+  * Identical to the SQL form in `Similarity.annLshOracle`. */
 case class LshBucket(child: Expression, planes: Int)
     extends UnaryExpression {
-  import org.apache.spark.sql.types.IntegerType
-  override def dataType: DataType = IntegerType
+  import org.apache.spark.sql.types.LongType
+  override def dataType: DataType = LongType
   override def prettyName: String = "lsh_bucket"
   override def nullSafeEval(a: Any): Any =
     TextHashKernels.lshBucket(a.asInstanceOf[ArrayData], planes)

@@ -105,7 +105,7 @@ object Similarity {
     s"""CASE WHEN list_sum(list_transform(range(1, len(v)+1),
        | i -> CASE WHEN substring(md5('p$j:' || (i-1)), 1, 1)
        |   IN ('1','3','5','7','9','b','d','f') THEN v[i] ELSE -v[i] END))
-       | > 0 THEN ${1 << j} ELSE 0 END""".stripMargin.replace("\n", "")
+       | > 0 THEN ${1L << j} ELSE 0 END""".stripMargin.replace("\n", "")
 
   private def bucketSql(planes: Int): String =
     (0 until planes).map(planeBitSql).mkString(" + ")
@@ -271,25 +271,32 @@ object Similarity {
        |        WHERE vec_id < 5)) u
        |ORDER BY vec_id, pos""".stripMargin
 
-  val DedupPlanes = 16
-  val DedupBands = 4
-  val DedupBandBits = 4
+  val DedupPlanes = 60
+  val DedupBands = 6
+  val DedupBandBits = 10
 
   /** dedup_embedding: top-50 most-similar vector pairs among LSH-banded
     * candidates — the embedding-cosine near-duplicate miner.
     *
-    * Blocking: a 16-bit hyperplane signature split into 4 bands of 4
+    * Blocking: a 60-bit hyperplane signature split into 6 bands of 10
     * bits; a pair is a candidate iff it collides in at least one band
-    * (the minhash-LSH banding scheme applied to hyperplane bits). On
-    * planted near-dups (cos ≥ 0.95 → per-bit collision ≈ 0.9) band
-    * recall is 1-(1-0.9⁴)⁴ ≈ 0.986; on this corpus (random vectors,
-    * top pair cos ≈ 0.5) it prunes 76% of pairs. The band join carries
-    * only (vec_id, band_key) — vectors are fetched per-candidate
+    * (the minhash-LSH banding scheme applied to hyperplane bits).
+    * Band width is the SCALE knob: with b-bit bands a random
+    * (orthogonal) pair collides with p = 6/2^b, so expected random
+    * candidates are ≈ 6·n²/2¹¹ — the round-3 form (4-bit bands, 16
+    * buckets) was measured 54× slower at a 10× corpus because its
+    * candidate stage was effectively all-pairs (n²/8). At 10 bits:
+    * per-bit collision for cos 0.95 is 1-θ/π ≈ 0.899 → band p ≈
+    * 0.899¹⁰ ≈ 0.35 → recall 1-(1-0.35)⁶ ≈ 0.92, and ≈ 0.99 at
+    * cos 0.98 — the similarity range a dedup pass targets (run
+    * dedup_exact first; SimilaritySpec gates recall on PLANTED
+    * near-dups at cos ≈ 0.999). The band join carries only
+    * (vec_id, band_key) — vectors are fetched per-candidate
     * afterwards — so shuffles stay O(candidates), never O(n²): at
     * corpus scale the band key is the shuffle key and no cross-bucket
     * pair is ever materialized (no crossJoin / BroadcastNestedLoop in
     * the plan). The DuckDB oracle encodes the identical banding, same
-    * as `ann_lsh`; SimilaritySpec pins banded-vs-exact recall. */
+    * as `ann_lsh`. */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     val b = base(s, dir).withColumn("bucket",
       graft.functions.TextFunctions.lshBucket(col("v"), DedupPlanes))

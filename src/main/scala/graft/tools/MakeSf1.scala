@@ -13,13 +13,23 @@ import org.apache.spark.sql.functions._
   * copied as-is — their keys are referenced by the scaled tables and
   * must not move.
   *
-  * Replicated documents/embeddings are exact content copies under new
-  * ids — a deliberately dup-heavy corpus, which is the realistic (and
-  * adversarial) input for the dedup/CC operators: every block, band
-  * bucket, and near-dup component grows 10×, so super-linear plans
-  * show up as super-linear times. `BENCH_sf1.json` is produced by
-  * running `graft.Bench` with `SPARK_GRAFT_SF_DIR` pointed at the
-  * output.
+  * Replicated document TEXT gets a per-replica Caesar shift
+  * (`translate` over the rotated alphabet): within one replica the
+  * shift is an isomorphism, so every replica family keeps the
+  * original corpus's near-dup structure exactly (shingle sets,
+  * simhash collisions, jaccard scores are shift-invariant in shape),
+  * while cross-replica similarity is destroyed — near-dup PAIR counts
+  * grow linearly with the corpus, like a real corpus, instead of
+  * quadratically in the copy factor (exact ×10 copies make every doc
+  * pair with its 9 clones: the pair OUTPUT itself explodes ×45, which
+  * benchmarks the data, not the plan — measured as a 31× time blowup
+  * in dedup_embedding before this fix). Embedding replicas get the
+  * same treatment via a per-replica CIRCULAR SHIFT of the dimensions:
+  * an isometry within a replica (all dots/distances preserved, so
+  * each replica family keeps the original near-dup structure
+  * exactly) that decorrelates vectors across replicas.
+  * `BENCH_sf1.json` is produced by running `graft.Bench` with
+  * `SPARK_GRAFT_SF_DIR` pointed at the output.
   *
   * Usage: runMain graft.tools.MakeSf1 [inDir] [outDir] [copies]
   * (defaults: /root/testdata/sf0.1 → target/sf1 × 10)
@@ -56,9 +66,33 @@ object MakeSf1 {
         case Some(keys) =>
           val reps = base.withColumn("rep",
             explode(sequence(lit(0L), lit(copies - 1L))))
-          keys.foldLeft(reps) { (df, k) =>
+          val shifted = keys.foldLeft(reps) { (df, k) =>
             df.withColumn(k, col(k) + col("rep") * Delta)
-          }.drop("rep")
+          }
+          val transformed =
+            if (name == "documents") {
+              val abc = "abcdefghijklmnopqrstuvwxyz"
+              def rot(k: Int) = abc.drop(k % 26) + abc.take(k % 26)
+              val shiftedText = (1 until copies).foldLeft(col("text")) {
+                (acc, r) =>
+                  when(col("rep") === r,
+                    translate(col("text"),
+                      abc + abc.toUpperCase,
+                      rot(r) + rot(r).toUpperCase)).otherwise(acc)
+              }
+              shifted.withColumn("text", shiftedText)
+            } else if (name == "embeddings") {
+              val dim = 64
+              val rolled = (1 until copies).foldLeft(col("embedding")) {
+                (acc, r) =>
+                  val k = (r * 7) % dim // distinct nonzero shifts
+                  when(col("rep") === r, expr(
+                    s"concat(slice(embedding, ${k + 1}, ${dim - k}), " +
+                      s"slice(embedding, 1, $k))")).otherwise(acc)
+              }
+              shifted.withColumn("embedding", rolled)
+            } else shifted
+          transformed.drop("rep")
         case None => base
       }
       scaled.write.mode("overwrite").parquet(s"$out/$name.parquet")

@@ -32,7 +32,7 @@ class ExtensionsSpec extends AnyFunSuite {
           new org.apache.spark.sql.catalyst.util.GenericArrayData(
             Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString("alpha"),
               org.apache.spark.unsafe.types.UTF8String.fromString("beta")))))
-      assert(row.getAs[Int]("bucket") >= 0 && row.getAs[Int]("bucket") < 256)
+      assert(row.getAs[Long]("bucket") >= 0L && row.getAs[Long]("bucket") < 256L)
       assert(row.getAs[String]("mh").length == 32)
       // fold of "a b": ((0*31+'a')%M *31 + ' ')%M *31 + 'b') % M
       val m = 2147483647L
