@@ -67,6 +67,8 @@ object SparkEntry {
     "q47_stratified_sample" -> Pipeline.q47StratifiedSample,
     "q48_unpivot" -> Relational2.q48Unpivot,
     "q49_skew_agg" -> Relational2.q49SkewAgg,
+    "q50_decontam" -> Pipeline.q50Decontam,
+    "q51_mixture" -> Pipeline.q51Mixture,
     // training-data pipeline operators
     "ta_stats" -> TextAnalysis.taStats,
     "ta_langid" -> TextAnalysis.taLangId,
@@ -330,6 +332,8 @@ object SparkEntry {
     "q47_stratified_sample" -> Pipeline.q47StratifiedSampleOracle,
     "q48_unpivot" -> Relational2.q48UnpivotOracle,
     "q49_skew_agg" -> Relational2.q49SkewAggOracle,
+    "q50_decontam" -> Pipeline.q50DecontamOracle,
+    "q51_mixture" -> Pipeline.q51MixtureOracle,
     "ta_stats" -> TextAnalysis.taStatsOracle,
     "ta_langid" -> TextAnalysis.taLangIdOracle,
     "ta_fingerprint" -> TextAnalysis.taFingerprintOracle,

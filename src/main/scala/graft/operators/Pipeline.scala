@@ -319,6 +319,95 @@ object Pipeline {
        |ORDER BY doc_id""".stripMargin
   }
 
+  val DecontamShingle = 8
+
+  /** q50: benchmark decontamination — the pre-training hygiene pass
+    * that drops corpus documents overlapping an evaluation set. Docs
+    * with doc_id < 50 stand in for the held-out benchmark; a corpus
+    * doc is contaminated if it shares any [[DecontamShingle]]-token
+    * shingle (md5'd) with it. Shape for 100 TB: benchmarks are small,
+    * so the benchmark shingle set BROADCASTS and the corpus side is
+    * scan → explode → broadcast semi-join → per-doc count — the corpus
+    * is never shuffled by content, only by doc_id for the final count
+    * (and that aggregation is a plain countDistinct per doc). Docs
+    * shorter than the shingle width contribute one whole-doc shingle
+    * so short benchmark strings still match verbatim copies. */
+  def q50Decontam(s: SparkSession, dir: String): DataFrame = {
+    val k = DecontamShingle
+    val base = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("sh", expr(
+        s"transform(sequence(1, greatest(1, size(toks) - ${k - 1})), " +
+          s"i -> md5(concat_ws(' ', slice(toks, i, $k))))"))
+      .select(col("doc_id"), explode(col("sh")).as("sh"))
+    val bench = base.filter(col("doc_id") < 50).select(col("sh")).distinct()
+    base.filter(col("doc_id") >= 50)
+      .join(broadcast(bench), Seq("sh"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sh")).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q50DecontamOracle: String = {
+    val k = DecontamShingle
+    s"""WITH base AS (
+       |  SELECT doc_id, $tokensSql AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(1, greatest(1, len(toks) - ${k - 1}) + 1),
+       |    i -> md5(array_to_string(toks[i : i + ${k - 1}], ' ')))) AS sh
+       |  FROM base),
+       |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 50)
+       |SELECT c.doc_id, count(DISTINCT c.sh) AS n_hits
+       |FROM sh c JOIN bench b USING (sh)
+       |WHERE c.doc_id >= 50
+       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+  }
+
+  /** Language → mixture weight for q51 (unlisted languages weight 1). */
+  val MixWeights: Seq[(String, Int)] = Seq("en" -> 5, "de" -> 3, "fr" -> 2)
+  val MixTake = 200
+
+  /** q51: weighted dataset-mixture interleave — the data-mixing
+    * operator of a training run: each language stream is shuffled
+    * deterministically (md5 of the doc id), then streams merge in
+    * weight proportion via virtual positions pos = (2·rk−1)·10⁶ /
+    * (2·w) — language l contributes w_l docs per unit of mixed
+    * prefix, and any prefix of the mix is reproducible from the row
+    * alone. One window per language partition + a global top-N
+    * (TakeOrderedAndProject — no full sort); no joins. */
+  def q51Mixture(s: SparkSession, dir: String): DataFrame = {
+    val w = MixWeights.foldLeft(lit(1)) { case (acc, (l, wt)) =>
+      when(col("lang") === l, lit(wt)).otherwise(acc)
+    }
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        md5(concat(lit("mix:"), col("doc_id"))).as("h"))
+      .withColumn("w", w.cast("int"))
+      .withColumn("rk", row_number()
+        .over(Window.partitionBy(col("lang"))
+          .orderBy(col("h").asc, col("doc_id").asc)).cast("long"))
+      .withColumn("pos", expr("((rk * 2 - 1) * 1000000) div (2 * w)"))
+      .select(col("doc_id"), col("lang"), col("w"), col("pos"))
+      .orderBy(col("pos").asc, col("lang").asc, col("doc_id").asc)
+      .limit(MixTake)
+  }
+
+  val q51MixtureOracle: String = {
+    val cases = MixWeights.map { case (l, wt) => s"WHEN lang = '$l' THEN $wt" }
+      .mkString(" ")
+    s"""WITH ranked AS (
+       |  SELECT doc_id, lang,
+       |    CAST(CASE $cases ELSE 1 END AS INT) AS w,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)) ASC,
+       |        doc_id ASC) AS rk
+       |  FROM documents)
+       |SELECT doc_id, lang, w, (rk * 2 - 1) * 1000000 // (2 * w) AS pos
+       |FROM ranked
+       |ORDER BY pos ASC, lang ASC, doc_id ASC LIMIT $MixTake""".stripMargin
+  }
+
   /** k-round min-label-propagation CC as DuckDB SQL (shared by the q38
     * and q45 oracles — q45 runs enough rounds to be at fixpoint on
     * this corpus). */
