@@ -109,6 +109,33 @@ object TextHashKernels {
     new String(out)
   }
 
+  /** md5 hex of each k-token window joined by single spaces (the
+    * decontamination shingle); one whole-array window for inputs
+    * shorter than k (md5 of "" for an empty array). Bit-identical to
+    * the SQL fold `list_transform(range(1, greatest(1, len(t)-k+1)+1),
+    * i -> md5(array_to_string(t[i:i+k-1], ' ')))`. */
+  def tokenShingleMd5(tokens: ArrayData, k: Int): ArrayData = {
+    val md = MessageDigest.getInstance("MD5")
+    val n = tokens.numElements()
+    val count = math.max(1, n - k + 1)
+    val out = new Array[Any](count)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      val end = math.min(n, i + k)
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(tokens.getUTF8String(j).toString)
+        j += 1
+      }
+      out(i) = UTF8String.fromString(md5hex(md, sb.toString))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** For each shingle: md5(s) || md5("x:" || s), 64 hex chars. */
   def shingleHashes(shingles: ArrayData): ArrayData = {
     val md = MessageDigest.getInstance("MD5")
@@ -268,6 +295,8 @@ object TextFunctions {
     Bridge.column(Simhash16(Bridge.expression(c)))
   def lshBucket(c: Column, planes: Int): Column =
     Bridge.column(LshBucket(Bridge.expression(c), planes))
+  def tokenShingleMd5(c: Column, k: Int): Column =
+    Bridge.column(TokenShingleMd5(Bridge.expression(c), k))
   def rollingHash(c: Column): Column =
     Bridge.column(RollingHash(Bridge.expression(c)))
   def minMd5(c: Column, salt: String = ""): Column =
@@ -288,6 +317,24 @@ case class Simhash16(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       c => s"graft.functions.TextHashKernels.simhash16($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Token array → md5 of each k-token window (decontamination
+  * shingles). Replaces an interpreted `transform(sequence(...), i ->
+  * md5(concat_ws(' ', slice(...))))` — one lambda dispatch chain per
+  * shingle — with a single tight loop per row; identical to the SQL
+  * form in `Pipeline.q50DecontamOracle`. */
+case class TokenShingleMd5(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "token_shingle_md5"
+  override def nullSafeEval(a: Any): Any =
+    TextHashKernels.tokenShingleMd5(a.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashKernels.tokenShingleMd5($c, $k)")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }

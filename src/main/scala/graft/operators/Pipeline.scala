@@ -334,11 +334,13 @@ object Pipeline {
     * so short benchmark strings still match verbatim copies. */
   def q50Decontam(s: SparkSession, dir: String): DataFrame = {
     val k = DecontamShingle
+    // codegen'd kernel (one loop per row) — the interpreted HOF form
+    // (transform + md5 + concat_ws + slice per shingle) was the whole
+    // cost of this query at 10× scale (44s → kernel speed at sf1)
     val base = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .withColumn("sh", expr(
-        s"transform(sequence(1, greatest(1, size(toks) - ${k - 1})), " +
-          s"i -> md5(concat_ws(' ', slice(toks, i, $k))))"))
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenShingleMd5(
+          tokens(col("text")), k).as("sh"))
       .select(col("doc_id"), explode(col("sh")).as("sh"))
     val bench = base.filter(col("doc_id") < 50).select(col("sh")).distinct()
     base.filter(col("doc_id") >= 50)
