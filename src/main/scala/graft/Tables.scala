@@ -18,6 +18,22 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Spread a narrow scan across the session's cores before heavy
+    * per-row work (hash kernels, shingling, explode, partial
+    * aggregation). The bench corpora are single-row-group parquet
+    * files, which Spark cannot split — every map-side stage otherwise
+    * runs as ONE task regardless of `local[32]`. A real 100 TB corpus
+    * has thousands of row groups, and then this is a NO-OP: the
+    * exchange is only inserted when the planned scan has fewer input
+    * partitions than the session's parallelism, so it never adds a
+    * full-corpus shuffle at scale. Call it AFTER pushable filters so
+    * predicate/column pushdown still reaches the scan below the
+    * exchange. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Register every table as a temp view (for spark.sql entry points).
     * events.ts is parquet TIMESTAMP(NANOS), which Spark 4 only reads
     * via the raw-nanos legacy conf. */

@@ -24,9 +24,10 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextHashKernels {
 
-  /** lower(trim(regexp_replace(text, "\\s+", " "))) */
+  /** lower(trim(regexp_replace(text, "\\s+", " "))) — delegates to the
+    * regex-free single-pass implementation (bit-identical). */
   def normalize(text: UTF8String): String =
-    text.toString.replaceAll("\\s+", " ").trim.toLowerCase(java.util.Locale.ROOT)
+    TextStatKernels.normalize(text)
 
   def shingleSet(text: UTF8String): ArrayData = {
     val norm = normalize(text)
@@ -134,6 +135,35 @@ object TextHashKernels {
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** One-digest Jaccard sketch over the char-5-gram stream of the
+    * normal form: element 0 is the min full md5 hex (the blocking
+    * key), element k (1-based) is the min over grams of the k-th
+    * disjoint 6-hex-char window of that same digest — an independent
+    * 24-bit minhash per window, at ONE digest per gram instead of
+    * (1 + nWindows). Duplicate grams can't change a min, so no
+    * distinct-set is materialized. Whole-norm fallback for short
+    * docs, matching [[charShingles]]. */
+  def charShingleSketch(text: UTF8String, windows: Int): ArrayData = {
+    val md = MessageDigest.getInstance("MD5")
+    val norm = normalize(text)
+    val mins = new Array[String](windows + 1)
+    def update(g: String): Unit = {
+      val h = md5hex(md, g)
+      if (mins(0) == null || h.compareTo(mins(0)) < 0) mins(0) = h
+      var k = 1
+      while (k <= windows) {
+        val w = h.substring((k - 1) * 6, (k - 1) * 6 + 6)
+        if (mins(k) == null || w.compareTo(mins(k)) < 0) mins(k) = w
+        k += 1
+      }
+    }
+    if (norm.length >= 5) {
+      var i = 0
+      while (i + 5 <= norm.length) { update(norm.substring(i, i + 5)); i += 1 }
+    } else update(norm)
+    new GenericArrayData(mins.map(m => UTF8String.fromString(m): Any))
   }
 
   /** For each shingle: md5(s) || md5("x:" || s), 64 hex chars. */
@@ -302,6 +332,23 @@ object TextFunctions {
   def minMd5(c: Column, salt: String = ""): Column =
     Bridge.column(MinMd5(Bridge.expression(c),
       org.apache.spark.sql.catalyst.expressions.Literal(salt)))
+  def charShingleSketch(c: Column, windows: Int): Column =
+    Bridge.column(CharShingleSketch(Bridge.expression(c), windows))
+}
+
+/** text → [min md5(gram), min hex-window_1..windows] one-digest
+  * Jaccard sketch (blocking key + banded minhash components). */
+case class CharShingleSketch(child: Expression, windows: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_shingle_sketch"
+  override def nullSafeEval(t: Any): Any =
+    TextHashKernels.charShingleSketch(t.asInstanceOf[UTF8String], windows)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashKernels.charShingleSketch($c, $windows)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** Tokens → 16-bit SimHash. Replaces 16 interpreted `aggregate(...)`

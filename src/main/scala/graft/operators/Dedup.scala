@@ -61,7 +61,7 @@ object Dedup {
   /** dedup_exact: exact duplicate groups by normalized-content hash —
     * one hash-shuffle, min-id survivor election per group. */
   def dedupExact(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    Tables.spread(Tables.load(s, dir, "documents"))
       .select(col("doc_id"), md5(norm(col("text"))).as("h"))
       .groupBy(col("h"))
       .agg(min(col("doc_id")).as("survivor_id"),
@@ -94,7 +94,7 @@ object Dedup {
     // when the DataFrame goes unreachable — repeated runs in one
     // session don't accumulate cache. This intermediate is O(corpus
     // tokens), the thing you'd checkpoint to storage in a 100 TB run.
-    val base = Tables.load(s, dir, "documents")
+    val base = Tables.spread(Tables.load(s, dir, "documents"))
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .withColumn("hashes", shingleHashes(col("sh")))
       .repartition(col("doc_id"))
@@ -162,27 +162,36 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  val JaccardSketch = 4 // salted 1-row minhashes used as a pair prefilter
+  val JaccardSketch = 4 // minhash window components used as a pair prefilter
 
   /** dedup_ngram_jaccard: character-5-gram Jaccard near-dup pairs.
     * Three-stage funnel, no all-pairs stage: (1) blocking key = min
     * md5 over a doc's char-shingles (1-row minhash) → candidate pairs
     * share it; (2) cheap sketch prefilter — candidates must agree on
-    * ≥ 2 of 4 salted minhash components (a word-soup corpus makes
-    * min-hash blocks degenerate: the top blocks held 60% of docs, and
-    * without this filter every block pair paid the exact set ops);
+    * ≥ 2 of 4 minhash components (a word-soup corpus makes min-hash
+    * blocks degenerate: the top blocks held 60% of docs, and without
+    * this filter every block pair paid the exact set ops); each
+    * component is the min over grams of a disjoint 6-hex-char window
+    * of the SAME md5 digest that feeds the blocking key, so the whole
+    * sketch costs ONE digest per gram ([[graft.functions.TextHashKernels.charShingleSketch]]
+    * — the previous salted form paid 1 + 4 digests per gram and
+    * re-derived the shingle set per sketch column);
     * (3) exact integer Jaccard ≥ 0.3 (10·|∩| ≥ 3·|∪|) on survivors.
     * Complements the word-level banded MinHash-LSH op. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions.{charShingles, minMd5}
-    // cs is re-derived per hash column (CollapseProject inlines it);
-    // the kernel is cheap — the barrier+persist below is what matters
-    val base = (1 to JaccardSketch).foldLeft(
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id"), charShingles(col("text")).as("cs"))
-        .withColumn("blk", minMd5(col("cs")))) { (df, k) =>
-      df.withColumn(s"mh_$k", minMd5(col("cs"), s"s$k:"))
-    }
+    import graft.functions.TextFunctions.{charShingleSketch, charShingles}
+    // base carries ONLY the ~60-byte sketch per doc — the full gram
+    // arrays (~5 KB/doc) are re-derived at verify time for just the
+    // candidate docs (same payload-refetch shape as dedup_embedding's
+    // per-candidate vector fetch), so the barrier materializes MBs,
+    // not GBs, at 100× scale
+    val base = Tables.spread(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"),
+        charShingleSketch(col("text"), JaccardSketch).as("sk"))
+      .select(Seq(col("doc_id"),
+        col("sk").getItem(0).as("blk")) ++
+        (1 to JaccardSketch).map(k =>
+          col("sk").getItem(k).as(s"mh_$k")): _*)
       .repartition(col("doc_id"))
       // lazy barrier: same single-computation semantics (the blocks are
       // cached on first materialization), but plan-only consumers
@@ -223,11 +232,29 @@ object Dedup {
       .join(side("b"), Seq("blk"))
       .filter(col("doc_a") < col("doc_b") && agree >= 2)
       .select(col("doc_a"), col("doc_b"))
-    val sa = base.select(col("doc_id").as("doc_a"), col("cs").as("csa"))
-    val sb = base.select(col("doc_id").as("doc_b"), col("cs").as("csb"))
+      // surviving pairs are rare (sketch-filtered); pin them so the
+      // two verify sides below don't re-run the candidate join
+      .localCheckpoint(false)
+    // exact verify: re-derive the gram set for CANDIDATE docs only —
+    // semi-join the (doc_id, text) scan against the candidate ids
+    // BEFORE the shingle kernel runs, so gram arrays exist just for
+    // survivors (the sketch barrier above carries ~60 bytes/doc, not
+    // the ~5 KB gram payload). Then count the intersection in one
+    // hash-probe pass and derive the union: sets are distinct, so
+    // |∪| = |a| + |b| − |∩|.
+    def grams(tag: String) = Tables.load(s, dir, "documents")
+      .join(broadcast(cand.select(col(s"doc_$tag").as("doc_id")).distinct()),
+        Seq("doc_id"), "leftsemi")
+      .select(col("doc_id").as(s"doc_$tag"),
+        charShingles(col("text")).as(s"cs$tag"))
+    val sa = grams("a")
+    val sb = grams("b")
     cand.join(sa, "doc_a").join(sb, "doc_b")
-      .withColumn("n_inter", size(array_intersect(col("csa"), col("csb"))).cast("long"))
-      .withColumn("n_union", size(array_union(col("csa"), col("csb"))).cast("long"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.TextStatFunctions
+          .intersectCount(col("csa"), col("csb")).as("n_inter"),
+        (size(col("csa")) + size(col("csb"))).cast("long").as("n_both"))
+      .withColumn("n_union", col("n_both") - col("n_inter"))
       .filter(col("n_inter") * 10 >= col("n_union") * 3)
       .withColumn("jaccard_pct", expr("n_inter * 100 div n_union"))
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
@@ -243,8 +270,10 @@ object Dedup {
   }
 
   val dedupNgramJaccardOracle: String = {
+    // sketch component k = min over grams of the k-th disjoint 6-char
+    // window of the same md5 hex the blocking key minimizes
     val sketchCols = (1 to JaccardSketch).map(k =>
-      s"list_min(list_transform(cs, x -> md5('s$k:' || x))) AS mh_$k")
+      s"list_min(list_transform(cs, x -> substring(md5(x), ${(k - 1) * 6 + 1}, 6))) AS mh_$k")
       .mkString(",\n    ")
     val agree = (1 to JaccardSketch).map(k =>
       s"CASE WHEN a.mh_$k = b.mh_$k THEN 1 ELSE 0 END").mkString(" + ")
@@ -291,7 +320,7 @@ object Dedup {
     // codegen'd kernel: one md5 per token + majority vote per bit —
     // semantically identical to 16 `aggregate(toks, ...)` passes (the
     // SQL form below), which Catalyst would run interpreted
-    Tables.load(s, dir, "documents")
+    Tables.spread(Tables.load(s, dir, "documents"))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("simhash",
         graft.functions.TextFunctions.simhash16(col("toks")))

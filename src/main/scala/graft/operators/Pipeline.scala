@@ -24,7 +24,7 @@ object Pipeline {
     * hash shuffles (term cardinality ≈ vocabulary, far smaller than the
     * corpus) and a WindowGroupLimit for the top-k — no full sort. */
   def q36Tfidf(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(s, dir, "documents")
+    val docs = Tables.spread(Tables.load(s, dir, "documents"))
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token"))
@@ -70,13 +70,17 @@ object Pipeline {
     * one window + filter. Map-only except the single content-hash
     * shuffle. */
   def q37QualityFilter(s: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val base = Tables.load(s, dir, "documents")
+    // token + distinct counts from the single-pass TokenStats kernel
+    // (the HOF array_distinct form ran interpreted)
+    val base = Tables.spread(Tables.load(s, dir, "documents"))
       .select(col("doc_id"), col("lang"),
-        md5(norm(col("text"))).as("h"),
-        size(toks).cast("long").as("n_tokens"),
-        (size(array_distinct(toks)).cast("long") * 100)
-          .as("distinct_x100"))
+        md5(graft.functions.TextStatFunctions.normText(col("text")))
+          .as("h"),
+        graft.functions.TextStatFunctions.tokenStats(col("text"), Nil)
+          .as("st"))
+      .select(col("doc_id"), col("lang"), col("h"),
+        col("st").getItem(1).as("n_tokens"),
+        (col("st").getItem(2) * 100).as("distinct_x100"))
       .withColumn("ttr_pct", expr("distinct_x100 div n_tokens"))
     base
       .withColumn("survivor", min(col("doc_id")).over(Window.partitionBy(col("h"))))
@@ -123,10 +127,11 @@ object Pipeline {
     * GC-cleaned blocks vs an un-unpersisted cache) and bidirectional
     * star edges. */
   private def docGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val base = Tables.load(s, dir, "documents")
+    val base = Tables.spread(Tables.load(s, dir, "documents"))
       .select(col("doc_id"),
         graft.functions.TextFunctions.simhash16(tokens(col("text"))).as("sh"),
-        md5(concat_ws(" ", array_sort(tokens(col("text"))))).as("fb"))
+        // bag fingerprint via the regex/HOF-free BagNorm kernel
+        md5(graft.functions.TextStatFunctions.bagNorm(col("text"))).as("fb"))
       // barrier: sh/fb are each consumed by a window below — compute
       // the fingerprints once, not once per consumer. localCheckpoint
       // (not persist): same recompute barrier, but the blocks are
@@ -243,7 +248,7 @@ object Pipeline {
     * one projection, never through an exchange. */
   def q46Chunks(s: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
-    Tables.load(s, dir, "documents")
+    Tables.spread(Tables.load(s, dir, "documents"))
       .select(col("doc_id"), toks.as("toks"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       // n_chunks = 1 + ceil(max(0, n - size) / stride), integer form
@@ -337,7 +342,7 @@ object Pipeline {
     // codegen'd kernel (one loop per row) — the interpreted HOF form
     // (transform + md5 + concat_ws + slice per shingle) was the whole
     // cost of this query at 10× scale (44s → kernel speed at sf1)
-    val base = Tables.load(s, dir, "documents")
+    val base = Tables.spread(Tables.load(s, dir, "documents"))
       .select(col("doc_id"),
         graft.functions.TextFunctions.tokenShingleMd5(
           tokens(col("text")), k).as("sh"))

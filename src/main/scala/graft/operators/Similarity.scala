@@ -43,7 +43,9 @@ object Similarity {
     base(s, dir)
 
   private def base(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "embeddings")
+    // spread first so the quantization kernels run on all cores even
+    // when the corpus is a single unsplittable row group (bench data)
+    Tables.spread(Tables.load(s, dir, "embeddings"))
       .select(col("vec_id"), col("label"), ivec(col("embedding")).as("v"))
       .withColumn("sq", idot(col("v"), col("v")))
       // exchange barrier: stops CollapseProject from inlining the

@@ -27,18 +27,22 @@ object TextAnalysis {
 
   /** ta_stats: token counting + quality signals. Quality score =
     * integer percent of stopword tokens (a crude fluency proxy) plus
-    * length stats; `div` keeps it engine-exact. */
+    * length stats; `div` keeps it engine-exact. All four counts come
+    * from ONE single-pass kernel call ([[graft.functions.TokenStats]])
+    * — the previous `size(filter(...))`/`array_distinct` HOF forms ran
+    * interpreted and re-derived the token array per output column. */
   def taStats(s: SparkSession, dir: String): DataFrame = {
     val stop = Seq("the", "a", "of", "and", "in", "is", "to")
-    val toks = tokens(col("text"))
-    Tables.load(s, dir, "documents")
+    Tables.spread(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"),
+        graft.functions.TextStatFunctions.tokenStats(col("text"), stop)
+          .as("st"))
       .select(
         col("doc_id"),
-        length(norm(col("text"))).cast("long").as("n_chars_norm"),
-        size(toks).cast("long").as("n_tokens"),
-        size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
-        size(filter(toks, t => t.isin(stop.map(x => x: Any): _*)))
-          .cast("long").as("n_stopwords"))
+        col("st").getItem(0).as("n_chars_norm"),
+        col("st").getItem(1).as("n_tokens"),
+        col("st").getItem(2).as("n_distinct_tokens"),
+        col("st").getItem(3).as("n_stopwords"))
       .withColumn("stopword_pct",
         expr("n_stopwords * 100 div n_tokens"))
       .withColumn("ttr_pct", // type-token ratio as integer percent
@@ -67,14 +71,19 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "que", "y", "es"))
 
   /** ta_langid: language identification via marker-word counts, argmax
-    * with first-wins tie-break in fixed language order. */
+    * with first-wins tie-break in fixed language order. All four
+    * language scores come from ONE single-pass kernel call
+    * ([[graft.functions.TokenSetCounts]], bitmask dispatch) — the
+    * previous form paid 4 × (regex-normalize + split + interpreted
+    * HOF filter) per row. */
   def taLangId(s: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val scored = Tables.load(s, dir, "documents")
-      .select(Seq(col("doc_id"), col("lang").as("labeled_lang")) ++
-        langMarkers.map { case (l, ms) =>
-          size(filter(toks, t => t.isin(ms.map(x => x: Any): _*)))
-            .cast("long").as(s"score_$l")
+    val scored = Tables.spread(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        graft.functions.TextStatFunctions
+          .tokenSetCounts(col("text"), langMarkers.map(_._2)).as("sc"))
+      .select(Seq(col("doc_id"), col("labeled_lang")) ++
+        langMarkers.zipWithIndex.map { case ((l, _), i) =>
+          col("sc").getItem(i).as(s"score_$l")
         }: _*)
     // argmax, ties resolved by declaration order (en first)
     val pred = langMarkers.tail.foldLeft(
@@ -108,14 +117,19 @@ object TextAnalysis {
   /** ta_fingerprint: two content fingerprints — an order-sensitive md5
     * of the normal form, and an order-insensitive "bag" fingerprint of
     * the sorted token multiset (catches word-order permutations). */
-  def taFingerprint(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+  def taFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextStatFunctions.{bagNorm, normText}
+    // norm/bag via regex-free kernels; md5 is already codegen'd. The
+    // interpreted `array_sort` HOF and per-column regexp_replace are
+    // gone; values are bit-identical (ASCII sort order).
+    Tables.spread(Tables.load(s, dir, "documents"))
       .select(
         col("doc_id"),
-        md5(norm(col("text"))).as("fp_exact"),
-        md5(concat_ws(" ", array_sort(tokens(col("text"))))).as("fp_bag"),
-        substring(md5(norm(col("text"))), 1, 4).as("fp_bucket"))
+        md5(normText(col("text"))).as("fp_exact"),
+        md5(bagNorm(col("text"))).as("fp_bag"),
+        substring(md5(normText(col("text"))), 1, 4).as("fp_bucket"))
       .orderBy(col("doc_id"))
+  }
 
   val taFingerprintOracle: String =
     s"""SELECT doc_id,
@@ -132,16 +146,19 @@ object TextAnalysis {
   /** ta_tokens: token counting three ways — whitespace tokens, BPE-ish
     * regex tokens, and a polynomial rolling-hash fingerprint (kernel
     * expression; the fold is defined by the SQL in the oracle). */
-  def taTokens(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+  def taTokens(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextStatFunctions.{bpeCount, wsTokenCount}
+    // three independent single-pass kernels replace split-regex `size`
+    // and `regexp_count` over the (re-derived) normal form
+    Tables.spread(Tables.load(s, dir, "documents"))
       .select(
         col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("ws_tokens"),
-        regexp_count(norm(col("text")), lit(bpePattern)).cast("long")
-          .as("bpe_tokens"),
+        wsTokenCount(col("text")).as("ws_tokens"),
+        bpeCount(col("text")).as("bpe_tokens"),
         graft.functions.TextFunctions.rollingHash(col("text"))
           .as("rollhash"))
       .orderBy(col("doc_id"))
+  }
 
   val taTokensOracle: String =
     s"""SELECT doc_id,

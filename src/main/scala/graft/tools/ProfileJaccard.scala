@@ -18,23 +18,25 @@ object ProfileJaccard {
       val n = f
       println(f"$name%-22s n=$n%-10d ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
-    val base = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"),
-        graft.functions.TextFunctions.charShingles(col("text")).as("cs"))
-      .withColumn("blk", graft.functions.TextFunctions.minMd5(col("cs")))
-      .repartition(col("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    time("base materialize")(base.count())
-    val blocks = base.select(col("doc_id"), col("blk"))
-    time("block sizes top")(
-      blocks.groupBy("blk").count().orderBy(col("count").desc)
-        .limit(5).collect().map(_.getLong(1)).sum)
-    val cand = blocks.as("a")
-      .join(blocks.as("b"), col("a.blk") === col("b.blk") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    time("candidates")(cand.count())
-    time("full query")(graft.operators.Dedup.dedupNgramJaccard(spark, dir).count())
+    val K = graft.operators.Dedup.JaccardSketch
+    time("sketch pass only")(
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.charShingleSketch(col("text"), K)
+            .as("sk"))
+        .count())
+    time("shingle pass only")(
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.charShingles(col("text")).as("cs"))
+        .select(sum(size(col("cs")))).collect().head.getLong(0))
+    time("norm pass only")(
+      Tables.load(spark, dir, "documents")
+        .select(graft.functions.TextStatFunctions.normText(col("text"))
+          .as("nt"))
+        .select(sum(length(col("nt")))).collect().head.getLong(0))
+    time("full query x1")(graft.operators.Dedup.dedupNgramJaccard(spark, dir).count())
+    time("full query x2")(graft.operators.Dedup.dedupNgramJaccard(spark, dir).count())
     spark.stop()
   }
 }
