@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Multimodal, Pipeline, Relational, Relational2, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Pipeline, Pipeline2, Relational, Relational2, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -69,6 +69,11 @@ object SparkEntry {
     "q49_skew_agg" -> Relational2.q49SkewAgg,
     "q50_decontam" -> Pipeline.q50Decontam,
     "q51_mixture" -> Pipeline.q51Mixture,
+    "q52_repetition" -> Pipeline2.q52Repetition,
+    "q53_domain_cap" -> Pipeline2.q53DomainCap,
+    "q54_knn_classify" -> Pipeline2.q54KnnClassify,
+    "q55_cooccur_pmi" -> Pipeline2.q55CooccurPmi,
+    "q56_length_hist" -> Pipeline2.q56LengthHist,
     // training-data pipeline operators
     "ta_stats" -> TextAnalysis.taStats,
     "ta_langid" -> TextAnalysis.taLangId,
@@ -334,6 +339,11 @@ object SparkEntry {
     "q49_skew_agg" -> Relational2.q49SkewAggOracle,
     "q50_decontam" -> Pipeline.q50DecontamOracle,
     "q51_mixture" -> Pipeline.q51MixtureOracle,
+    "q52_repetition" -> Pipeline2.q52RepetitionOracle,
+    "q53_domain_cap" -> Pipeline2.q53DomainCapOracle,
+    "q54_knn_classify" -> Pipeline2.q54KnnClassifyOracle,
+    "q55_cooccur_pmi" -> Pipeline2.q55CooccurPmiOracle,
+    "q56_length_hist" -> Pipeline2.q56LengthHistOracle,
     "ta_stats" -> TextAnalysis.taStatsOracle,
     "ta_langid" -> TextAnalysis.taLangIdOracle,
     "ta_fingerprint" -> TextAnalysis.taFingerprintOracle,

@@ -141,6 +141,65 @@ object TextStatKernels {
     UTF8String.fromString(String.join(" ", t: _*))
   }
 
+  /** Repetition signals over the normal form's token stream in one
+    * pass: [n_tokens, top_token_cnt, top_bigram_cnt, n_trigrams,
+    * n_distinct_trigrams] — the inputs to Gopher-style repetitiveness
+    * filters (most-frequent-token share, most-frequent-bigram share,
+    * duplicate-trigram share). */
+  def repetitionStats(text: UTF8String): ArrayData = {
+    val t = toks(text)
+    val n = t.length
+    val uni = new java.util.HashMap[String, Int](n * 2)
+    var topUni = 0
+    var i = 0
+    while (i < n) {
+      val c = uni.merge(t(i), 1, (a, b) => a + b)
+      if (c > topUni) topUni = c
+      i += 1
+    }
+    val bi = new java.util.HashMap[String, Int](n * 2)
+    var topBi = 0
+    i = 0
+    while (i + 1 < n) {
+      val c = bi.merge(t(i) + " " + t(i + 1), 1, (a, b) => a + b)
+      if (c > topBi) topBi = c
+      i += 1
+    }
+    val tri = new java.util.HashSet[String](n * 2)
+    val nTri = math.max(0, n - 2)
+    i = 0
+    while (i + 2 < n) {
+      tri.add(t(i) + " " + t(i + 1) + " " + t(i + 2))
+      i += 1
+    }
+    new GenericArrayData(Array[Any](
+      n.toLong, topUni.toLong, topBi.toLong, nTri.toLong,
+      tri.size.toLong))
+  }
+
+  /** Raw consecutive n-gram strings of the normal form's tokens
+    * (space-joined, order-preserving, duplicates kept); empty array
+    * when the doc has fewer than `n` tokens. */
+  def tokenNgrams(text: UTF8String, n: Int): ArrayData = {
+    val t = toks(text)
+    val count = math.max(0, t.length - n + 1)
+    val out = new Array[Any](count)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var j = i
+      while (j < i + n) {
+        if (j > i) sb.append(' ')
+        sb.append(t(j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** |a ∩ b| for element-distinct string arrays — the size of
     * `array_intersect` without materializing the intersection (or the
     * union: |a ∪ b| = |a| + |b| − |a ∩ b| for distinct inputs). */
@@ -262,6 +321,33 @@ case class BagNorm(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** text → [n_tokens, top_token_cnt, top_bigram_cnt, n_trigrams,
+  * n_distinct_trigrams] repetition signals. */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "repetition_stats"
+  override def nullSafeEval(t: Any): Any =
+    TextStatKernels.repetitionStats(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextStatKernels.repetitionStats($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** text → consecutive n-gram strings of the normal form's tokens. */
+case class TokenNgrams(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "token_ngrams"
+  override def nullSafeEval(t: Any): Any =
+    TextStatKernels.tokenNgrams(t.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextStatKernels.tokenNgrams($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** text → BPE-ish pre-tokenizer match count over the normal form. */
 case class BpeCount(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -305,4 +391,8 @@ object TextStatFunctions {
     Bridge.column(BagNorm(Bridge.expression(c)))
   def intersectCount(a: Column, b: Column): Column =
     Bridge.column(IntersectCount(Bridge.expression(a), Bridge.expression(b)))
+  def repetitionStats(c: Column): Column =
+    Bridge.column(RepetitionStats(Bridge.expression(c)))
+  def tokenNgrams(c: Column, n: Int): Column =
+    Bridge.column(TokenNgrams(Bridge.expression(c), n))
 }

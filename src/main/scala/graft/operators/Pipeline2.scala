@@ -1,0 +1,277 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextStatFunctions
+import graft.operators.TextAnalysis.tokensSql
+
+/** Second block of training-data pipeline operators: repetition
+  * filters, per-domain capping, k-NN label voting, co-occurrence
+  * statistics, and corpus length profiling.
+  *
+  * Like `Pipeline`, everything is integer/md5-deterministic so the
+  * DuckDB oracle hash-matches, and every per-row text pass is a
+  * codegen'd kernel, not an interpreted HOF.
+  */
+object Pipeline2 {
+
+  /** q52: Gopher-style repetition signals — the share of a doc owned
+    * by its most frequent token / most frequent bigram, and the share
+    * of duplicated trigrams. All five counts come from ONE single-pass
+    * kernel ([[graft.functions.RepetitionStats]]); map-only + final
+    * sort, scales linearly with input splits. Short-doc guards use
+    * `greatest(_, 1)` so both engines divide identically. */
+  def q52Repetition(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"),
+        TextStatFunctions.repetitionStats(col("text")).as("st"))
+      .select(col("doc_id"),
+        col("st").getItem(0).as("n_tokens"),
+        col("st").getItem(1).as("top_token_cnt"),
+        col("st").getItem(2).as("top_bigram_cnt"),
+        (col("st").getItem(3) - col("st").getItem(4)).as("n_dup_trigrams"),
+        col("st").getItem(3).as("n_trigrams"))
+      .withColumn("top_token_pct",
+        expr("top_token_cnt * 100 div n_tokens"))
+      .withColumn("top_bigram_pct",
+        expr("top_bigram_cnt * 100 div greatest(n_tokens - 1, 1)"))
+      .withColumn("dup_trigram_pct",
+        expr("n_dup_trigrams * 100 div greatest(n_trigrams, 1)"))
+      .select(col("doc_id"), col("n_tokens"), col("top_token_cnt"),
+        col("top_token_pct"), col("top_bigram_pct"),
+        col("dup_trigram_pct"))
+      .orderBy(col("doc_id"))
+
+  val q52RepetitionOracle: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, $tokensSql AS toks FROM documents),
+       |topu AS (
+       |  SELECT doc_id, max(c) AS top_token_cnt FROM (
+       |    SELECT doc_id, g, count(*) AS c
+       |    FROM (SELECT doc_id, unnest(toks) AS g FROM base)
+       |    GROUP BY doc_id, g)
+       |  GROUP BY doc_id),
+       |topb AS (
+       |  SELECT doc_id, max(c) AS top_bigram_cnt FROM (
+       |    SELECT doc_id, g, count(*) AS c
+       |    FROM (SELECT doc_id,
+       |            unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+       |              i -> toks[i] || ' ' || toks[i + 1])) AS g
+       |          FROM base)
+       |    GROUP BY doc_id, g)
+       |  GROUP BY doc_id),
+       |tri AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+       |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS tg
+       |  FROM base)
+       |SELECT b.doc_id,
+       |  CAST(len(b.toks) AS BIGINT) AS n_tokens,
+       |  CAST(topu.top_token_cnt AS BIGINT) AS top_token_cnt,
+       |  CAST(topu.top_token_cnt * 100 // len(b.toks) AS BIGINT)
+       |    AS top_token_pct,
+       |  CAST(coalesce(topb.top_bigram_cnt, 0) * 100
+       |    // greatest(len(b.toks) - 1, 1) AS BIGINT) AS top_bigram_pct,
+       |  CAST((len(tri.tg) - len(list_distinct(tri.tg))) * 100
+       |    // greatest(len(tri.tg), 1) AS BIGINT) AS dup_trigram_pct
+       |FROM base b
+       |JOIN topu USING (doc_id)
+       |LEFT JOIN topb USING (doc_id)
+       |JOIN tri USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  val DomainCap = 15
+
+  /** q53: per-domain (source) capping — keep at most [[DomainCap]]
+    * docs per source, chosen by a deterministic content-hash priority
+    * (md5 of the doc id), the standard move to stop one domain from
+    * dominating a training mix. One hash-shuffle on source; the
+    * rank ≤ k filter compiles to WindowGroupLimit (per-partition
+    * top-k heaps, no full per-source sort), which is exactly the
+    * 100 TB shape — a skewed source never materializes beyond k rows
+    * per map task. */
+  def q53DomainCap(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit("cap:"), col("doc_id"))).as("pri"))
+      .withColumn("rk", row_number()
+        .over(Window.partitionBy(col("source"))
+          .orderBy(col("pri").asc, col("doc_id").asc)).cast("long"))
+      .filter(col("rk") <= DomainCap)
+      .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy(col("source"), col("rk"))
+
+  val q53DomainCapOracle: String =
+    s"""SELECT doc_id, source, rk FROM (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY md5('cap:' || doc_id), doc_id) AS rk
+       |  FROM documents)
+       |WHERE rk <= $DomainCap
+       |ORDER BY source, rk""".stripMargin
+
+  val KnnK = 10
+
+  /** q54: k-NN label voting — classify held-out query vectors by the
+    * majority label of their [[KnnK]] nearest neighbors (integer dot
+    * product, exact). The query side (vec_id % 100 = 7) is tiny and
+    * broadcast; the corpus is scanned once — the same map-side-join
+    * shape as ann_brute, plus two small shuffles for the per-query
+    * rank and the vote count. Ties: higher dot wins, then lower
+    * vec_id; vote ties go to the smaller label. */
+  def q54KnnClassify(s: SparkSession, dir: String): DataFrame = {
+    import Similarity.{idot, ivec}
+    val iv = Tables.spread(Tables.load(s, dir, "embeddings"))
+      .select(col("vec_id"), col("label"), ivec(col("embedding")).as("v"))
+    val q = iv.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("q_id"), col("label").as("true_label"),
+        col("v").as("qv"))
+    val c = iv.filter(col("vec_id") % 100 =!= 7)
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("q_id"), col("true_label"), col("vec_id"), col("label"),
+        idot(col("qv"), col("v")).as("dot"))
+    val ranked = scored.withColumn("rk", row_number()
+      .over(Window.partitionBy(col("q_id"))
+        .orderBy(col("dot").desc, col("vec_id").asc)))
+      .filter(col("rk") <= KnnK)
+    ranked.groupBy(col("q_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("wr", row_number()
+        .over(Window.partitionBy(col("q_id"))
+          .orderBy(col("n_votes").desc, col("label").asc)))
+      .filter(col("wr") === 1)
+      .select(col("q_id"), col("true_label"),
+        col("label").as("pred_label"), col("n_votes"),
+        (col("label") === col("true_label")).cast("int").as("correct"))
+      .orderBy(col("q_id"))
+  }
+
+  val q54KnnClassifyOracle: String =
+    s"""WITH iv AS (
+       |  SELECT vec_id, label, ${Similarity.ivecSql} AS v FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS q_id, label AS true_label, v AS qv
+       |  FROM iv WHERE vec_id % 100 = 7),
+       |c AS (SELECT * FROM iv WHERE vec_id % 100 <> 7),
+       |scored AS (
+       |  SELECT q_id, true_label, c.vec_id, c.label,
+       |    CAST(list_sum(list_transform(range(1, len(qv) + 1),
+       |      i -> qv[i] * c.v[i])) AS BIGINT) AS dot
+       |  FROM q CROSS JOIN c),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY dot DESC, vec_id) AS rk FROM scored),
+       |votes AS (
+       |  SELECT q_id, true_label, label, count(*) AS n_votes
+       |  FROM ranked WHERE rk <= $KnnK GROUP BY 1, 2, 3),
+       |win AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY n_votes DESC, label) AS wr FROM votes)
+       |SELECT q_id, true_label, label AS pred_label, n_votes,
+       |  CAST(label = true_label AS INT) AS correct
+       |FROM win WHERE wr = 1 ORDER BY q_id""".stripMargin
+
+  val PmiMinSupport = 5
+  val PmiTopK = 50
+
+  /** q55: corpus bigram co-occurrence — top-[[PmiTopK]] consecutive
+    * word pairs by a scaled PMI lift `cnt_ab * total_tokens * 1000 /
+    * (cnt_a * cnt_b)` (integer; ranking-equivalent to PMI up to the
+    * constant total_bigrams/total_tokens factor — fits bigint up to
+    * ~10^9 corpus tokens, decimal beyond that). Shuffles are
+    * vocabulary-sized (token/bigram counts), never corpus-sized; the
+    * totals ride a 1-row broadcast and the top-k is a
+    * TakeOrderedAndProject, not a full sort. */
+  def q55CooccurPmi(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.load(s, dir, "documents"))
+    val uni = docs
+      .select(explode(TextStatFunctions.tokenNgrams(col("text"), 1)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+    val totalUni = uni.agg(sum(col("cnt")).as("total_uni"))
+    val bi = docs
+      .select(explode(TextStatFunctions.tokenNgrams(col("text"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cnt_ab"))
+      .filter(col("cnt_ab") >= PmiMinSupport)
+    bi
+      .withColumn("tok_a", split(col("bigram"), " ").getItem(0))
+      .withColumn("tok_b", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("g").as("tok_a"), col("cnt").as("cnt_a")), "tok_a")
+      .join(uni.select(col("g").as("tok_b"), col("cnt").as("cnt_b")), "tok_b")
+      .crossJoin(broadcast(totalUni))
+      .withColumn("pmi_scaled",
+        expr("cnt_ab * total_uni * 1000 div (cnt_a * cnt_b)"))
+      .select(col("bigram"), col("cnt_ab"), col("cnt_a"), col("cnt_b"),
+        col("pmi_scaled"))
+      .orderBy(col("pmi_scaled").desc, col("bigram").asc)
+      .limit(PmiTopK)
+  }
+
+  val q55CooccurPmiOracle: String =
+    s"""WITH toks AS (
+       |  SELECT $tokensSql AS t FROM documents),
+       |uni AS (
+       |  SELECT g, count(*) AS cnt
+       |  FROM (SELECT unnest(t) AS g FROM toks) GROUP BY g),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_uni FROM uni),
+       |bi AS (
+       |  SELECT bigram, count(*) AS cnt_ab FROM (
+       |    SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+       |      i -> t[i] || ' ' || t[i + 1])) AS bigram FROM toks)
+       |  GROUP BY bigram HAVING count(*) >= $PmiMinSupport)
+       |SELECT bigram, CAST(cnt_ab AS BIGINT) AS cnt_ab,
+       |  CAST(ua.cnt AS BIGINT) AS cnt_a, CAST(ub.cnt AS BIGINT) AS cnt_b,
+       |  CAST(cnt_ab * total_uni * 1000 // (ua.cnt * ub.cnt) AS BIGINT)
+       |    AS pmi_scaled
+       |FROM bi
+       |JOIN uni ua ON ua.g = string_split(bigram, ' ')[1]
+       |JOIN uni ub ON ub.g = string_split(bigram, ' ')[2]
+       |CROSS JOIN tot
+       |ORDER BY pmi_scaled DESC, bigram ASC
+       |LIMIT $PmiTopK""".stripMargin
+
+  val HistBucketWidth = 20
+  val HistMaxBucket = 19
+
+  /** q56: corpus length profiling — a fixed-width histogram of
+    * whitespace token counts per language, with each bucket's share of
+    * its language. One (lang, bucket) shuffle over kernel-counted
+    * lengths + a lang-partitioned window on the tiny aggregate;
+    * map-only otherwise. */
+  def q56LengthHist(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.load(s, dir, "documents"))
+      .select(col("lang"),
+        TextStatFunctions.wsTokenCount(col("text")).as("n_tokens"))
+      .withColumn("bucket",
+        least(expr(s"n_tokens div $HistBucketWidth"), lit(HistMaxBucket.toLong)))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("lang_total",
+        sum(col("n_docs")).over(Window.partitionBy(col("lang"))))
+      .withColumn("pct_of_lang", expr("n_docs * 100 div lang_total"))
+      .select(col("lang"), col("bucket"),
+        (col("bucket") * HistBucketWidth).as("bucket_lo"),
+        col("n_docs"), col("sum_tokens"), col("pct_of_lang"))
+      .orderBy(col("lang"), col("bucket"))
+
+  val q56LengthHistOracle: String =
+    s"""WITH lens AS (
+       |  SELECT lang,
+       |    CAST(len($tokensSql) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |buckets AS (
+       |  SELECT lang,
+       |    least(n_tokens // $HistBucketWidth, $HistMaxBucket) AS bucket,
+       |    count(*) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+       |  FROM lens GROUP BY 1, 2)
+       |SELECT lang, bucket,
+       |  CAST(bucket * $HistBucketWidth AS BIGINT) AS bucket_lo,
+       |  n_docs, sum_tokens,
+       |  CAST(n_docs * 100 // sum(n_docs) OVER (PARTITION BY lang)
+       |    AS BIGINT) AS pct_of_lang
+       |FROM buckets
+       |ORDER BY lang, bucket""".stripMargin
+}

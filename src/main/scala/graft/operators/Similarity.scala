@@ -22,7 +22,7 @@ object Similarity {
   /** embedding (array<float>) → exact integer milli-vector. */
   def ivec(c: Column): Column =
     transform(c, x => round(x.cast("double") * 1000).cast("long"))
-  private val ivecSql =
+  private[operators] val ivecSql =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
   /** Integer dot product of two milli-vectors (exact) — a custom

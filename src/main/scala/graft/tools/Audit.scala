@@ -64,8 +64,10 @@ object PlanAudit {
 
   /** Queries whose broadcast non-equi join is the intended physical
     * shape: a constant-size broadcast side (band table, count-1 row,
-    * <=10 query vectors) against one fact scan — no shuffle of the
-    * fact side, which is the right plan at any fact-side scale. */
+    * <=10 query vectors, 1-row corpus totals) against one fact scan —
+    * no shuffle of the fact side, which is the right plan at any
+    * fact-side scale. */
   val intendedNonEqui: Set[String] =
-    Set("q30_range_join", "q36_tfidf", "ann_brute", "ann_ivf")
+    Set("q30_range_join", "q36_tfidf", "ann_brute", "ann_ivf",
+      "q54_knn_classify", "q55_cooccur_pmi")
 }

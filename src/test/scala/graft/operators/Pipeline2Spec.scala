@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Semantic pins for the second pipeline block (the oracle gate checks
+  * exact values; these pin the operator CONTRACTS — cap respected,
+  * votes bounded, shares in range — on the smallest corpus). */
+class Pipeline2Spec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("q52: repetition shares are integer percents in [0, 100]") {
+    val bad = Pipeline2.q52Repetition(spark, dir)
+      .filter(col("top_token_pct") < 0 || col("top_token_pct") > 100 ||
+        col("top_bigram_pct") < 0 || col("top_bigram_pct") > 100 ||
+        col("dup_trigram_pct") < 0 || col("dup_trigram_pct") > 100)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("q53: no source exceeds the cap; ranks are 1..k dense per source") {
+    val out = Pipeline2.q53DomainCap(spark, dir)
+    val over = out.groupBy("source").count()
+      .filter(col("count") > Pipeline2.DomainCap).count()
+    assert(over == 0)
+    val badRank = out.groupBy("source")
+      .agg(min("rk").as("lo"), max("rk").as("hi"), count(lit(1)).as("n"))
+      .filter(col("lo") =!= 1 || col("hi") =!= col("n")).count()
+    assert(badRank == 0)
+  }
+
+  test("q54: one row per query; votes in [1, k]; labels from the corpus domain") {
+    val out = Pipeline2.q54KnnClassify(spark, dir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("q_id")).distinct.length == rows.length)
+    assert(rows.forall { r =>
+      val v = r.getAs[Long]("n_votes")
+      v >= 1 && v <= Pipeline2.KnnK
+    })
+    assert(rows.forall(r => (0 to 9).contains(r.getAs[Int]("pred_label"))))
+  }
+
+  test("q55: top-k size bound, support floor, strict output ordering") {
+    val rows = Pipeline2.q55CooccurPmi(spark, dir).collect()
+    assert(rows.length <= Pipeline2.PmiTopK && rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("cnt_ab") >= Pipeline2.PmiMinSupport))
+    val scores = rows.map(r =>
+      (r.getAs[Long]("pmi_scaled"), r.getAs[String]("bigram")))
+    assert(scores.sameElements(
+      scores.sortBy { case (s, b) => (-s, b) }))
+  }
+
+  test("q56: per-lang shares sum to ~100 and buckets stay in range") {
+    val out = Pipeline2.q56LengthHist(spark, dir)
+    val badBucket = out
+      .filter(col("bucket") < 0 || col("bucket") > Pipeline2.HistMaxBucket)
+      .count()
+    assert(badBucket == 0)
+    // integer div loses <1% per bucket; the sum must land in (100-n, 100]
+    val sums = out.groupBy("lang")
+      .agg(sum("pct_of_lang").as("p"), count(lit(1)).as("n")).collect()
+    assert(sums.forall { r =>
+      val p = r.getAs[Long]("p"); val n = r.getAs[Long]("n")
+      p <= 100 && p > 100 - n
+    })
+  }
+}
