@@ -66,6 +66,26 @@ object EventsStream {
         col("purchase_id"), col("click_time"), col("purchase_time"))
   }
 
+  /** Streaming deduplication — the stream twin of dedup_exact: drop
+    * repeated payloads by content hash while the event-time watermark
+    * bounds the dedup state (an unbounded-state `dropDuplicates`
+    * would OOM on an infinite stream; `dropDuplicatesWithinWatermark`
+    * evicts hashes once they age past the watermark, which is the
+    * only state contract that survives at ingest scale). */
+  def dedupedEvents(spark: SparkSession, dir: String,
+      watermark: String = "1 hour"): DataFrame = {
+    spark.readStream
+      .schema(eventsSchema)
+      .parquet(dir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withColumn("h",
+        md5(concat_ws(":", col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long"))))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("h")
+      .select(col("event_id"), col("event_time"), col("h"))
+  }
+
   /** Sliding-window variant (overlapping windows, same watermark). */
   def slidingCounts(spark: SparkSession, dir: String): DataFrame = {
     spark.readStream

@@ -69,6 +69,31 @@ class StreamingSpec extends AnyFunSuite {
       s"stream join found ${rows.length}, batch join $expected")
   }
 
+  test("streaming dedup matches the batch distinct-hash count") {
+    val sfDir = "/root/testdata/sf0.001"
+    val streamDir = Files.createTempDirectory("events-dedup")
+    Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val q = EventsStream.dedupedEvents(spark, streamDir.toString)
+      .writeStream.format("memory").queryName("ev_dedup")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("ev_dedup")
+    val batchDistinct = spark.read
+      .schema(EventsStream.eventsSchema)
+      .parquet(s"$sfDir/events.parquet")
+      .select(md5(concat_ws(":", col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long"))).as("h"))
+      .distinct().count()
+    // one batch, so the watermark never evicts mid-stream: the kept
+    // set is exactly one event per distinct hash
+    assert(streamed.count() == batchDistinct, "one survivor per hash")
+    assert(streamed.select("h").distinct().count() == batchDistinct)
+  }
+
   test("flatMapGroupsWithState sessionization emits valid sessions") {
     val sfDir = "/root/testdata/sf0.001"
     val streamDir = Files.createTempDirectory("events-sessions")
