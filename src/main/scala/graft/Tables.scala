@@ -28,7 +28,11 @@ object Tables {
     * partitions than the session's parallelism, so it never adds a
     * full-corpus shuffle at scale. Call it AFTER pushable filters so
     * predicate/column pushdown still reaches the scan below the
-    * exchange. */
+    * exchange. Do NOT spread a scan that feeds straight into a join
+    * shuffle or a collapsing partial aggregate — there the only
+    * below-shuffle work is decode+serialize, and the extra exchange
+    * re-pays the full row volume for nothing (measured 2× slower on
+    * the TPC-H aggregates). */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df

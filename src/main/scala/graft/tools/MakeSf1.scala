@@ -95,7 +95,14 @@ object MakeSf1 {
           transformed.drop("rep")
         case None => base
       }
-      scaled.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      // realistic splittable layout: a production corpus arrives as
+      // many files/row groups, never as one unsplittable blob — write
+      // the big tables as 16 files so scan stages parallelize the way
+      // they would on a real cluster (tiny dims stay single-file)
+      val nFiles = if (Seq("lineitem", "orders", "events", "documents",
+        "embeddings", "customer", "part").contains(name)) 16 else 1
+      scaled.repartition(nFiles)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
       System.err.println(s"[make-sf1] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
     }
     spark.stop()
