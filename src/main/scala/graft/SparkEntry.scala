@@ -74,6 +74,7 @@ object SparkEntry {
     "q54_knn_classify" -> Pipeline2.q54KnnClassify,
     "q55_cooccur_pmi" -> Pipeline2.q55CooccurPmi,
     "q56_length_hist" -> Pipeline2.q56LengthHist,
+    "q57_incremental_agg" -> Pipeline2.q57IncrementalAgg,
     // training-data pipeline operators
     "ta_stats" -> TextAnalysis.taStats,
     "ta_langid" -> TextAnalysis.taLangId,
@@ -344,6 +345,7 @@ object SparkEntry {
     "q54_knn_classify" -> Pipeline2.q54KnnClassifyOracle,
     "q55_cooccur_pmi" -> Pipeline2.q55CooccurPmiOracle,
     "q56_length_hist" -> Pipeline2.q56LengthHistOracle,
+    "q57_incremental_agg" -> Pipeline2.q57IncrementalAggOracle,
     "ta_stats" -> TextAnalysis.taStatsOracle,
     "ta_langid" -> TextAnalysis.taLangIdOracle,
     "ta_fingerprint" -> TextAnalysis.taFingerprintOracle,

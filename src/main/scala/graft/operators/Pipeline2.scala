@@ -232,6 +232,50 @@ object Pipeline2 {
        |ORDER BY pmi_scaled DESC, bigram ASC
        |LIMIT $PmiTopK""".stripMargin
 
+  /** q57: incremental materialized-view maintenance — refresh a daily
+    * per-type aggregate from a stored base aggregate plus a delta of
+    * new arrivals, WITHOUT rescanning base rows. The merge works
+    * because the aggregates are algebraic (count/sum merge by sum,
+    * min/max by min/max); the base partial is pinned behind a
+    * localCheckpoint to model the stored view. Refresh cost is
+    * O(delta + |view|) — the nightly-MV pattern at warehouse scale.
+    * countDistinct is deliberately absent: it is NOT mergeable from
+    * partials (that is what q22's HLL sketches are for). The oracle is
+    * the full recompute over all events — the merged view must be
+    * bit-identical to it. */
+  def q57IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    import Relational.cents
+    val ev = Tables.load(s, dir, "events")
+      .select((expr("ts div 86400000000000") * 86400L).as("day"),
+        col("event_type"), col("event_id"), cents(col("value")).as("vc"))
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(col("vc")).as("cents"),
+          min(col("vc")).as("vmin"), max(col("vc")).as("vmax"))
+    // the "stored" view: everything but the newest modular slice
+    val baseAgg = partial(ev.filter(col("event_id") % 10 =!= 9))
+      .localCheckpoint(false)
+    val deltaAgg = partial(ev.filter(col("event_id") % 10 === 9))
+    baseAgg.unionByName(deltaAgg)
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("cnt")).as("n_events"),
+        sum(col("cents")).as("value_cents"),
+        min(col("vmin")).as("min_cents"),
+        max(col("vmax")).as("max_cents"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  val q57IncrementalAggOracle: String =
+    """SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day,
+      |  event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |    AS value_cents,
+      |  CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |    AS min_cents,
+      |  CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |    AS max_cents
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val HistBucketWidth = 20
   val HistMaxBucket = 19
 

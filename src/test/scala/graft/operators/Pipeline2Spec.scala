@@ -54,6 +54,19 @@ class Pipeline2Spec extends AnyFunSuite {
       scores.sortBy { case (s, b) => (-s, b) }))
   }
 
+  test("q57: merged base+delta partials equal the full recompute") {
+    import org.apache.spark.sql.functions._
+    val merged = Pipeline2.q57IncrementalAgg(spark, dir)
+    val full = graft.Tables.load(spark, dir, "events")
+      .groupBy((expr("ts div 86400000000000") * 86400L).as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"),
+        min(round(col("value") * 100).cast("long")).as("min_cents"),
+        max(round(col("value") * 100).cast("long")).as("max_cents"))
+    assert(merged.exceptAll(full).isEmpty && full.exceptAll(merged).isEmpty)
+  }
+
   test("q56: per-lang shares sum to ~100 and buckets stay in range") {
     val out = Pipeline2.q56LengthHist(spark, dir)
     val badBucket = out

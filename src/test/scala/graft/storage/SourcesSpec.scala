@@ -28,6 +28,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(json.exceptAll(nation).isEmpty && nation.exceptAll(json).isEmpty)
   }
 
+  test("partitioned sink: a type filter prunes partitions at the scan") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val dir = Files.createTempDirectory("sink-part")
+    // hive-style layout — at 100 TB this (plus bucketing) is what makes
+    // a selective read touch one directory instead of the whole corpus
+    events.write.partitionBy("event_type").parquet(s"$dir/events_p")
+    val back = spark.read.parquet(s"$dir/events_p")
+      .filter(col("event_type") === "click")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("event_type"), "filter must prune at partition level")
+    val expected = events.filter(col("event_type") === "click").count()
+    assert(back.count() == expected)
+    // the pruned scan reads strictly fewer files than the full table
+    val all = spark.read.parquet(s"$dir/events_p")
+    assert(back.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .mkString.contains("click"))
+    assert(all.count() > expected)
+  }
+
   test("BucketRoute matches driver-side bucketOf for every pk type") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
