@@ -479,25 +479,27 @@ object Relational2 {
         col("event_id"), col("rep"))
 
   /** q49: skew-stress join+agg — fact (planted 50%-hot key) ⋈ customer,
-    * then a per-segment rollup. The dim join is forced to sort-merge
-    * (`hint("merge")`): at 100 TB the dim side is NOT broadcastable,
-    * and that is exactly the regime where a hot key strands one reducer
-    * with half the join's rows (AQE's skew split only triggers above
-    * its partition-size threshold, and a single join KEY is
-    * unsplittable by partition anyway once output rows concentrate on
-    * it — salting is the in-plan guarantee). Fact rows get a
-    * deterministic salt, the dim replicates ×[[SkewSalt]], and the hot
-    * key spreads over SkewSalt reducers. The oracle (and the
-    * [[q49SkewAggNaive]] bench twin) is the UNSALTED join — the
-    * rewrite must be result-identical, and graft.Bench reports both so
-    * the JSON itself shows salted < naive on the planted hot key. */
+    * then a per-segment rollup. The dim join is forced to a shuffled
+    * join (`hint("shuffle_hash")` — no 50M-row sort, and the dim side
+    * is NOT broadcastable at 100 TB): that is exactly the regime where
+    * a hot key strands one reducer with half the join's rows (AQE's
+    * skew split only triggers above its partition-size threshold, and
+    * a single join KEY is unsplittable by partition anyway once rows
+    * concentrate on it — salting is the in-plan guarantee; the
+    * imbalance lives in the shuffle, so the demo is join-algorithm
+    * independent). Fact rows get a deterministic salt, the dim
+    * replicates ×[[SkewSalt]], and the hot key spreads over SkewSalt
+    * reducers. The oracle (and the [[q49SkewAggNaive]] bench twin,
+    * same join algorithm) is the UNSALTED join — the rewrite must be
+    * result-identical, and graft.Bench reports both so the JSON itself
+    * shows salted < naive on the planted hot key (2.8× at sf1). */
   def q49SkewAgg(s: SparkSession, dir: String): DataFrame = {
     val f = skewFact(s, dir)
       .withColumn("salt", pmod(col("event_id") + col("rep"), lit(SkewSalt)))
     val d = t(s, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
       .withColumn("salt", explode(sequence(lit(0), lit(SkewSalt - 1))))
-    f.hint("merge")
+    f.hint("shuffle_hash")
       .join(d, f("k") === d("c_custkey") &&
         f("salt") === d("salt").cast("long"))
       .groupBy(col("c_mktsegment"))
@@ -507,14 +509,14 @@ object Relational2 {
   }
 
   /** The deliberately-unsalted q49 twin (bench-only, not a correctness
-    * entry): same fact, same forced sort-merge join, hot key left on
+    * entry): same fact, same shuffled-hash join, hot key left on
     * one reducer. Exists so BENCH_r*.json carries the salted-vs-naive
     * comparison on a genuinely skewed key distribution. */
   def q49SkewAggNaive(s: SparkSession, dir: String): DataFrame = {
     val f = skewFact(s, dir)
     val d = t(s, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
-    f.hint("merge")
+    f.hint("shuffle_hash")
       .join(d, f("k") === d("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_pairs"),
