@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Multimodal, Pipeline, Pipeline2, Relational, Relational2, Similarity, TextAnalysis}
+import graft.operators.{Behavior, Dedup, Multimodal, Pipeline, Pipeline2, Relational, Relational2, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -75,6 +75,9 @@ object SparkEntry {
     "q55_cooccur_pmi" -> Pipeline2.q55CooccurPmi,
     "q56_length_hist" -> Pipeline2.q56LengthHist,
     "q57_incremental_agg" -> Pipeline2.q57IncrementalAgg,
+    "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
+    "q59_retention" -> Behavior.q59Retention,
+    "q60_funnel" -> Behavior.q60Funnel,
     // training-data pipeline operators
     "ta_stats" -> TextAnalysis.taStats,
     "ta_langid" -> TextAnalysis.taLangId,
@@ -346,6 +349,9 @@ object SparkEntry {
     "q55_cooccur_pmi" -> Pipeline2.q55CooccurPmiOracle,
     "q56_length_hist" -> Pipeline2.q56LengthHistOracle,
     "q57_incremental_agg" -> Pipeline2.q57IncrementalAggOracle,
+    "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
+    "q59_retention" -> Behavior.q59RetentionOracle,
+    "q60_funnel" -> Behavior.q60FunnelOracle,
     "ta_stats" -> TextAnalysis.taStatsOracle,
     "ta_langid" -> TextAnalysis.taLangIdOracle,
     "ta_fingerprint" -> TextAnalysis.taFingerprintOracle,

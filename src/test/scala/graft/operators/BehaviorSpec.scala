@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkSpec, Tables}
+
+/** Contract pins for the behavioral trio (exact values are
+  * oracle-gated; these pin the invariants). */
+class BehaviorSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("q58: sessions partition the event stream and never run backwards") {
+    val sess = Behavior.q58SessionizeBatch(spark, dir)
+    val totalEvents = Tables.load(spark, dir, "events").count()
+    assert(sess.agg(sum("n_events")).head.getLong(0) == totalEvents)
+    assert(sess.filter(col("t_end") < col("t_start")).count() == 0)
+    assert(sess.filter(col("duration_sec") < 0).count() == 0)
+    // sids are dense 1..n per user
+    val badSid = sess.groupBy("user_id")
+      .agg(min("sid").as("lo"), max("sid").as("hi"),
+        count(lit(1)).as("n"))
+      .filter(col("lo") =!= 1 || col("hi") =!= col("n")).count()
+    assert(badSid == 0)
+  }
+
+  test("q59: the offset-0 cell holds the whole cohort; cells never exceed it") {
+    val r = Behavior.q59Retention(spark, dir)
+    val day0 = r.filter(col("offset_days") === 0)
+      .select(col("cohort_day"), col("n_users").as("cohort_size"))
+    val over = r.join(day0, "cohort_day")
+      .filter(col("n_users") > col("cohort_size")).count()
+    assert(over == 0)
+    val cohortTotal = day0.agg(sum("cohort_size")).head.getLong(0)
+    val userTotal = Tables.load(spark, dir, "events")
+      .select(countDistinct("user_id")).head.getLong(0)
+    assert(cohortTotal == userTotal, "every user belongs to exactly one cohort")
+  }
+
+  test("q60: funnel states partition the user population") {
+    val f = Behavior.q60Funnel(spark, dir).collect()
+    val userTotal = Tables.load(spark, dir, "events")
+      .select(countDistinct("user_id")).head.getLong(0)
+    assert(f.map(_.getAs[Long]("n_users")).sum == userTotal)
+    val states = f.map(_.getAs[String]("state")).toSet
+    assert(states.subsetOf(Set("no_click", "clicked_only", "converted")))
+  }
+}
