@@ -93,6 +93,7 @@ object SparkEntry {
     "ann_lsh" -> Similarity.annLsh,
     "mm_features" -> Multimodal.mmFeatures,
     "mm_decode" -> Multimodal.mmDecode,
+    "mm_frames" -> Multimodal.mmFrames,
   )
 
   /** Bench-only twins: timed and reported by [[graft.Bench]] alongside
@@ -366,5 +367,6 @@ object SparkEntry {
     "ann_lsh" -> Similarity.annLshOracle,
     "mm_features" -> Multimodal.mmFeaturesOracle,
     "mm_decode" -> Multimodal.mmDecodeOracle,
+    "mm_frames" -> Multimodal.mmFramesOracle,
   )
 }

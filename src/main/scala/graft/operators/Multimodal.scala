@@ -92,6 +92,53 @@ object Multimodal {
       |  CAST(strlen(text) // 100 AS BIGINT) AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  val FrameCount = 4
+  val FrameSize = 256
+
+  /** mm_frames: video-style frame sampling — slice [[FrameCount]]
+    * fixed-size windows at even strides from each opaque payload and
+    * fingerprint each. The plumbing is the real thing a video pipeline
+    * needs at 100 TB: a generator (posexplode) turns one payload row
+    * into bounded frame rows INSIDE the projection (no shuffle), rows
+    * stay narrow (offset + md5, never the frame bytes), and the slice
+    * arithmetic is pure per-row — linear in input splits. A real
+    * container format would swap the stride slicer for a keyframe
+    * index; the partitioning/explode shape is identical. */
+  def mmFrames(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n_bytes"))
+      .withColumn("stride", expr(s"n_bytes div $FrameCount"))
+      .select(col("doc_id"), col("text"), col("n_bytes"),
+        posexplode(expr(s"array_repeat(stride, $FrameCount)"))
+          .as(Seq("frame_idx", "st")))
+      .select(col("doc_id"), col("text"), col("n_bytes"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        (col("frame_idx") * col("st") + 1).as("frame_off"))
+      .withColumn("frame_md5",
+        md5(expr(s"substring(text, frame_off, $FrameSize)")))
+      .withColumn("frame_len",
+        least(lit(FrameSize.toLong),
+          greatest(col("n_bytes") - col("frame_off") + 1, lit(0L))))
+      .select(col("doc_id"), col("frame_idx"), col("frame_off"),
+        col("frame_len"), col("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  val mmFramesOracle: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, text,
+       |    CAST(strlen(text) AS BIGINT) AS n_bytes,
+       |    CAST(strlen(text) // $FrameCount AS BIGINT) AS stride,
+       |    unnest(range($FrameCount)) AS frame_idx
+       |  FROM documents)
+       |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       |  frame_idx * stride + 1 AS frame_off,
+       |  least($FrameSize, greatest(n_bytes - (frame_idx * stride + 1) + 1, 0))
+       |    AS frame_len,
+       |  md5(substring(text, CAST(frame_idx * stride + 1 AS INT), $FrameSize))
+       |    AS frame_md5
+       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
   // ---- mm_decode: the REAL decode branch under the oracle ----------
 
   /** (img_id, width, height) of the deterministic PNG corpus. */

@@ -46,4 +46,15 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(2).getAs[Int]("height") == n % 480)
     assert(rows(2).getAs[String]("fp").length == 32)
   }
+
+  test("mm_frames emits exactly FrameCount bounded slices per payload") {
+    import org.apache.spark.sql.functions._
+    val f = Multimodal.mmFrames(SparkSpec.spark, "/root/testdata/sf0.001")
+    val perDoc = f.groupBy("doc_id").count()
+      .filter(col("count") =!= Multimodal.FrameCount).count()
+    assert(perDoc == 0)
+    assert(f.filter(col("frame_len") > Multimodal.FrameSize ||
+      col("frame_len") < 0).count() == 0)
+    assert(f.filter(length(col("frame_md5")) =!= 32).count() == 0)
+  }
 }
