@@ -431,6 +431,11 @@ object Relational {
   def q22Approx(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
       .withColumn("pc", cents(col("l_extendedprice")))
+    // both countDistincts ride ONE scan: the distinct rewrite's Expand
+    // doubles rows through the shuffle, but Long counters are the only
+    // per-group state (the q22 lesson bans multi-KB buffers here, not
+    // counters) — measured equal to split single-distinct aggs
+    // locally, and one scan beats two at 100 TB
     val counts = li
       .groupBy(col("l_returnflag"))
       .agg(
