@@ -75,6 +75,7 @@ object SparkEntry {
     "q55_cooccur_pmi" -> Pipeline2.q55CooccurPmi,
     "q56_length_hist" -> Pipeline2.q56LengthHist,
     "q57_incremental_agg" -> Pipeline2.q57IncrementalAgg,
+    "q61_pagerank" -> Pipeline2.q61Pagerank,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -350,6 +351,7 @@ object SparkEntry {
     "q55_cooccur_pmi" -> Pipeline2.q55CooccurPmiOracle,
     "q56_length_hist" -> Pipeline2.q56LengthHistOracle,
     "q57_incremental_agg" -> Pipeline2.q57IncrementalAggOracle,
+    "q61_pagerank" -> Pipeline2.q61PagerankOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,

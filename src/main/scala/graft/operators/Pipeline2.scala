@@ -276,6 +276,86 @@ object Pipeline2 {
       |    AS max_cents
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  val PrRounds = 3
+
+  /** q61: PageRank over the simhash near-dup graph —
+    * [[PrRounds]] synchronous rounds of integer-scaled rank flow
+    * (`r' = 150 + 0.85·Σ contrib`, everything ×1000 in bigints with
+    * truncating division, so both engines agree bit-for-bit). Star
+    * edges (group-min ↔ member) keep the edge set O(group); each
+    * round is one edge-keyed join + one vertex-keyed agg — the
+    * hash-partitioned weighted-propagation shape (q38/q45's CC loop
+    * with per-edge arithmetic), no driver state. Fixed rounds keep it
+    * oracle-checkable; a production run iterates with per-round
+    * checkpoints like q45. */
+  def q61Pagerank(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.spread(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"),
+        graft.functions.TextFunctions
+          .simhash16(TextAnalysis.tokens(col("text"))).as("sh"))
+      .repartition(col("doc_id"))
+      .localCheckpoint(false) // sh feeds the window; ids reused below
+    val star = base
+      .withColumn("u", min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
+      .filter(col("u") =!= col("doc_id"))
+      .select(col("u"), col("doc_id").as("v"))
+    val bidir = star.union(star.select(col("v").as("u"), col("u").as("v")))
+    val deg = bidir.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val edges = bidir.join(deg, "u")
+      .repartition(col("u"))
+      .localCheckpoint(false) // reused every round
+    val ids = base.select(col("doc_id"))
+    var r = ids.withColumn("r", lit(1000L))
+    for (_ <- 1 to PrRounds) {
+      val contrib = edges
+        .join(r.withColumnRenamed("doc_id", "src"),
+          edges("u") === col("src"))
+        .select(col("v"), expr("r div d").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("s"))
+      r = ids.join(contrib, ids("doc_id") === contrib("v"), "left")
+        .select(ids("doc_id"),
+          expr("150 + (850 * coalesce(s, CAST(0 AS BIGINT))) div 1000")
+            .as("r"))
+    }
+    r.join(deg, r("doc_id") === deg("u"), "left")
+      .select(r("doc_id"), col("r").as("rank_x1000"),
+        coalesce(col("d"), lit(0L)).as("deg"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q61PagerankOracle: String = {
+    def round(prev: String, cur: String) =
+      s"""$cur AS (
+         |  SELECT b.doc_id,
+         |    CAST(150 + (850 * coalesce(t.s, 0)) // 1000 AS BIGINT) AS r
+         |  FROM documents b LEFT JOIN (
+         |    SELECT v, sum(r // d) AS s
+         |    FROM ed JOIN $prev p ON p.doc_id = ed.u GROUP BY v) t
+         |  ON t.v = b.doc_id)"""
+    val rounds = (1 to PrRounds)
+      .map(k => round(s"r${k - 1}", s"r$k")).mkString(",\n")
+    val sh = Dedup.simhashSql("toks")
+    s"""WITH base AS (
+       |  SELECT doc_id, CAST($sh AS BIGINT) AS sh
+       |  FROM (SELECT doc_id, $tokensSql AS toks FROM documents)),
+       |star AS (
+       |  SELECT doc_id AS v, min(doc_id) OVER (PARTITION BY sh) AS u
+       |  FROM base),
+       |e AS (SELECT u, v FROM star WHERE u <> v),
+       |bidir AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+       |deg AS (SELECT u, count(*) AS d FROM bidir GROUP BY u),
+       |ed AS (SELECT bidir.u, v, d FROM bidir JOIN deg USING (u)),
+       |r0 AS (SELECT doc_id, CAST(1000 AS BIGINT) AS r FROM documents),
+       |$rounds
+       |SELECT b.doc_id AS doc_id, r$PrRounds.r AS rank_x1000,
+       |  CAST(coalesce(deg.d, 0) AS BIGINT) AS deg
+       |FROM documents b
+       |JOIN r$PrRounds ON r$PrRounds.doc_id = b.doc_id
+       |LEFT JOIN deg ON deg.u = b.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   val HistBucketWidth = 20
   val HistMaxBucket = 19
 

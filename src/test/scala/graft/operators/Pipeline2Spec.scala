@@ -54,6 +54,21 @@ class Pipeline2Spec extends AnyFunSuite {
       scores.sortBy { case (s, b) => (-s, b) }))
   }
 
+  test("q61: isolated docs hold the teleport floor; every doc is ranked") {
+    import org.apache.spark.sql.functions._
+    // sf0.01: the smallest corpus whose near-dup graph is non-empty
+    val d01 = "/root/testdata/sf0.01"
+    val pr = Pipeline2.q61Pagerank(spark, d01)
+    val nDocs = graft.Tables.load(spark, d01, "documents").count()
+    assert(pr.count() == nDocs)
+    // deg=0 ⇔ rank is exactly the teleport term (150); linked docs
+    // receive flow on top of it
+    assert(pr.filter(col("deg") === 0 && col("rank_x1000") =!= 150)
+      .count() == 0)
+    assert(pr.filter(col("rank_x1000") < 150).count() == 0)
+    assert(pr.filter(col("deg") > 0).count() > 0, "graph must be non-trivial")
+  }
+
   test("q57: merged base+delta partials equal the full recompute") {
     import org.apache.spark.sql.functions._
     val merged = Pipeline2.q57IncrementalAgg(spark, dir)
