@@ -90,7 +90,16 @@ class CrudSpec extends AnyFunSuite {
   }
 
   test("create → read → update → delete golden cycle") {
-    val e = freshEngine()
+    goldenCycle(freshEngine())
+  }
+
+  test("golden cycle on the JSONL backend — the SPI is format-agnostic") {
+    val dir = Files.createTempDirectory("graft-store-jsonl").toString
+    goldenCycle(new CrudEngine(spark,
+      new graft.storage.JsonlBackend(spark, dir, buckets = 4)))
+  }
+
+  private def goldenCycle(e: CrudEngine): Unit = {
     val created = e.createOne(movie,
       """{"id":5,"name":"Heat","recommended":true}""")
     assert(created.isRight)
