@@ -79,6 +79,7 @@ object SparkEntry {
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
+    "q62_gapfill" -> Behavior.q62Gapfill,
     // training-data pipeline operators
     "ta_stats" -> TextAnalysis.taStats,
     "ta_langid" -> TextAnalysis.taLangId,
@@ -355,6 +356,7 @@ object SparkEntry {
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,
+    "q62_gapfill" -> Behavior.q62GapfillOracle,
     "ta_stats" -> TextAnalysis.taStatsOracle,
     "ta_langid" -> TextAnalysis.taLangIdOracle,
     "ta_fingerprint" -> TextAnalysis.taFingerprintOracle,

@@ -94,6 +94,64 @@ object Behavior {
       |FROM ev JOIN first USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q62: time-series gap-fill — densify the hourly per-type series
+    * over the observed hour range (missing cells get n_events = 0) and
+    * forward-fill the cents value from the last observed hour. The
+    * grid is (types × hours) — generated from two TINY aggregates
+    * (bounds + distinct types) and cross-joined broadcast-side, so the
+    * only big-data pass is the initial hourly aggregation; the
+    * forward-fill window runs over the dense grid, which is
+    * time-cardinality-sized, never event-sized. The gap-fill +
+    * LOCF (last-observation-carried-forward) pair is the standard
+    * sensor/metrics densification at warehouse scale. */
+  def q62Gapfill(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.load(s, dir, "events")
+      .groupBy(expr("ts div 3600000000000").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+    val bounds = hourly.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+    val hours = bounds
+      .select(explode(sequence(col("lo"), col("hi"))).as("hour"))
+    val types = Tables.load(s, dir, "events")
+      .select(col("event_type")).distinct()
+    val grid = broadcast(types).crossJoin(broadcast(hours))
+    val byType = Window.partitionBy(col("event_type"))
+      .orderBy(col("hour").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        col("cents"),
+        col("n").isNull.cast("int").as("filled"))
+      .withColumn("cents_locf",
+        coalesce(last(col("cents"), ignoreNulls = true).over(byType),
+          lit(0L)))
+      .select(col("event_type"), col("hour"), col("n_events"),
+        col("cents_locf"), col("filled"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  val q62GapfillOracle: String =
+    """WITH h AS (
+      |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour,
+      |    event_type, count(*) AS n,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM h),
+      |grid AS (
+      |  SELECT t.event_type, g.hour
+      |  FROM (SELECT DISTINCT event_type FROM events) t
+      |  CROSS JOIN (SELECT unnest(range(lo, hi + 1)) AS hour FROM bounds) g)
+      |SELECT event_type, hour,
+      |  coalesce(n, 0) AS n_events,
+      |  coalesce(last_value(cents IGNORE NULLS) OVER (
+      |    PARTITION BY event_type ORDER BY hour
+      |    ROWS UNBOUNDED PRECEDING), 0) AS cents_locf,
+      |  CAST(n IS NULL AS INT) AS filled
+      |FROM grid LEFT JOIN h USING (event_type, hour)
+      |ORDER BY event_type, hour""".stripMargin
+
   val FunnelWindowSec = 86400L
 
   /** q60: funnel conversion — per user: first click, first purchase

@@ -38,6 +38,18 @@ class BehaviorSpec extends AnyFunSuite {
     assert(cohortTotal == userTotal, "every user belongs to exactly one cohort")
   }
 
+  test("q62: the filled series is dense, gap rows are flagged, LOCF holds") {
+    val g = Behavior.q62Gapfill(spark, dir)
+    // dense grid: every (type, hour) combination exactly once
+    val types = g.select("event_type").distinct().count()
+    val hours = g.select("hour").distinct().count()
+    assert(g.count() == types * hours)
+    assert(g.filter(col("filled") === 1 && col("n_events") =!= 0).count() == 0)
+    // LOCF means cents never goes null and a filled row repeats some
+    // earlier observed value (or 0 before the first observation)
+    assert(g.filter(col("cents_locf").isNull).count() == 0)
+  }
+
   test("q60: funnel states partition the user population") {
     val f = Behavior.q60Funnel(spark, dir).collect()
     val userTotal = Tables.load(spark, dir, "events")
