@@ -83,6 +83,63 @@ object GraftExtensions {
     e.injectFunction((FunctionIdentifier("rolling_hash"),
       info("rolling_hash", "_FUNC_(text) - polynomial rolling hash of the normalized text"),
       (args: Seq[Expression]) => one(args, "rolling_hash")(RollingHash)))
+    // round-5 single-pass text kernels
+    e.injectFunction((FunctionIdentifier("norm_text"),
+      info("norm_text", "_FUNC_(text) - whitespace-collapsed lowercase normal form"),
+      (args: Seq[Expression]) => one(args, "norm_text")(NormText)))
+    e.injectFunction((FunctionIdentifier("ws_token_count"),
+      info("ws_token_count", "_FUNC_(text) - whitespace token count of the normal form"),
+      (args: Seq[Expression]) => one(args, "ws_token_count")(WsTokenCount)))
+    e.injectFunction((FunctionIdentifier("bag_norm"),
+      info("bag_norm", "_FUNC_(text) - sorted-token bag normal form"),
+      (args: Seq[Expression]) => one(args, "bag_norm")(BagNorm)))
+    e.injectFunction((FunctionIdentifier("bpe_count"),
+      info("bpe_count", "_FUNC_(text) - BPE-ish pre-tokenizer match count"),
+      (args: Seq[Expression]) => one(args, "bpe_count")(BpeCount)))
+    e.injectFunction((FunctionIdentifier("repetition_stats"),
+      info("repetition_stats", "_FUNC_(text) - [n_tokens, top_token, top_bigram, n_tri, n_tri_distinct]"),
+      (args: Seq[Expression]) => one(args, "repetition_stats")(RepetitionStats)))
+    e.injectFunction((FunctionIdentifier("intersect_count"),
+      info("intersect_count", "_FUNC_(a, b) - |a ∩ b| of two distinct string arrays"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => IntersectCount(a, b)
+        case _ => throw new IllegalArgumentException(
+          "intersect_count expects exactly 2 arguments")
+      }))
+    e.injectFunction((FunctionIdentifier("token_ngrams"),
+      info("token_ngrams", "_FUNC_(text, n) - consecutive n-gram strings (n literal)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, Literal(n: Int, _)) => TokenNgrams(t, n)
+        case _ => throw new IllegalArgumentException(
+          "token_ngrams expects (text, n-literal)")
+      }))
+    e.injectFunction((FunctionIdentifier("char_shingle_sketch"),
+      info("char_shingle_sketch", "_FUNC_(text, windows) - one-digest jaccard sketch (windows literal)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, Literal(w: Int, _)) => CharShingleSketch(t, w)
+        case _ => throw new IllegalArgumentException(
+          "char_shingle_sketch expects (text, windows-literal)")
+      }))
+    e.injectFunction((FunctionIdentifier("token_shingle_md5"),
+      info("token_shingle_md5", "_FUNC_(tokens, k) - md5 of each k-token window (k literal)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t, Literal(k: Int, _)) => TokenShingleMd5(t, k)
+        case _ => throw new IllegalArgumentException(
+          "token_shingle_md5 expects (tokens, k-literal)")
+      }))
+    e.injectFunction((FunctionIdentifier("token_stats"),
+      info("token_stats", "_FUNC_(text, stop...) - [n_chars_norm, n_tokens, n_distinct, n_in_stopset]"),
+      (args: Seq[Expression]) => args match {
+        case t +: stops if stops.forall {
+          case Literal(_: org.apache.spark.unsafe.types.UTF8String, _) => true
+          case _ => false
+        } => TokenStats(t, stops.map {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+            s.toString
+        })
+        case _ => throw new IllegalArgumentException(
+          "token_stats expects (text, stopword-literals...)")
+      }))
     out.result()
   }
 

@@ -39,5 +39,31 @@ class ExtensionsSpec extends AnyFunSuite {
       val expected = ((('a'.toLong * 31 + ' ') % m) * 31 + 'b') % m
       assert(row.getAs[Long]("rh") == expected)
     }
+    locally {
+      // round-5 kernels through the same SQL surface
+      val row = spark.sql(
+        """SELECT
+          |  norm_text('  A  b ') AS nt,
+          |  ws_token_count('a b c') AS wc,
+          |  bag_norm('b a c') AS bn,
+          |  bpe_count('ab 12 !') AS bc,
+          |  repetition_stats('a a b')[1] AS top_tok,
+          |  intersect_count(array('x','y'), array('y','z')) AS ic,
+          |  token_ngrams('a b c', 2) AS ng,
+          |  size(char_shingle_sketch('abcdefgh', 4)) AS css,
+          |  size(token_shingle_md5(array('a','b','c'), 2)) AS tsm,
+          |  token_stats('the cat', 'the')[3] AS n_stop""".stripMargin).head()
+      assert(row.getAs[String]("nt") == "a b")
+      assert(row.getAs[Long]("wc") == 3L)
+      assert(row.getAs[String]("bn") == "a b c")
+      assert(row.getAs[Long]("bc") == 3L)
+      assert(row.getAs[Long]("top_tok") == 2L)
+      assert(row.getAs[Long]("ic") == 1L)
+      assert(row.getSeq[String](row.fieldIndex("ng")).toList ==
+        List("a b", "b c"))
+      assert(row.getAs[Int]("css") == 5)
+      assert(row.getAs[Int]("tsm") == 2)
+      assert(row.getAs[Long]("n_stop") == 1L)
+    }
   }
 }
