@@ -166,6 +166,28 @@ object TextHashKernels {
     new GenericArrayData(mins.map(m => UTF8String.fromString(m): Any))
   }
 
+  /** All `count` minhash signature components in ONE pass: component k
+    * is the min over elements of the k-th `width`-hex window — the
+    * kernel form of `count` × `array_min(transform(h, substring(...)))`
+    * interpreted HOF passes. */
+  def minHexWindows(hashes: ArrayData, width: Int, count: Int): ArrayData = {
+    val n = hashes.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val mins = new Array[String](count)
+    var i = 0
+    while (i < n) {
+      val h = hashes.getUTF8String(i).toString
+      var k = 0
+      while (k < count) {
+        val w = h.substring(k * width, k * width + width)
+        if (mins(k) == null || w.compareTo(mins(k)) < 0) mins(k) = w
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(m => UTF8String.fromString(m): Any))
+  }
+
   /** For each shingle: md5(s) || md5("x:" || s), 64 hex chars. */
   def shingleHashes(shingles: ArrayData): ArrayData = {
     val md = MessageDigest.getInstance("MD5")
@@ -334,6 +356,22 @@ object TextFunctions {
       org.apache.spark.sql.catalyst.expressions.Literal(salt)))
   def charShingleSketch(c: Column, windows: Int): Column =
     Bridge.column(CharShingleSketch(Bridge.expression(c), windows))
+  def minHexWindows(c: Column, width: Int, count: Int): Column =
+    Bridge.column(MinHexWindows(Bridge.expression(c), width, count))
+}
+
+/** 64-hex hash array → [min window_0, ..., min window_{count-1}]. */
+case class MinHexWindows(child: Expression, width: Int, count: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "min_hex_windows"
+  override def nullSafeEval(a: Any): Any =
+    TextHashKernels.minHexWindows(a.asInstanceOf[ArrayData], width, count)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashKernels.minHexWindows($c, $width, $count)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** text → [min md5(gram), min hex-window_1..windows] one-digest

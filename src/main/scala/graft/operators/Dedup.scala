@@ -101,11 +101,15 @@ object Dedup {
       // lazy: barrier + block reuse on first action, free for
       // plan-only consumers (Explain/Audit)
       .localCheckpoint(false)
-    val sigs = base.select(col("doc_id") +:
-      (0 until NumHashes).map(k => minhashSig(col("hashes"), k).as(s"sig_$k")): _*)
+    // all 8 signature components in one kernel pass over the hash
+    // material (the per-component array_min(transform(...)) HOF form
+    // ran interpreted, 8 passes per row — same values, see KernelSpec)
+    val sigs = base.select(col("doc_id"),
+      graft.functions.TextFunctions
+        .minHexWindows(col("hashes"), 8, NumHashes).as("sig"))
     val bandCols = (0 until NumHashes / BandSize).map { b =>
       md5(concat_ws("|",
-        (0 until BandSize).map(r => col(s"sig_${b * BandSize + r}")): _*))
+        (0 until BandSize).map(r => col("sig").getItem(b * BandSize + r)): _*))
     }
     // bands carry only (doc_id, band): the heavy shingle arrays do not
     // ride through the band shuffle; they are re-fetched by id joins
@@ -118,9 +122,13 @@ object Dedup {
       .distinct()
     val sa = base.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
     val sb = base.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+    // hash-probe intersection count; |∪| derived (sets are distinct)
     cand.join(sa, "doc_a").join(sb, "doc_b")
-      .withColumn("n_inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
-      .withColumn("n_union", size(array_union(col("sha"), col("shb"))).cast("long"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.TextStatFunctions
+          .intersectCount(col("sha"), col("shb")).as("n_inter"),
+        (size(col("sha")) + size(col("shb"))).cast("long").as("n_both"))
+      .withColumn("n_union", col("n_both") - col("n_inter"))
       .filter(col("n_inter") * 2 >= col("n_union"))
       .withColumn("jaccard_pct", expr("n_inter * 100 div n_union"))
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),

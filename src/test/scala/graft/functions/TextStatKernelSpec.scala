@@ -118,6 +118,18 @@ class TextStatKernelSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("MinHexWindows ≡ per-window array_min(transform) HOFs") {
+    val hashes = TextFunctions.shingleHashes(
+      TextFunctions.shingleSet(col("text")))
+    val hof = array((0 until 8).map(k =>
+      array_min(transform(hashes, h => substring(h, k * 8 + 1, 8)))): _*)
+    val d = spark.read.parquet(docs)
+      .select(TextFunctions.minHexWindows(hashes, 8, 8).as("k"),
+        hof.as("h"))
+      .filter(not(col("k") === col("h"))).count()
+    assert(d == 0)
+  }
+
   test("CharShingleSketch ≡ min-md5/min-window HOFs over charShingles") {
     val cs = TextFunctions.charShingles(col("text"))
     val windows = 4
