@@ -57,6 +57,11 @@ object TextStatKernels {
   private def toks(text: UTF8String): Array[String] =
     normalize(text).split(" ", -1)
 
+  /** [[toks]] as Catalyst array data (the `TokenArr` kernel body). */
+  def tokenArr(text: UTF8String): ArrayData =
+    new GenericArrayData(
+      toks(text).map(x => UTF8String.fromString(x): Any))
+
   /** [n_chars_norm, n_tokens, n_distinct_tokens, n_in_set] in one
     * pass; `set` is the stopword set. */
   def tokenStats(text: UTF8String, set: java.util.HashSet[String]): ArrayData = {
@@ -295,6 +300,20 @@ case class TokenSetCounts(child: Expression, sets: Seq[Seq[String]])
     copy(child = c)
 }
 
+/** text → token array of the normal form (split-on-single-space with
+  * trailing empties kept), minus the regex engine. */
+case class TokenArr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "token_arr"
+  override def nullSafeEval(t: Any): Any =
+    TextStatKernels.tokenArr(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextStatKernels.tokenArr($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** text → whitespace token count of the normal form. */
 case class WsTokenCount(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -379,6 +398,8 @@ case class IntersectCount(left: Expression, right: Expression)
 object TextStatFunctions {
   def normText(c: Column): Column =
     Bridge.column(NormText(Bridge.expression(c)))
+  def tokenArr(c: Column): Column =
+    Bridge.column(TokenArr(Bridge.expression(c)))
   def tokenStats(c: Column, stop: Seq[String]): Column =
     Bridge.column(TokenStats(Bridge.expression(c), stop))
   def tokenSetCounts(c: Column, sets: Seq[Seq[String]]): Column =

@@ -16,10 +16,15 @@ import graft.Tables
   */
 object TextAnalysis {
 
-  /** Whitespace-collapsed, lowercased normal form. */
-  def norm(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
-  /** Token array of the normal form. */
-  def tokens(c: Column): Column = split(norm(c), " ")
+  /** Whitespace-collapsed, lowercased normal form (regex-free kernel,
+    * bit-identical to `lower(trim(regexp_replace(c, "\\s+", " ")))` —
+    * property-tested in KernelPropertySpec). */
+  def norm(c: Column): Column = graft.functions.TextStatFunctions.normText(c)
+  /** Token array of the normal form (single-pass kernel, ≡
+    * `split(norm(c), " ")`). Every operator deriving tokens goes
+    * through here, so the whole pipeline family shed its per-row
+    * regex pass in one place. */
+  def tokens(c: Column): Column = graft.functions.TextStatFunctions.tokenArr(c)
 
   private[operators] val normSql =
     "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
