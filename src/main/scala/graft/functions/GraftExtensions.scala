@@ -127,6 +127,17 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException(
           "token_shingle_md5 expects (tokens, k-literal)")
       }))
+    e.injectFunction((FunctionIdentifier("token_arr"),
+      info("token_arr", "_FUNC_(text) - token array of the normal form"),
+      (args: Seq[Expression]) => one(args, "token_arr")(TokenArr)))
+    e.injectFunction((FunctionIdentifier("min_hex_windows"),
+      info("min_hex_windows", "_FUNC_(hashes, width, count) - per-window minima (literals)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(h, Literal(w: Int, _), Literal(c: Int, _)) =>
+          MinHexWindows(h, w, c)
+        case _ => throw new IllegalArgumentException(
+          "min_hex_windows expects (hashes, width-literal, count-literal)")
+      }))
     e.injectFunction((FunctionIdentifier("token_stats"),
       info("token_stats", "_FUNC_(text, stop...) - [n_chars_norm, n_tokens, n_distinct, n_in_stopset]"),
       (args: Seq[Expression]) => args match {

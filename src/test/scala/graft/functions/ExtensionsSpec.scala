@@ -64,6 +64,12 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(row.getAs[Int]("css") == 5)
       assert(row.getAs[Int]("tsm") == 2)
       assert(row.getAs[Long]("n_stop") == 1L)
+      val row2 = spark.sql(
+        """SELECT token_arr(' A b ') AS ta,
+          |  min_hex_windows(array('aaaabbbb', 'bbbbaaaa'), 4, 2) AS mw"""
+          .stripMargin).head()
+      assert(row2.getSeq[String](0).toList == List("a", "b"))
+      assert(row2.getSeq[String](1).toList == List("aaaa", "aaaa"))
     }
   }
 }
