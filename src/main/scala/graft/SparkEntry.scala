@@ -76,6 +76,7 @@ object SparkEntry {
     "q56_length_hist" -> Pipeline2.q56LengthHist,
     "q57_incremental_agg" -> Pipeline2.q57IncrementalAgg,
     "q61_pagerank" -> Pipeline2.q61Pagerank,
+    "q63_rrf_fusion" -> Pipeline2.q63RrfFusion,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -353,6 +354,7 @@ object SparkEntry {
     "q56_length_hist" -> Pipeline2.q56LengthHistOracle,
     "q57_incremental_agg" -> Pipeline2.q57IncrementalAggOracle,
     "q61_pagerank" -> Pipeline2.q61PagerankOracle,
+    "q63_rrf_fusion" -> Pipeline2.q63RrfFusionOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,

@@ -356,6 +356,79 @@ object Pipeline2 {
        |ORDER BY b.doc_id""".stripMargin
   }
 
+  val RrfK = 60        // the standard RRF dampening constant
+  val RrfTopK = 20
+  val RrfTerms: Seq[String] = Seq("spark", "query", "window")
+
+  /** q63: hybrid retrieval with reciprocal-rank fusion — a keyword
+    * system (total occurrences of the query terms, one kernel pass)
+    * and a vector system (exact integer dot against a fixed query
+    * embedding) each rank the corpus; per-doc RRF =
+    * Σ 1e6/(60+rank) in truncating integer math, top-[[RrfTopK]] by
+    * fused score. Shapes: both rank passes are corpus-wide windows
+    * over a SINGLE total order (rank-limited — at cluster scale the
+    * per-system candidate lists would be top-k'd before fusion);
+    * the query embedding is a 1-row broadcast; the doc↔vector join is
+    * an id equi-join. RRF is THE fusion rule modern retrieval stacks
+    * use — integer-exact here so the oracle pins it. */
+  def q63RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    import Similarity.{idot, ivec}
+    val kw = Tables.spread(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"),
+        TextStatFunctions.tokenSetCounts(col("text"), Seq(RrfTerms))
+          .getItem(0).as("kw_score"))
+    val vecs = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), ivec(col("embedding")).as("v"))
+    val qv = vecs.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"))
+    val vs = vecs.join(broadcast(qv))
+      .select(col("vec_id"), idot(col("v"), col("qv")).as("vec_score"))
+    val base = kw.join(vs, kw("doc_id") === vs("vec_id"))
+      .select(col("doc_id"), col("kw_score"), col("vec_score"))
+    val ranked = base
+      .withColumn("kw_rank", row_number().over(
+        Window.orderBy(col("kw_score").desc, col("doc_id").asc)))
+      .withColumn("vec_rank", row_number().over(
+        Window.orderBy(col("vec_score").desc, col("doc_id").asc)))
+      .withColumn("rrf",
+        expr(s"1000000 div ($RrfK + kw_rank) + 1000000 div ($RrfK + vec_rank)"))
+    ranked
+      .select(col("doc_id"), col("kw_score"), col("vec_score"),
+        col("kw_rank").cast("long").as("kw_rank"),
+        col("vec_rank").cast("long").as("vec_rank"), col("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(RrfTopK)
+  }
+
+  val q63RrfFusionOracle: String = {
+    val terms = RrfTerms.map(t => s"'$t'").mkString(",")
+    s"""WITH kw AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter($tokensSql, t -> t IN ($terms)))
+       |      AS BIGINT) AS kw_score
+       |  FROM documents),
+       |iv AS (SELECT vec_id, ${Similarity.ivecSql} AS v FROM embeddings),
+       |qv AS (SELECT v AS q FROM iv WHERE vec_id = 0),
+       |vs AS (
+       |  SELECT vec_id,
+       |    CAST(list_sum(list_transform(range(1, len(v) + 1),
+       |      i -> v[i] * q[i])) AS BIGINT) AS vec_score
+       |  FROM iv CROSS JOIN qv),
+       |base AS (
+       |  SELECT doc_id, kw_score, vec_score
+       |  FROM kw JOIN vs ON doc_id = vec_id),
+       |ranked AS (
+       |  SELECT *,
+       |    row_number() OVER (ORDER BY kw_score DESC, doc_id) AS kw_rank,
+       |    row_number() OVER (ORDER BY vec_score DESC, doc_id) AS vec_rank
+       |  FROM base)
+       |SELECT doc_id, kw_score, vec_score, kw_rank, vec_rank,
+       |  CAST(1000000 // ($RrfK + kw_rank)
+       |    + 1000000 // ($RrfK + vec_rank) AS BIGINT) AS rrf
+       |FROM ranked
+       |ORDER BY rrf DESC, doc_id LIMIT $RrfTopK""".stripMargin
+  }
+
   val HistBucketWidth = 20
   val HistMaxBucket = 19
 

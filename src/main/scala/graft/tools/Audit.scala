@@ -70,5 +70,6 @@ object PlanAudit {
   val intendedNonEqui: Set[String] =
     Set("q30_range_join", "q36_tfidf", "ann_brute", "ann_ivf",
       "q54_knn_classify", "q55_cooccur_pmi",
-      "q62_gapfill") // (types × hours) grid from two tiny broadcasts
+      "q62_gapfill", // (types × hours) grid from two tiny broadcasts
+      "q63_rrf_fusion") // 1-row query embedding broadcast
 }

@@ -54,6 +54,21 @@ class Pipeline2Spec extends AnyFunSuite {
       scores.sortBy { case (s, b) => (-s, b) }))
   }
 
+  test("q63: fused list is the top-k by RRF with both rank systems bounded") {
+    import org.apache.spark.sql.functions._
+    val rows = Pipeline2.q63RrfFusion(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= Pipeline2.RrfTopK)
+    val scores = rows.map(r => (r.getAs[Long]("rrf"), r.getAs[Long]("doc_id")))
+    assert(scores.sameElements(scores.sortBy { case (s, d) => (-s, d) }))
+    // rrf bounds: two systems, each term ≤ 1e6/(60+1), ≥ 1e6/(60+n)
+    val maxTerm = 1000000L / (Pipeline2.RrfK + 1)
+    assert(rows.forall { r =>
+      val v = r.getAs[Long]("rrf"); v > 0 && v <= 2 * maxTerm
+    })
+    assert(rows.forall(r => r.getAs[Long]("kw_rank") >= 1 &&
+      r.getAs[Long]("vec_rank") >= 1))
+  }
+
   test("q61: isolated docs hold the teleport floor; every doc is ranked") {
     import org.apache.spark.sql.functions._
     // sf0.01: the smallest corpus whose near-dup graph is non-empty
