@@ -358,6 +358,7 @@ object Pipeline2 {
 
   val RrfK = 60        // the standard RRF dampening constant
   val RrfTopK = 20
+  val RrfCandK = 200   // per-system candidate truncation, ≫ RrfTopK
   val RrfTerms: Seq[String] = Seq("spark", "query", "window")
 
   /** q63: hybrid retrieval with reciprocal-rank fusion — a keyword
@@ -365,12 +366,22 @@ object Pipeline2 {
     * and a vector system (exact integer dot against a fixed query
     * embedding) each rank the corpus; per-doc RRF =
     * Σ 1e6/(60+rank) in truncating integer math, top-[[RrfTopK]] by
-    * fused score. Shapes: both rank passes are corpus-wide windows
-    * over a SINGLE total order (rank-limited — at cluster scale the
-    * per-system candidate lists would be top-k'd before fusion);
-    * the query embedding is a 1-row broadcast; the doc↔vector join is
-    * an id equi-join. RRF is THE fusion rule modern retrieval stacks
-    * use — integer-exact here so the oracle pins it. */
+    * fused score.
+    *
+    * Scale shape — NO corpus-wide window anywhere: each system is
+    * truncated to its global top-[[RrfCandK]] via
+    * TakeOrderedAndProject (per-partition heaps, one tiny result);
+    * the ≤ 2·[[RrfCandK]] candidate union is broadcast back against
+    * the score table and each candidate's EXACT global rank is
+    * recovered as `1 + #rows ordering before it` in one conditional
+    * aggregation (the ann_brute map-side-join shape). The fused
+    * top-[[RrfTopK]] is provably inside the candidate set: a
+    * non-candidate has both ranks > [[RrfCandK]], so
+    * rrf ≤ 2·⌊1e6/(60+201)⌋ = 7662, while each of the keyword top-20
+    * alone scores ≥ ⌊1e6/(60+20)⌋ = 12500 — so the output (and the
+    * oracle hash, which ranks globally) is bit-identical. The score
+    * table is three longs/doc behind a lazy localCheckpoint so the
+    * text kernel and dot product run once, not once per pass. */
   def q63RrfFusion(s: SparkSession, dir: String): DataFrame = {
     import Similarity.{idot, ivec}
     val kw = Tables.spread(Tables.load(s, dir, "documents"))
@@ -385,17 +396,29 @@ object Pipeline2 {
       .select(col("vec_id"), idot(col("v"), col("qv")).as("vec_score"))
     val base = kw.join(vs, kw("doc_id") === vs("vec_id"))
       .select(col("doc_id"), col("kw_score"), col("vec_score"))
-    val ranked = base
-      .withColumn("kw_rank", row_number().over(
-        Window.orderBy(col("kw_score").desc, col("doc_id").asc)))
-      .withColumn("vec_rank", row_number().over(
-        Window.orderBy(col("vec_score").desc, col("doc_id").asc)))
+      .localCheckpoint(false)
+    val cand = base
+      .orderBy(col("kw_score").desc, col("doc_id").asc).limit(RrfCandK)
+      .unionByName(
+        base.orderBy(col("vec_score").desc, col("doc_id").asc).limit(RrfCandK))
+      .dropDuplicates("doc_id")
+      .select(col("doc_id").as("c_id"), col("kw_score").as("c_kw"),
+        col("vec_score").as("c_vec"))
+    val kwBeats = col("kw_score") > col("c_kw") ||
+      (col("kw_score") === col("c_kw") && col("doc_id") < col("c_id"))
+    val vecBeats = col("vec_score") > col("c_vec") ||
+      (col("vec_score") === col("c_vec") && col("doc_id") < col("c_id"))
+    val beats = base.join(broadcast(cand), kwBeats || vecBeats)
+      .groupBy(col("c_id"))
+      .agg(sum(when(kwBeats, 1L).otherwise(0L)).as("kw_before"),
+        sum(when(vecBeats, 1L).otherwise(0L)).as("vec_before"))
+    cand.join(beats, Seq("c_id"), "left")
+      .select(col("c_id").as("doc_id"),
+        col("c_kw").as("kw_score"), col("c_vec").as("vec_score"),
+        (coalesce(col("kw_before"), lit(0L)) + lit(1L)).as("kw_rank"),
+        (coalesce(col("vec_before"), lit(0L)) + lit(1L)).as("vec_rank"))
       .withColumn("rrf",
         expr(s"1000000 div ($RrfK + kw_rank) + 1000000 div ($RrfK + vec_rank)"))
-    ranked
-      .select(col("doc_id"), col("kw_score"), col("vec_score"),
-        col("kw_rank").cast("long").as("kw_rank"),
-        col("vec_rank").cast("long").as("vec_rank"), col("rrf"))
       .orderBy(col("rrf").desc, col("doc_id").asc)
       .limit(RrfTopK)
   }

@@ -24,17 +24,19 @@ object Audit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     var bad = List.empty[String]
-    println("| query | pushdown | BHJ | SMJ | BNLJ | WGL | topK | expand | cartesian |")
-    println("|---|---|---|---|---|---|---|---|---|")
+    println("| query | pushdown | BHJ | SMJ | BNLJ | WGL | topK | expand | cartesian | globalWin |")
+    println("|---|---|---|---|---|---|---|---|---|---|")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val a = PlanAudit.of(fn(spark, sfDir))
       def y(b: Boolean) = if (b) "yes" else ""
       println(s"| $name | ${y(a.pushedFilters)} | ${y(a.bhj)} | ${y(a.smj)} " +
         s"| ${y(a.bnlj)} | ${y(a.windowGroupLimit)} | ${y(a.takeOrdered)} " +
-        s"| ${y(a.expand)} | ${y(a.cartesian)} |")
+        s"| ${y(a.expand)} | ${y(a.cartesian)} | ${y(a.globalWindow)} |")
       if (a.cartesian) bad ::= s"$name: CartesianProduct"
       if (a.bnlj && !PlanAudit.intendedNonEqui(name))
         bad ::= s"$name: unintended BroadcastNestedLoopJoin"
+      if (a.globalWindow)
+        bad ::= s"$name: global (unpartitioned) Window"
     }
     bad.foreach(b => System.err.println(s"[audit] VIOLATION $b"))
     spark.stop()
@@ -46,10 +48,17 @@ object Audit {
 object PlanAudit {
   final case class Props(cartesian: Boolean, bnlj: Boolean, bhj: Boolean,
       smj: Boolean, pushedFilters: Boolean, windowGroupLimit: Boolean,
-      takeOrdered: Boolean, expand: Boolean)
+      takeOrdered: Boolean, expand: Boolean, globalWindow: Boolean)
 
   def of(df: org.apache.spark.sql.DataFrame): Props = {
     val plan = df.queryExecution.executedPlan.toString
+    // An unpartitioned Window is a single-partition sort of its whole
+    // input — the one plan shape that cannot scale out. Detected on the
+    // optimized logical plan (tree-walk, no AQE wrapping to parse).
+    val globalWin = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }.nonEmpty
     Props(
       cartesian = plan.contains("CartesianProduct"),
       bnlj = plan.contains("BroadcastNestedLoopJoin"),
@@ -59,7 +68,8 @@ object PlanAudit {
         .findFirstIn(plan).isDefined,
       windowGroupLimit = plan.contains("WindowGroupLimit"),
       takeOrdered = plan.contains("TakeOrderedAndProject"),
-      expand = plan.contains("Expand"))
+      expand = plan.contains("Expand"),
+      globalWindow = globalWin)
   }
 
   /** Queries whose broadcast non-equi join is the intended physical
@@ -71,5 +81,6 @@ object PlanAudit {
     Set("q30_range_join", "q36_tfidf", "ann_brute", "ann_ivf",
       "q54_knn_classify", "q55_cooccur_pmi",
       "q62_gapfill", // (types × hours) grid from two tiny broadcasts
-      "q63_rrf_fusion") // 1-row query embedding broadcast
+      "q63_rrf_fusion", // 1-row query embedding + ≤400-row candidate set
+      "q64_dedup_pipeline") // bounded near-dup candidate verify side
 }

@@ -5,19 +5,39 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.tools.PlanAudit
 
 /** Plan-shape regression gate over EVERY query: no CartesianProduct
-  * anywhere, and BroadcastNestedLoopJoin only where a constant-size
-  * broadcast side makes it the intended shape (`intendedNonEqui`). */
+  * anywhere, BroadcastNestedLoopJoin only where a constant-size
+  * broadcast side makes it the intended shape (`intendedNonEqui`),
+  * and no unpartitioned Window — a global window sorts its whole
+  * input on ONE partition, the single plan shape that cannot scale
+  * out (use TakeOrderedAndProject truncation + bounded-set ranking,
+  * as q63 does). */
 class AuditSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
-  test("no query plans a cartesian or unintended nested-loop join") {
+  test("no query plans a cartesian, unintended nested-loop join, " +
+      "or global window") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val a = PlanAudit.of(fn(SparkSpec.spark, sf))
         (if (a.cartesian) Seq(s"$name: CartesianProduct") else Nil) ++
           (if (a.bnlj && !PlanAudit.intendedNonEqui(name))
-            Seq(s"$name: unintended BroadcastNestedLoopJoin") else Nil)
+            Seq(s"$name: unintended BroadcastNestedLoopJoin") else Nil) ++
+          (if (a.globalWindow)
+            Seq(s"$name: global (unpartitioned) Window") else Nil)
     }
     assert(violations.isEmpty, violations.mkString("; "))
+  }
+
+  test("the global-window detector fires on an unpartitioned window " +
+      "and stays quiet on a partitioned one") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df = SparkSpec.spark.range(10).toDF("id")
+      .withColumn("grp", col("id") % 2)
+    assert(PlanAudit.of(df.withColumn("r",
+      row_number().over(Window.orderBy(col("id"))))).globalWindow)
+    assert(!PlanAudit.of(df.withColumn("r",
+      row_number().over(Window.partitionBy(col("grp"))
+        .orderBy(col("id"))))).globalWindow)
   }
 }
