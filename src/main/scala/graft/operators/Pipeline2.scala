@@ -179,11 +179,14 @@ object Pipeline2 {
 
   /** q55: corpus bigram co-occurrence — top-[[PmiTopK]] consecutive
     * word pairs by a scaled PMI lift `cnt_ab * total_tokens * 1000 /
-    * (cnt_a * cnt_b)` (integer; ranking-equivalent to PMI up to the
-    * constant total_bigrams/total_tokens factor — fits bigint up to
-    * ~10^9 corpus tokens, decimal beyond that). Shuffles are
-    * vocabulary-sized (token/bigram counts), never corpus-sized; the
-    * totals ride a 1-row broadcast and the top-k is a
+    * (cnt_a * cnt_b)` (ranking-equivalent to PMI up to the constant
+    * total_bigrams/total_tokens factor). The lift runs in
+    * DECIMAL(38,0) with truncating integral division (HUGEINT `//` on
+    * the oracle side), so both numerator and denominator are
+    * wrap-immune to ~10^17 corpus tokens while the emitted quotient
+    * stays a bigint (it is bounded by 1000·total_tokens). Shuffles
+    * are vocabulary-sized (token/bigram counts), never corpus-sized;
+    * the totals ride a 1-row broadcast and the top-k is a
     * TakeOrderedAndProject, not a full sort. */
   def q55CooccurPmi(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.spread(Tables.load(s, dir, "documents"))
@@ -202,7 +205,8 @@ object Pipeline2 {
       .join(uni.select(col("g").as("tok_b"), col("cnt").as("cnt_b")), "tok_b")
       .crossJoin(broadcast(totalUni))
       .withColumn("pmi_scaled",
-        expr("cnt_ab * total_uni * 1000 div (cnt_a * cnt_b)"))
+        expr("CAST(cnt_ab AS DECIMAL(38,0)) * total_uni * 1000 div " +
+          "(CAST(cnt_a AS DECIMAL(38,0)) * cnt_b)"))
       .select(col("bigram"), col("cnt_ab"), col("cnt_a"), col("cnt_b"),
         col("pmi_scaled"))
       .orderBy(col("pmi_scaled").desc, col("bigram").asc)
@@ -223,8 +227,8 @@ object Pipeline2 {
        |  GROUP BY bigram HAVING count(*) >= $PmiMinSupport)
        |SELECT bigram, CAST(cnt_ab AS BIGINT) AS cnt_ab,
        |  CAST(ua.cnt AS BIGINT) AS cnt_a, CAST(ub.cnt AS BIGINT) AS cnt_b,
-       |  CAST(cnt_ab * total_uni * 1000 // (ua.cnt * ub.cnt) AS BIGINT)
-       |    AS pmi_scaled
+       |  CAST(CAST(cnt_ab AS HUGEINT) * total_uni * 1000
+       |    // (CAST(ua.cnt AS HUGEINT) * ub.cnt) AS BIGINT) AS pmi_scaled
        |FROM bi
        |JOIN uni ua ON ua.g = string_split(bigram, ' ')[1]
        |JOIN uni ub ON ub.g = string_split(bigram, ' ')[2]
