@@ -31,8 +31,24 @@ import org.apache.spark.sql.functions._
   * `BENCH_sf1.json` is produced by running `graft.Bench` with
   * `SPARK_GRAFT_SF_DIR` pointed at the output.
   *
+  * The multiplier is a parameter (sf10 = 100 copies of sf0.1), and both
+  * transform families stay injective past their naive period:
+  *   - text: an AFFINE cipher x → a·x + b (mod 26) per replica — b
+  *     cycles the 26 shifts, a walks the 12 units of ℤ/26, giving 312
+  *     distinct letter bijections (a pure Caesar family repeats at
+  *     r = 26, making replicas 0/26/52/78 EXACT copies — the quadratic
+  *     pair blowup this file exists to avoid). a = 1 for r < 26, so
+  *     sf1 output is bit-identical to the original Caesar form.
+  *   - embeddings: circular shift k = 7r mod 64 (period 64), NEGATED
+  *     for odd r/64 — negation is itself an isometry (dots within a
+  *     replica are preserved), and it separates r from r+64, which
+  *     share a shift (cos(v_r, v_{r+64}) = −1: ranked last by every
+  *     cosine query, never a near-dup). 128 distinct isometries;
+  *     r < 64 is unchanged from the sf1 form.
+  *
   * Usage: runMain graft.tools.MakeSf1 [inDir] [outDir] [copies]
-  * (defaults: /root/testdata/sf0.1 → target/sf1 × 10)
+  * (defaults: /root/testdata/sf0.1 → target/sf1 × 10;
+  *  sf10: runMain graft.tools.MakeSf1 /root/testdata/sf0.1 target/sf10 100)
   */
 object MakeSf1 {
   val Delta = 10000000L
@@ -71,24 +87,32 @@ object MakeSf1 {
           }
           val transformed =
             if (name == "documents") {
+              require(copies <= 312, s"affine cipher family has 312 members, got $copies")
               val abc = "abcdefghijklmnopqrstuvwxyz"
-              def rot(k: Int) = abc.drop(k % 26) + abc.take(k % 26)
+              val units = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+              // replica r's letter bijection: position i → a·i + b (mod 26)
+              def affine(r: Int) = {
+                val (a, b) = (units(r / 26), r % 26)
+                (0 until 26).map(i => abc((a * i + b) % 26)).mkString
+              }
               val shiftedText = (1 until copies).foldLeft(col("text")) {
                 (acc, r) =>
                   when(col("rep") === r,
                     translate(col("text"),
                       abc + abc.toUpperCase,
-                      rot(r) + rot(r).toUpperCase)).otherwise(acc)
+                      affine(r) + affine(r).toUpperCase)).otherwise(acc)
               }
               shifted.withColumn("text", shiftedText)
             } else if (name == "embeddings") {
               val dim = 64
+              require(copies <= 2 * dim, s"shift×negate family has ${2 * dim} members, got $copies")
               val rolled = (1 until copies).foldLeft(col("embedding")) {
                 (acc, r) =>
-                  val k = (r * 7) % dim // distinct nonzero shifts
+                  val k = (r * 7) % dim // shifts distinct within each half-period
+                  val sign = if ((r / dim) % 2 == 1) "-" else ""
                   when(col("rep") === r, expr(
-                    s"concat(slice(embedding, ${k + 1}, ${dim - k}), " +
-                      s"slice(embedding, 1, $k))")).otherwise(acc)
+                    s"transform(concat(slice(embedding, ${k + 1}, ${dim - k}), " +
+                      s"slice(embedding, 1, $k)), x -> ${sign}x)")).otherwise(acc)
               }
               shifted.withColumn("embedding", rolled)
             } else shifted
@@ -100,7 +124,8 @@ object MakeSf1 {
       // the big tables as 16 files so scan stages parallelize the way
       // they would on a real cluster (tiny dims stay single-file)
       val nFiles = if (Seq("lineitem", "orders", "events", "documents",
-        "embeddings", "customer", "part").contains(name)) 16 else 1
+        "embeddings", "customer", "part").contains(name))
+        16 * math.max(1, copies / 10) else 1
       scaled.repartition(nFiles)
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
       System.err.println(s"[make-sf1] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
