@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Performance gate for the planted-skew join pair: the salted plan
+  * (`q49_skew_agg`) must beat the deliberately-unsalted twin
+  * (`q49_skew_naive`) — the whole point of the rewrite. Without this
+  * gate the comparison only *appears* in BENCH_r*.json, where a
+  * regression (e.g. a hint lost in a refactor, as round 4 shipped)
+  * is visible but non-fatal; here it fails CI.
+  *
+  * Methodology: sf0.1 (the salting overhead — ×16 dim replication —
+  * only pays once the hot key is large; at sf0.01 naive legitimately
+  * wins), one untimed warm-up each, then interleaved timed runs with
+  * min-of-N on both sides — min is the standard noise-robust estimator
+  * for "the plan's cost" under GC/JIT jitter. Delete this spec only if
+  * the q49 twins are retired.
+  */
+class SkewGateSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.1"
+  private val Reps = 3
+
+  private def runOnce(name: String): Double = {
+    val fn = (graft.SparkEntry.queries ++ graft.SparkEntry.benchExtras)(name)
+    val t0 = System.nanoTime()
+    fn(SparkSpec.spark, sf).write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  test("salted skew join beats the naive twin on the planted hot key") {
+    runOnce("q49_skew_agg"); runOnce("q49_skew_naive") // warm-up, untimed
+    val timings = (1 to Reps).map { _ =>
+      (runOnce("q49_skew_agg"), runOnce("q49_skew_naive"))
+    }
+    val salted = timings.map(_._1).min
+    val naive = timings.map(_._2).min
+    info(f"salted min=$salted%.2fs naive min=$naive%.2fs " +
+      f"(speedup ${naive / salted}%.2fx)")
+    assert(salted < naive,
+      f"salted plan ($salted%.2fs) must beat the naive twin ($naive%.2fs)")
+  }
+}
