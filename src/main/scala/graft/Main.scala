@@ -131,11 +131,23 @@ object Main {
     val changeLog = opts.get("changelog")
       .map(d => new graft.streaming.ChangeLog(spark, d))
 
+    // --view <file>: serve this HTML at GET /api/graphql instead of
+    // the built-in console (O20 — the reference's compiled-in
+    // GraphiQL page; view/graphql-gui.html ships an equivalent)
+    val viewHtml = opts.get("view").map { f =>
+      val p = Paths.get(f)
+      if (!Files.isRegularFile(p)) {
+        System.err.println(s"view file $f does not exist"); sys.exit(2)
+      }
+      Files.readString(p)
+    }
+
     Registry.load(Paths.get(modelsPath)) match {
       case Left(err) => System.err.println(err); sys.exit(2)
       case Right(reg) =>
         val server = new Server(reg,
-          new CrudEngine(spark, backend, changeLog), port, changeLog)
+          new CrudEngine(spark, backend, changeLog), port, changeLog,
+          viewHtml)
         server.start()
         println(s"graft serving on :${server.boundPort} " +
           s"(models: ${reg.all.map(_.modelName.raw).mkString(", ")})")

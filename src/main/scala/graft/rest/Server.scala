@@ -24,7 +24,8 @@ import graft.graphql.{Ast, Executor}
   * writes per model.
   */
 final class Server(registry: Registry, engine: CrudEngine, port: Int,
-    changeLog: Option[graft.streaming.ChangeLog] = None) {
+    changeLog: Option[graft.streaming.ChangeLog] = None,
+    viewHtml: Option[String] = None) {
 
   private val executor = new Executor(registry, engine)
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -68,9 +69,12 @@ final class Server(registry: Registry, engine: CrudEngine, port: Int,
     (method, segs) match {
       case ("POST", List("api", "graphql")) => handleGraphql(ex)
       case ("GET", List("api", "graphql")) =>
-        // O20: the query console (reference embeds a GraphiQL fetcher;
-        // offline env → a small self-contained console instead)
-        val bytes = Server.consolePage.getBytes(StandardCharsets.UTF_8)
+        // O20: the GraphiQL view. `--view <file>` serves a page from
+        // disk (the reference's graphql-gui.html CDN-fetcher shape —
+        // view/graphql-gui.html ships one); default is the
+        // self-contained console (zero-egress environments have no CDN)
+        val bytes = viewHtml.getOrElse(Server.consolePage)
+          .getBytes(StandardCharsets.UTF_8)
         ex.getResponseHeaders.set("Content-Type", "text/html")
         ex.sendResponseHeaders(200, bytes.length)
         val os = ex.getResponseBody; os.write(bytes); os.close()
