@@ -28,8 +28,17 @@ final class ChangeLog(spark: SparkSession, dir: String) {
     StructField("record", StringType, nullable = false),
     StructField("seq", LongType, nullable = false)))
 
-  private val seq = new java.util.concurrent.atomic.AtomicLong(0)
   Files.createDirectories(Paths.get(dir))
+
+  // Resume the sequence from what a previous process persisted — a
+  // fresh AtomicLong(0) would REUSE seq numbers after a restart, so a
+  // client reconnecting with Last-Event-ID = n would silently skip
+  // every post-restart event numbered ≤ n (ServerSpec pins the
+  // restart/resume cycle).
+  private val seq = new java.util.concurrent.atomic.AtomicLong({
+    val m = all().agg(org.apache.spark.sql.functions.max(col("seq"))).head.get(0)
+    if (m == null) 0L else m.asInstanceOf[Long]
+  })
 
   /** Append one change event (called under the engine's per-model
     * write lock, so appends are ordered per model). */

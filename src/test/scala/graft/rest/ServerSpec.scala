@@ -243,6 +243,84 @@ class ServerSpec extends AnyFunSuite {
     } finally s.stop()
   }
 
+  test("changelog restart: Last-Event-ID resume delivers exactly the " +
+      "missed events, no dupes") {
+    // subscribe → mutate → drop the connection → KILL the server →
+    // restart over the same changelog/store dirs → reconnect with
+    // Last-Event-ID → exactly the missed events arrive (none replayed,
+    // none skipped). The regression this pins: a restarted process
+    // must resume the seq counter from the persisted max — a fresh
+    // counter would reissue seqs ≤ Last-Event-ID and the resumed
+    // client would silently drop every post-restart event.
+    val models = Files.createTempDirectory("restart-models")
+    Files.writeString(models.resolve("movie.json"), movieJson)
+    val reg = Registry.load(models).toOption.get
+    val logDir = Files.createTempDirectory("restart-log").toString
+    val storeDir = Files.createTempDirectory("restart-store").toString
+    def boot(): Server = {
+      val log = new graft.streaming.ChangeLog(SparkSpec.spark, logDir)
+      val engine = new CrudEngine(SparkSpec.spark,
+        new ParquetBackend(SparkSpec.spark, storeDir, buckets = 4), Some(log))
+      val srv = new Server(reg, engine, 0, Some(log))
+      srv.start()
+      srv
+    }
+    def post(p: Int, id: String): Unit = {
+      val r = client.send(HttpRequest.newBuilder(
+        URI.create(s"http://localhost:$p/api/rest/movie"))
+        .method("POST", HttpRequest.BodyPublishers.ofString(
+          s"""{"id":"$id"}""")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 201, r.body())
+    }
+    def sse(p: Int, lastId: Option[Long], maxEvents: Int): Seq[String] = {
+      val b = HttpRequest.newBuilder(URI.create(
+        s"http://localhost:$p/api/subscribe/movie?max_events=$maxEvents")).GET()
+      lastId.foreach(i => b.header("Last-Event-ID", i.toString))
+      val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200)
+      resp.body().split("\n\n").filter(_.startsWith("id:")).toSeq
+    }
+    val s1 = boot()
+    try {
+      post(s1.boundPort, "e1"); post(s1.boundPort, "e2"); post(s1.boundPort, "e3")
+      // consume the first two events, then "drop the connection"
+      // (max_events closes it server-side, like a vanished client)
+      val first = sse(s1.boundPort, None, 2)
+      assert(first.map(_.linesIterator.next()) == Seq("id: 1", "id: 2"), first)
+    } finally s1.stop()
+    // restart: new ChangeLog/engine/server over the SAME directories
+    val s2 = boot()
+    try {
+      post(s2.boundPort, "e4") // lands AFTER the restart
+      // resume where the dropped connection left off (Last-Event-ID=2):
+      // exactly e3 (missed pre-restart) and e4 (post-restart), no dupes
+      val resumed = sse(s2.boundPort, Some(2L), 2)
+      assert(resumed.map(_.linesIterator.next()) == Seq("id: 3", "id: 4"),
+        resumed)
+      assert(resumed(0).contains(""""id":"e3"""") &&
+        resumed(1).contains(""""id":"e4""""), resumed)
+    } finally s2.stop()
+  }
+
+  test("view file is served at GET /api/graphql when configured") {
+    val dir = Files.createTempDirectory("view-models")
+    Files.writeString(dir.resolve("movie.json"), movieJson)
+    val reg = Registry.load(dir).toOption.get
+    val engine = new CrudEngine(SparkSpec.spark,
+      new ParquetBackend(SparkSpec.spark,
+        Files.createTempDirectory("view-store").toString, buckets = 4))
+    val view = "<!DOCTYPE html><html><body>custom GraphiQL</body></html>"
+    val s = new Server(reg, engine, 0, None, Some(view))
+    s.start()
+    try {
+      val r = client.send(HttpRequest.newBuilder(URI.create(
+        s"http://localhost:${s.boundPort}/api/graphql")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200 && r.body() == view, r.body())
+    } finally s.stop()
+  }
+
   test("GraphQL over HTTP: 200 on data, 400 on errors-only") {
     val (c1, b1) = req("POST", "/api/graphql",
       """{"query":"mutation { addOneMovie(id:\"gq\") { id } }"}""")
