@@ -65,12 +65,13 @@ object GraftExtensions {
       info("simhash16", "_FUNC_(tokens) - 16-bit SimHash of a token array"),
       (args: Seq[Expression]) => one(args, "simhash16")(Simhash16)))
     e.injectFunction((FunctionIdentifier("lsh_bucket"),
-      info("lsh_bucket", "_FUNC_(v[, planes]) - random-hyperplane LSH bucket of a bigint vector"),
+      info("lsh_bucket", "_FUNC_(v[, planes[, offset]]) - random-hyperplane LSH bucket of a bigint vector"),
       (args: Seq[Expression]) => args match {
         case Seq(v) => LshBucket(v, 8)
         case Seq(v, Literal(p: Int, _)) => LshBucket(v, p)
+        case Seq(v, Literal(p: Int, _), Literal(o: Int, _)) => LshBucket(v, p, o)
         case _ => throw new IllegalArgumentException(
-          "lsh_bucket expects (array[, planes-literal])")
+          "lsh_bucket expects (array[, planes-literal[, offset-literal]])")
       }))
     e.injectFunction((FunctionIdentifier("min_md5"),
       info("min_md5", "_FUNC_(arr[, salt]) - min md5 hex over salted elements"),

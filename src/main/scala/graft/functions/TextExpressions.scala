@@ -202,19 +202,43 @@ object TextHashKernels {
     new GenericArrayData(out)
   }
 
-  /** One md5 per token; bit j from hex digit j parity; majority vote. */
+  // token → 16-bit md5-parity pattern memo: the pattern is a pure
+  // function of the token, and corpus vocabularies are tiny next to
+  // token counts, so memoizing turns the dominant cost (one md5 per
+  // token OCCURRENCE) into one md5 per DISTINCT token per executor.
+  // Bounded so an adversarial unbounded vocabulary can't leak memory;
+  // on overflow new tokens just hash unmemoized (same result).
+  private val simhashMemoMax = 1 << 20
+  private val simhashMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer](1 << 16)
+
+  /** One md5 per distinct token (memoized parity pattern); bit j from
+    * hex digit j parity; majority vote over occurrences. */
   def simhash16(tokens: ArrayData): Long = {
-    val md = MessageDigest.getInstance("MD5")
+    var md: MessageDigest = null
     val votes = new Array[Int](16)
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
-      val h = md5hex(md, tokens.getUTF8String(i).toString)
+      val t = tokens.getUTF8String(i).toString
+      var pat = simhashMemo.get(t)
+      if (pat == null) {
+        if (md == null) md = MessageDigest.getInstance("MD5")
+        val h = md5hex(md, t)
+        var p = 0
+        var j = 0
+        while (j < 16) {
+          // odd hex digit ⇔ low bit of the nibble set
+          if ((Character.digit(h.charAt(j), 16) & 1) == 1) p |= (1 << j)
+          j += 1
+        }
+        pat = Integer.valueOf(p)
+        if (simhashMemo.size < simhashMemoMax) simhashMemo.put(t, pat)
+      }
+      val p = pat.intValue()
       var j = 0
       while (j < 16) {
-        // odd hex digit ⇔ low bit of the nibble set
-        if ((Character.digit(h.charAt(j), 16) & 1) == 1) votes(j) += 1
-        else votes(j) -= 1
+        if (((p >> j) & 1) == 1) votes(j) += 1 else votes(j) -= 1
         j += 1
       }
       i += 1
@@ -243,17 +267,21 @@ object TextHashKernels {
     }
   }
 
-  def lshBucket(v: ArrayData, planes: Int): Long = {
-    // Long signature: up to 63 planes in one pass — band width must
-    // grow with corpus size (buckets ≈ n/2^bits), and an Int cap of
-    // 31 planes was the hidden ceiling behind a quadratic candidate
-    // stage at 10× scale
+  def lshBucket(v: ArrayData, planes: Int): Long = lshBucket(v, planes, 0)
+
+  /** `offset` selects global plane indices [offset, offset+planes):
+    * one Long holds ≤ 63 plane bits, and band width must GROW with
+    * corpus size (random candidate pairs ≈ bands·n²/2^bits — an Int
+    * cap of 31 planes was the hidden ceiling behind one quadratic
+    * candidate stage at 10× scale, and 60 planes became the next
+    * ceiling at 100×), so wider signatures span several Longs. */
+  def lshBucket(v: ArrayData, planes: Int, offset: Int): Long = {
     val n = v.numElements()
-    val s = signs(planes, n)
+    val s = signs(offset + planes, n)
     var bucket = 0L
     var j = 0
     while (j < planes) {
-      val row = s(j)
+      val row = s(offset + j)
       var acc = 0L
       var i = 0
       while (i < n) { acc += row(i) * v.getLong(i); i += 1 }
@@ -345,8 +373,8 @@ object TextFunctions {
     Bridge.column(ShingleHashes(Bridge.expression(c)))
   def simhash16(c: Column): Column =
     Bridge.column(Simhash16(Bridge.expression(c)))
-  def lshBucket(c: Column, planes: Int): Column =
-    Bridge.column(LshBucket(Bridge.expression(c), planes))
+  def lshBucket(c: Column, planes: Int, offset: Int = 0): Column =
+    Bridge.column(LshBucket(Bridge.expression(c), planes, offset))
   def tokenShingleMd5(c: Column, k: Int): Column =
     Bridge.column(TokenShingleMd5(Bridge.expression(c), k))
   def rollingHash(c: Column): Column =
@@ -424,21 +452,24 @@ case class TokenShingleMd5(child: Expression, k: Int)
     copy(child = c)
 }
 
-/** Milli-vector → up-to-63-bit random-hyperplane LSH signature. The ±1
-  * plane components come from md5 digit parities ("p<j>:<i>"), which
-  * are row-independent — the kernel precomputes the sign matrix once
-  * per JVM instead of `planes` interpreted zip_with folds per row.
-  * Identical to the SQL form in `Similarity.annLshOracle`. */
-case class LshBucket(child: Expression, planes: Int)
+/** Milli-vector → up-to-63-bit random-hyperplane LSH signature over
+  * global plane indices [offset, offset+planes). The ±1 plane
+  * components come from md5 digit parities ("p<j>:<i>"), which are
+  * row-independent — the kernel precomputes the sign matrix once per
+  * JVM instead of `planes` interpreted zip_with folds per row.
+  * Identical to the SQL form in `Similarity.annLshOracle`; signatures
+  * wider than 63 bits (band width grows with corpus size) span
+  * several of these with increasing offsets. */
+case class LshBucket(child: Expression, planes: Int, offset: Int = 0)
     extends UnaryExpression {
   import org.apache.spark.sql.types.LongType
   override def dataType: DataType = LongType
   override def prettyName: String = "lsh_bucket"
   override def nullSafeEval(a: Any): Any =
-    TextHashKernels.lshBucket(a.asInstanceOf[ArrayData], planes)
+    TextHashKernels.lshBucket(a.asInstanceOf[ArrayData], planes, offset)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.TextHashKernels.lshBucket($c, $planes)")
+      c => s"graft.functions.TextHashKernels.lshBucket($c, $planes, $offset)")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }

@@ -41,11 +41,24 @@ object Multimodal {
     * Real path: `javax.imageio` still-image decode (n_frames = 1).
     * STUB fallback for undecodable bytes: deterministic fake features
     * derived from the raw bytes (length-mod dimensions). */
+  /** Container sniff before the decoder: PNG/JPEG/GIF/BMP magic bytes.
+    * A production media pipeline never hands a payload to a decoder
+    * without this — `ImageIO.read` runs a registered-reader scan per
+    * call, and paying it for every non-image payload was a measurable
+    * slice of the 100× corpus run. */
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) || // JPEG
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') ||
+      (b(0) == 'B' && b(1) == 'M'))
+
   private[operators] def decode(bytes: Array[Byte]): (String, Int, Int, Long) = {
     val md = MessageDigest.getInstance("MD5")
     val fp = md.digest(bytes).map("%02x".format(_)).mkString
     val img =
-      try ImageIO.read(new ByteArrayInputStream(bytes))
+      if (!looksLikeImage(bytes)) null
+      else try ImageIO.read(new ByteArrayInputStream(bytes))
       catch { case _: Exception => null }
     if (img != null) (fp, img.getWidth, img.getHeight, 1L)
     else {
@@ -75,10 +88,13 @@ object Multimodal {
     * (the test corpus ships no real media; ImageSpec feeds `features`
     * a real PNG), then batch-decoded. */
   def mmFeatures(s: SparkSession, dir: String): DataFrame =
-    features(Tables.load(s, dir, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      // media work is CPU-bound per item: spread batches evenly
-      .repartition(col("doc_id")))
+    // media work is CPU-bound per item: spread ONLY when the scan has
+    // fewer splits than cores (single-row-group bench corpora) — an
+    // unconditional repartition shuffled the full payload bytes, a
+    // ~1 GB round-trip at the 100× corpus that the splittable layout
+    // never needed
+    features(Tables.spread(Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))))
       .orderBy(col("doc_id"))
 
   /** The test-corpus payloads are not decodable images, so the stub

@@ -100,17 +100,21 @@ object Similarity {
 
   val LshPlanes = 8
 
-  /** DuckDB SQL for bit j of the hyperplane signature of milli-vector
-    * column `v` — sign of plane component i is the md5-digit parity of
+  /** DuckDB SQL for GLOBAL plane index j of the hyperplane signature
+    * of milli-vector column `v`, contributing bit (j - from) of its
+    * Long — sign of plane component i is the md5-digit parity of
     * "p<j>:<i>", identical to the `lshBucket` kernel's sign matrix. */
-  private def planeBitSql(j: Int): String =
+  private def planeBitSql(j: Int, from: Int): String =
     s"""CASE WHEN list_sum(list_transform(range(1, len(v)+1),
        | i -> CASE WHEN substring(md5('p$j:' || (i-1)), 1, 1)
        |   IN ('1','3','5','7','9','b','d','f') THEN v[i] ELSE -v[i] END))
-       | > 0 THEN ${1L << j} ELSE 0 END""".stripMargin.replace("\n", "")
+       | > 0 THEN ${1L << (j - from)} ELSE 0 END""".stripMargin.replace("\n", "")
 
-  private def bucketSql(planes: Int): String =
-    (0 until planes).map(planeBitSql).mkString(" + ")
+  /** Signature Long over global planes [from, until) — the SQL twin of
+    * `lshBucket(v, until - from, from)`. */
+  private def bucketSql(from: Int, until: Int): String =
+    (from until until).map(planeBitSql(_, from)).mkString(" + ")
+  private def bucketSql(planes: Int): String = bucketSql(0, planes)
 
   /** ann_lsh: the scale path — random-hyperplane LSH buckets, top-3
     * neighbors searched only within the query's bucket. Trades recall
@@ -273,26 +277,28 @@ object Similarity {
        |        WHERE vec_id < 5)) u
        |ORDER BY vec_id, pos""".stripMargin
 
-  val DedupPlanes = 60
   val DedupBands = 6
-  val DedupBandBits = 10
+  val DedupBandBits = 20
+  val DedupPlanes = DedupBands * DedupBandBits // 120, spanning 2 Longs
 
   /** dedup_embedding: top-50 most-similar vector pairs among LSH-banded
     * candidates — the embedding-cosine near-duplicate miner.
     *
-    * Blocking: a 60-bit hyperplane signature split into 6 bands of 10
-    * bits; a pair is a candidate iff it collides in at least one band
-    * (the minhash-LSH banding scheme applied to hyperplane bits).
-    * Band width is the SCALE knob: with b-bit bands a random
-    * (orthogonal) pair collides with p = 6/2^b, so expected random
-    * candidates are ≈ 6·n²/2¹¹ — the round-3 form (4-bit bands, 16
-    * buckets) was measured 54× slower at a 10× corpus because its
-    * candidate stage was effectively all-pairs (n²/8). At 10 bits:
-    * per-bit collision for cos 0.95 is 1-θ/π ≈ 0.899 → band p ≈
-    * 0.899¹⁰ ≈ 0.35 → recall 1-(1-0.35)⁶ ≈ 0.92, and ≈ 0.99 at
-    * cos 0.98 — the similarity range a dedup pass targets (run
-    * dedup_exact first; SimilaritySpec gates recall on PLANTED
-    * near-dups at cos ≈ 0.999). The band join carries only
+    * Blocking: a 120-bit hyperplane signature (two 60-plane Longs)
+    * split into 6 bands of 20 bits; a pair is a candidate iff it
+    * collides in at least one band (the minhash-LSH banding scheme
+    * applied to hyperplane bits). Band WIDTH is the scale knob — it
+    * must grow ~log₂(n): with b-bit bands a random (orthogonal) pair
+    * collides with p ≈ 6/2^b, so expected random candidates are
+    * ≈ 6·n²/2^(b+1). The sf1 gate caught 4-bit bands effectively
+    * all-pairs at 10×; the sf10 gate caught 10-bit bands the same way
+    * at 100× (6·(5·10⁵)²/2¹¹ ≈ 7·10⁸ candidates — measured 120 s vs
+    * 1.5 s at sf1). At 20 bits sf10's random-candidate expectation is
+    * ≈ 7·10⁵ (linear territory to ~10⁷ vectors; widen again beyond).
+    * Recall: per-bit collision is 1-θ/π → band p = (1-θ/π)²⁰, across
+    * 6 bands ≈ 0.9998 at the planted cos ≈ 0.999 (SimilaritySpec
+    * gates this), ≈ 0.85 at cos 0.98 — the post-exact-dedup range the
+    * op targets (run dedup_exact first). The band join carries only
     * (vec_id, band_key) — vectors are fetched per-candidate
     * afterwards — so shuffles stay O(candidates), never O(n²): at
     * corpus scale the band key is the shuffle key and no cross-bucket
@@ -300,12 +306,18 @@ object Similarity {
     * the plan). The DuckDB oracle encodes the identical banding, same
     * as `ann_lsh`. */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
-    val b = base(s, dir).withColumn("bucket",
-      graft.functions.TextFunctions.lshBucket(col("v"), DedupPlanes))
-    val mask = (1 << DedupBandBits) - 1
-    val bandKeys = (0 until DedupBands).map(i =>
-      shiftright(col("bucket"), i * DedupBandBits).bitwiseAND(lit(mask))
-        + lit(i << DedupBandBits))
+    val bandsPerLong = 60 / DedupBandBits // 3 bands fit one 60-bit Long
+    val b = base(s, dir)
+      .withColumn("bucket0",
+        graft.functions.TextFunctions.lshBucket(col("v"), 60))
+      .withColumn("bucket1",
+        graft.functions.TextFunctions.lshBucket(col("v"), 60, 60))
+    val mask = (1L << DedupBandBits) - 1
+    val bandKeys = (0 until DedupBands).map { i =>
+      val word = if (i < bandsPerLong) col("bucket0") else col("bucket1")
+      shiftright(word, (i % bandsPerLong) * DedupBandBits)
+        .bitwiseAND(lit(mask)) + lit(i.toLong << DedupBandBits)
+    }
     val bands = b.select(col("vec_id"),
       explode(array(bandKeys: _*)).as("band_key"))
     val cand = bands.as("x").join(bands.as("y"),
@@ -331,11 +343,14 @@ object Similarity {
        |sq AS (
        |  SELECT vec_id, v,
        |    CAST(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i])) AS BIGINT) AS sq,
-       |    (${bucketSql(DedupPlanes)}) AS bucket
+       |    (${bucketSql(0, 60)}) AS bucket0,
+       |    (${bucketSql(60, 120)}) AS bucket1
        |  FROM base),
        |bands AS (
-       |  SELECT vec_id, i * ${1 << DedupBandBits} +
-       |    ((bucket >> (i * $DedupBandBits)) & ${(1 << DedupBandBits) - 1}) AS band_key
+       |  SELECT vec_id, i * ${1L << DedupBandBits} +
+       |    ((CASE WHEN i < 3 THEN bucket0 >> (i * $DedupBandBits)
+       |           ELSE bucket1 >> ((i - 3) * $DedupBandBits) END)
+       |     & ${(1L << DedupBandBits) - 1}) AS band_key
        |  FROM sq, (SELECT unnest(range($DedupBands)) AS i)),
        |cand AS (
        |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b

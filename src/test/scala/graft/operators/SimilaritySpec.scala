@@ -10,8 +10,9 @@ import graft.SparkSpec
   * and — the property a dedup pass actually needs — PLANTED near-dups
   * at cos ≈ 0.999 must be recovered through the banding. On a
   * random-vector corpus (top pair cosine only ≈ 0.5, far below any
-  * dedup threshold) band collisions are rare BY DESIGN with 10-bit
-  * bands; that case only pins determinism and output shape. */
+  * dedup threshold) band collisions are rare BY DESIGN with 20-bit
+  * bands — random candidates ≈ 6·n²/2²¹ is exactly the linearity the
+  * sf10 gate demanded; that case only pins determinism and shape. */
 class SimilaritySpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
   private lazy val s = SparkSpec.spark
@@ -27,8 +28,8 @@ class SimilaritySpec extends AnyFunSuite {
     import s.implicits._
     // 100 random base vectors + 20 tiny-perturbation copies: the
     // copies are the only true near-dups (cos ≈ 0.999); every planted
-    // pair must survive the 6×10-bit banding (predicted recall
-    // ≈ 1 - (1 - 0.9857^10)^6 ≈ 0.9999 at this similarity)
+    // pair must survive the 6×20-bit banding (predicted recall
+    // ≈ 1 - (1 - 0.9857^20)^6 ≈ 0.9998 at this similarity)
     val rnd = new scala.util.Random(42)
     val dim = 64
     val baseVecs = (0 until 100).map { i =>
@@ -51,12 +52,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(found >= 18, s"planted recall $found/20 through the banding")
   }
 
-  test("dedup_embedding: deterministic top-50 on the random corpus") {
+  test("dedup_embedding: deterministic, distinct, bounded output on " +
+      "the random corpus") {
+    // a random corpus has (almost) no true near-dups, and 20-bit bands
+    // admit almost no random collisions — so the output is SMALL here
+    // (that selectivity is the scale property); it must still be
+    // ≤ limit, duplicate-free, and bit-stable across runs
     val banded = Similarity.dedupEmbedding(s, sf)
       .select("vec_a", "vec_b").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    assert(banded.length == 50)
-    assert(banded.distinct.length == 50)
+    assert(banded.length <= 50 && banded.nonEmpty)
+    assert(banded.distinct.length == banded.length)
     // run-to-run determinism (hash partitioning / band order must not
     // leak into the result)
     val again = Similarity.dedupEmbedding(s, sf)
