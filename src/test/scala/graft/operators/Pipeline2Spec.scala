@@ -84,6 +84,38 @@ class Pipeline2Spec extends AnyFunSuite {
     assert(pr.filter(col("deg") > 0).count() > 0, "graph must be non-trivial")
   }
 
+  test("q65: fixed 3 rounds genuinely truncate where the fixpoint " +
+      "converges; dangling mass is redistributed, not leaked") {
+    import spark.implicits._
+    // a 5-star (hub 0 ↔ 1..5) plus 10 isolated docs: the isolated
+    // ranks feed the dangling pool, whose redistribution keeps raising
+    // everyone for ~10 rounds (contraction ≈ 0.85 × dangling share) —
+    // at round 3 the flow has NOT stabilized, so q61-style fixed
+    // rounds and the fixpoint genuinely differ
+    val ids = (0L until 16L).toDF("doc_id")
+    val star = (1L to 5L).map(v => (0L, v)).toDF("u", "v")
+    val bidir = star.union(star.select(col("v").as("u"), col("u").as("v")))
+    val deg = bidir.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val edges = bidir.join(deg, "u")
+    val fp = Pipeline2.pagerankFixpoint(ids, edges, 16,
+      oracleRoundBound = Some(Pipeline2.PrOracleRounds))
+      .orderBy("doc_id").collect()
+    val r3 = Pipeline2.pagerankFixpoint(ids, edges, 16, maxRounds = 3)
+      .orderBy("doc_id").collect()
+    assert(!fp.sameElements(r3),
+      "3 rounds must not reach the fixpoint on this graph")
+    // dangling redistribution: isolated docs sit ABOVE the teleport
+    // floor at fixpoint (q61's form leaks their mass and pins them
+    // to exactly 150)
+    val isolated = fp.filter(_.getAs[Long]("doc_id") >= 6L)
+    assert(isolated.nonEmpty &&
+      isolated.forall(_.getAs[Long]("r") > 150L), isolated.take(3).toSeq)
+    // monotone seed ⇒ ranks only grew; hub outranks leaves
+    val hub = fp.find(_.getAs[Long]("doc_id") == 0L).get.getAs[Long]("r")
+    val leaf = fp.find(_.getAs[Long]("doc_id") == 1L).get.getAs[Long]("r")
+    assert(hub > leaf && leaf >= 150L)
+  }
+
   test("q57: merged base+delta partials equal the full recompute") {
     import org.apache.spark.sql.functions._
     val merged = Pipeline2.q57IncrementalAgg(spark, dir)
