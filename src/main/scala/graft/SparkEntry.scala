@@ -77,6 +77,7 @@ object SparkEntry {
     "q57_incremental_agg" -> Pipeline2.q57IncrementalAgg,
     "q61_pagerank" -> Pipeline2.q61Pagerank,
     "q63_rrf_fusion" -> Pipeline2.q63RrfFusion,
+    "q65_pagerank_fixpoint" -> Pipeline2.q65PagerankFixpoint,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -87,6 +88,7 @@ object SparkEntry {
     "ta_fingerprint" -> TextAnalysis.taFingerprint,
     "ta_tokens" -> TextAnalysis.taTokens,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccard,
+    "q64_dedup_pipeline" -> Dedup.q64DedupPipeline,
     "ann_ivf" -> Similarity.annIvf,
     "dedup_exact" -> Dedup.dedupExact,
     "dedup_minhash_lsh" -> Dedup.dedupMinhashLsh,
@@ -355,6 +357,7 @@ object SparkEntry {
     "q57_incremental_agg" -> Pipeline2.q57IncrementalAggOracle,
     "q61_pagerank" -> Pipeline2.q61PagerankOracle,
     "q63_rrf_fusion" -> Pipeline2.q63RrfFusionOracle,
+    "q65_pagerank_fixpoint" -> Pipeline2.q65PagerankFixpointOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,
@@ -364,6 +367,7 @@ object SparkEntry {
     "ta_fingerprint" -> TextAnalysis.taFingerprintOracle,
     "ta_tokens" -> TextAnalysis.taTokensOracle,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardOracle,
+    "q64_dedup_pipeline" -> Dedup.q64DedupPipelineOracle,
     "ann_ivf" -> Similarity.annIvfOracle,
     "dedup_exact" -> Dedup.dedupExactOracle,
     "dedup_minhash_lsh" -> Dedup.dedupMinhashLshOracle,

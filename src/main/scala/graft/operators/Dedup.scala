@@ -354,4 +354,161 @@ object Dedup {
        |  min(doc_id) AS survivor_id, count(*) AS n_members
        |FROM base GROUP BY 1 ORDER BY survivor_id""".stripMargin
   }
+
+  /** Embedding-veto floor for the q64 funnel, in floor(cos·1e6)
+    * units: a Jaccard-verified text near-dup pair is merged only if
+    * its embeddings do NOT contradict it (cos ≥ this floor) — an
+    * orthogonal-or-opposed pair is a word-soup false positive and both
+    * docs stay. 0 is the principled floor for the synthetic corpus,
+    * whose planted text near-dups carry independent embeddings
+    * (measured pair cosines span [-0.78, 0.28] at sf0.01, so both the
+    * remove and the veto path are exercised); a real corpus with
+    * aligned text/vector spaces would raise this toward 0.8-0.95 and
+    * flip the stage from veto to confirmation. */
+  val FunnelCosE6 = 0L
+
+  /** q64: the END-TO-END dedup funnel a production corpus actually
+    * runs (SCALING.md's own operational advice: "run dedup_exact
+    * first; feed near-dup operators survivors only"), composed as one
+    * query:
+    *
+    *   1. exact dedup — survivor = min doc_id per normalized-content
+    *      md5, elected with an h-partitioned window over the ONLY
+    *      `documents` scan in the plan; text rides the election
+    *      shuffle, so the shingle/hash kernels run on survivors only
+    *      and the ~10× exact-dup mass is never shingled;
+    *   2. MinHash-LSH near-dup pairs among SURVIVORS ONLY — the band
+    *      join and the Jaccard verify both read the survivor barrier
+    *      (a `localCheckpoint` holding doc_id + shingle payload), so
+    *      the corpus is never rescanned and exact dups never reach
+    *      the quadratic-risk pair stage;
+    *   3. embedding veto — each Jaccard-verified pair (J ≥ 0.5, the
+    *      [[dedupMinhashLsh]] semantics) merges only if its vectors
+    *      don't contradict it (integer cosine ≥ [[FunnelCosE6]]);
+    *      orthogonal-or-opposed pairs are false-positive text
+    *      collisions and stay distinct.
+    *
+    * Keep-set = survivors minus the larger id of every confirmed pair
+    * (greedy min-id keeper, the [[dedupExact]] election rule applied
+    * to near-dup edges). Scale posture: stage 1 is one hash-partitioned
+    * window; stage 2 inherits the banded-LSH O(candidates) shape;
+    * stage 3 is two id-equi-joins against `embeddings` (vec_id aligns
+    * with doc_id) touching only candidate pairs. No all-pairs stage,
+    * no global window, no rescan. */
+  def q64DedupPipeline(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    // ONE documents scan: the election needs only (doc_id, content
+    // hash); text rides the h-shuffle so the shingle/hash kernels run
+    // AFTER the election — the ~10× exact-dup mass is never shingled
+    // (that ordering is the funnel's whole efficiency claim)
+    val base = Tables.spread(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), md5(norm(col("text"))).as("h"), col("text"))
+    // THE survivor barrier: every downstream stage (signatures, band
+    // join, both Jaccard-verify sides, final anti-join) reuses these
+    // blocks — the plan shows one documents scan feeding a checkpoint
+    val survivors = base
+      .withColumn("keeper", min(col("doc_id")).over(w))
+      .withColumn("n_exact", count(lit(1)).over(w))
+      .filter(col("doc_id") === col("keeper"))
+      .select(col("doc_id"), shingles(col("text")).as("sh"), col("n_exact"))
+      .withColumn("hashes", shingleHashes(col("sh")))
+      .repartition(col("doc_id"))
+      .localCheckpoint(false)
+    val sigs = survivors.select(col("doc_id"),
+      graft.functions.TextFunctions
+        .minHexWindows(col("hashes"), 8, NumHashes).as("sig"))
+    val bandCols = (0 until NumHashes / BandSize).map { b =>
+      md5(concat_ws("|",
+        (0 until BandSize).map(r => col("sig").getItem(b * BandSize + r)): _*))
+    }
+    // bands carry only (doc_id, band); shingles re-fetched by id join
+    val bands = sigs.select(col("doc_id"),
+      explode(array(bandCols: _*)).as("band"))
+    val cand = bands.as("a")
+      .join(bands.as("b"), col("a.band") === col("b.band") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = survivors.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val sb = survivors.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+    val textPairs = cand.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.TextStatFunctions
+          .intersectCount(col("sha"), col("shb")).as("n_inter"),
+        (size(col("sha")) + size(col("shb"))).cast("long").as("n_both"))
+      .withColumn("n_union", col("n_both") - col("n_inter"))
+      .filter(col("n_inter") * 2 >= col("n_union"))
+      .select(col("doc_a"), col("doc_b"))
+    // embedding confirmation: candidate pairs only ever touch two
+    // id-equi-joins against the quantized vectors
+    val vecs = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), Similarity.ivec(col("embedding")).as("v"))
+      .withColumn("sq", Similarity.idot(col("v"), col("v")))
+    val va = vecs.select(col("vec_id").as("doc_a"), col("v").as("va"),
+      col("sq").as("sqa"))
+    val vb = vecs.select(col("vec_id").as("doc_b"), col("v").as("vb"),
+      col("sq").as("sqb"))
+    val removed = textPairs.join(va, "doc_a").join(vb, "doc_b")
+      .withColumn("cos_e6", Similarity.cosE6(
+        Similarity.idot(col("va"), col("vb")), col("sqa"), col("sqb")))
+      .filter(col("cos_e6") >= FunnelCosE6)
+      .select(col("doc_b").as("doc_id")).distinct()
+    survivors.join(removed, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_exact"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q64DedupPipelineOracle: String = {
+    val sigList = (0 until NumHashes)
+      .map(k => s"${minhashSigSql("hashes", k)} AS sig_$k").mkString(",\n    ")
+    val bandList = (0 until NumHashes / BandSize).map { bd =>
+      val parts = (0 until BandSize).map(r => s"sig_${bd * BandSize + r}")
+      s"md5(${parts.mkString(" || '|' || ")})"
+    }.mkString(", ")
+    s"""WITH elected AS (
+       |  SELECT doc_id, text,
+       |    min(doc_id) OVER (PARTITION BY md5($normSql)) AS keeper,
+       |    count(*) OVER (PARTITION BY md5($normSql)) AS n_exact
+       |  FROM documents),
+       |surv AS (
+       |  SELECT doc_id, $shinglesSql AS sh,
+       |    CAST(n_exact AS BIGINT) AS n_exact
+       |  FROM elected WHERE doc_id = keeper),
+       |hashed AS (
+       |  SELECT doc_id, sh, $shingleHashesSql AS hashes FROM surv),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $sigList
+       |  FROM hashed),
+       |bands AS (
+       |  SELECT doc_id, unnest([$bandList]) AS band FROM sigs),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.doc_id < b.doc_id),
+       |textpairs AS (
+       |  SELECT doc_a, doc_b
+       |  FROM cand
+       |  JOIN surv sa ON sa.doc_id = doc_a
+       |  JOIN surv sb ON sb.doc_id = doc_b
+       |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) * 2
+       |    >= CAST(len(list_distinct(sa.sh || sb.sh)) AS BIGINT)),
+       |iv AS (SELECT vec_id, ${Similarity.ivecSql} AS v FROM embeddings),
+       |sq AS (
+       |  SELECT vec_id, v,
+       |    CAST(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i])) AS BIGINT) AS sq
+       |  FROM iv),
+       |removed AS (
+       |  SELECT DISTINCT doc_b AS doc_id
+       |  FROM textpairs
+       |  JOIN sq a ON a.vec_id = doc_a
+       |  JOIN sq b ON b.vec_id = doc_b
+       |  WHERE CAST(floor(CAST(list_sum(list_transform(range(1, len(a.v)+1),
+       |        i -> a.v[i]*b.v[i])) AS DOUBLE)
+       |      / (sqrt(CAST(a.sq AS DOUBLE)) * sqrt(CAST(b.sq AS DOUBLE)))
+       |      * 1e6) AS BIGINT) >= $FunnelCosE6)
+       |SELECT doc_id, n_exact FROM surv
+       |WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+       |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -28,6 +28,20 @@ class AuditSpec extends AnyFunSuite {
     assert(violations.isEmpty, violations.mkString("; "))
   }
 
+  test("q64 funnel reuses the survivor barrier — documents are never " +
+      "rescanned downstream") {
+    // the exact-dedup survivor election is a lazy localCheckpoint; every
+    // later stage (signatures, band join, both Jaccard-verify sides,
+    // the final anti-join) must read THAT barrier, so the only file
+    // scans left in the outer plan are the embeddings ones
+    val plan = SparkEntry.queries("q64_dedup_pipeline")(SparkSpec.spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      "documents rescanned past the survivor barrier")
+    assert(plan.contains("embeddings.parquet"),
+      "embedding confirmation must scan the embeddings table")
+  }
+
   test("the global-window detector fires on an unpartitioned window " +
       "and stays quiet on a partitioned one") {
     import org.apache.spark.sql.expressions.Window
