@@ -481,18 +481,27 @@ object Relational2 {
   /** q49: skew-stress join+agg — fact (planted 50%-hot key) ⋈ customer,
     * then a per-segment rollup. The dim join is forced to a shuffled
     * join (`hint("shuffle_hash")` — no 50M-row sort, and the dim side
-    * is NOT broadcastable at 100 TB): that is exactly the regime where
-    * a hot key strands one reducer with half the join's rows (AQE's
-    * skew split only triggers above its partition-size threshold, and
-    * a single join KEY is unsplittable by partition anyway once rows
-    * concentrate on it — salting is the in-plan guarantee; the
-    * imbalance lives in the shuffle, so the demo is join-algorithm
-    * independent). Fact rows get a deterministic salt, the dim
-    * replicates ×[[SkewSalt]], and the hot key spreads over SkewSalt
-    * reducers. The oracle (and the [[q49SkewAggNaive]] bench twin,
-    * same join algorithm) is the UNSALTED join — the rewrite must be
-    * result-identical, and graft.Bench reports both so the JSON itself
-    * shows salted < naive on the planted hot key (2.8× at sf1). */
+    * is NOT broadcastable at 100 TB): below AQE's skew thresholds that
+    * regime strands one reducer with half the join's rows. Fact rows
+    * get a deterministic salt, the dim replicates ×[[SkewSalt]], and
+    * the hot key spreads over SkewSalt reducers. The oracle (and the
+    * [[q49SkewAggNaive]] bench twin, same join algorithm) is the
+    * UNSALTED join — the rewrite must be result-identical, and
+    * graft.Bench reports both.
+    *
+    * Where each wins (measured): salted beats naive 2.6× at sf1
+    * (5.4s vs 13.9s — AQE's skew split hasn't triggered, the naive
+    * hot reducer is stranded). At sf10 the comparison FLIPS (28s vs
+    * 18s): the hot partition crosses AQE's skew-join threshold and
+    * `OptimizeSkewedJoin` splits it — a single join KEY is splittable
+    * for a JOIN (map outputs divide; the build side replicates per
+    * split), so the naive plan heals at runtime while salting keeps
+    * paying its ×16 build-side replication and per-row salt. Salting
+    * remains (a) the deterministic in-plan guarantee, independent of
+    * AQE thresholds/stats, and (b) the ONLY fix for hot-key
+    * AGGREGATION (q20's two-phase shape) — an agg key genuinely
+    * cannot be split across reducers. SkewGateSpec gates the sf0.1
+    * regime where the stranded reducer is the real cost. */
   def q49SkewAgg(s: SparkSession, dir: String): DataFrame = {
     val f = skewFact(s, dir)
       .withColumn("salt", pmod(col("event_id") + col("rep"), lit(SkewSalt)))

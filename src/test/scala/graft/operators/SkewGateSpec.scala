@@ -11,12 +11,16 @@ import graft.SparkSpec
   * regression (e.g. a hint lost in a refactor, as round 4 shipped)
   * is visible but non-fatal; here it fails CI.
   *
-  * Methodology: sf0.1 (the salting overhead — ×16 dim replication —
-  * only pays once the hot key is large; at sf0.01 naive legitimately
-  * wins), one untimed warm-up each, then interleaved timed runs with
-  * min-of-N on both sides — min is the standard noise-robust estimator
-  * for "the plan's cost" under GC/JIT jitter. Delete this spec only if
-  * the q49 twins are retired.
+  * Methodology: sf0.1 — the regime where the stranded reducer is the
+  * real cost. At sf0.01 the ×16 build-side replication outweighs a
+  * small hot key (naive legitimately wins), and at sf10 AQE's
+  * skew-join split heals the naive JOIN at runtime (see the q49
+  * scaladoc: a join key is splittable, an agg key is not) — so the
+  * gate pins the mid-scale window plus the plan shape, not a
+  * universal ordering. One untimed warm-up each, then interleaved
+  * timed runs with min-of-N on both sides — min is the standard
+  * noise-robust estimator under GC/JIT jitter. Delete this spec only
+  * if the q49 twins are retired.
   */
 class SkewGateSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.1"
