@@ -53,7 +53,12 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // inter-query isolation: drop this run's barrier blocks so the
+      // next measurement starts from clean storage memory (see
+      // Sessions.releaseBlocks — order-dependent timings otherwise)
+      Sessions.releaseBlocks(spark)
+      sec
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

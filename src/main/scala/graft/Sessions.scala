@@ -16,4 +16,25 @@ object Sessions {
   def defaults(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Local-mode GC robustness at the ×100 corpus: a full-heap
+      // stop-the-world pause in a 48 GiB single-JVM run can exceed the
+      // 120 s default, and the HeartbeatReceiver then removes the only
+      // executor, killing the context mid-suite (seen on the first
+      // full sf10 bench). On a real cluster heartbeats cross processes
+      // and the default is right; in local[*] they share the pausing
+      // JVM, so the timeout only guards against itself.
+      .config("spark.network.timeout", "600s")
+
+  /** Drop every block any query left behind (localCheckpoint barriers
+    * persist MEMORY_AND_DISK blocks that only a GC cycle reclaims):
+    * Bench/TimeQ call this BETWEEN queries so each measurement starts
+    * from clean storage memory — without it, timings are
+    * order-dependent (a barrier-heavy query's blocks squeeze the next
+    * query's execution memory; measured 6× inflation at sf10) and the
+    * suite eventually GC-stalls. Semantically each bench entry is an
+    * independent job — on a cluster it would be its own application. */
+  def releaseBlocks(spark: SparkSession): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Behavior, Dedup, Multimodal, Pipeline, Pipeline2, Relational, Relational2, Similarity, TextAnalysis}
+import graft.operators.{Behavior, Dedup, Multimodal, Pipeline, Pipeline2, Pipeline3, Relational, Relational2, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -78,6 +78,10 @@ object SparkEntry {
     "q61_pagerank" -> Pipeline2.q61Pagerank,
     "q63_rrf_fusion" -> Pipeline2.q63RrfFusion,
     "q65_pagerank_fixpoint" -> Pipeline2.q65PagerankFixpoint,
+    "q66_pack" -> Pipeline3.q66Pack,
+    "q67_cdc_merge" -> Pipeline3.q67CdcMerge,
+    "q68_semdedup" -> Pipeline3.q68SemDedup,
+    "q69_dup_spans" -> Pipeline3.q69DupSpans,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -358,6 +362,10 @@ object SparkEntry {
     "q61_pagerank" -> Pipeline2.q61PagerankOracle,
     "q63_rrf_fusion" -> Pipeline2.q63RrfFusionOracle,
     "q65_pagerank_fixpoint" -> Pipeline2.q65PagerankFixpointOracle,
+    "q66_pack" -> Pipeline3.q66PackOracle,
+    "q67_cdc_merge" -> Pipeline3.q67CdcMergeOracle,
+    "q68_semdedup" -> Pipeline3.q68SemDedupOracle,
+    "q69_dup_spans" -> Pipeline3.q69DupSpansOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,

@@ -1,0 +1,313 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.TextAnalysis.{tokens, tokensSql}
+
+/** Third block of training-data pipeline operators: token-budget
+  * sequence packing, CDC merge/upsert application, SemDeDup-style
+  * cluster-partitioned semantic dedup, and cross-document duplicated
+  * n-gram span profiling.
+  *
+  * Same house rules as `Pipeline`/`Pipeline2`: integer/md5-exact
+  * arithmetic so the DuckDB oracle hash-matches, codegen kernels for
+  * every per-row text pass, and no all-pairs stage anywhere — each
+  * candidate generator is an equi-join on a blocking key with a
+  * bounded neighborhood.
+  */
+object Pipeline3 {
+
+  val PackBudget = 512L
+  val PackShards = 8L
+
+  /** q66: token-budget sequence packing — the shard-assignment step of
+    * a training run: documents are packed greedily (in doc_id order)
+    * into fixed token-budget sequences, per language. Packing is
+    * two-level: docs first land in `doc_id % PackShards` shards, then
+    * pack contiguously within (lang, shard) — the running token offset
+    * decides each doc's sequence, so a doc may straddle its sequence
+    * boundary (standard overflow packing). Shape for 100 TB: the
+    * cumulative sum runs per (lang, shard) — shard count is the
+    * parallelism knob (a cluster run sets it O(executors); a GLOBAL
+    * per-lang cumsum would be the q63 single-partition anti-pattern
+    * the plan audit bans). One window + one hash agg on the same key.
+    */
+  def q66Pack(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.spread(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_toks"),
+        (col("doc_id") % PackShards).as("shard"))
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      .withColumn("seq", expr(s"(cum - n_toks) div $PackBudget"))
+      .groupBy(col("lang"), col("shard"), col("seq"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"), col("shard"), col("seq"))
+  }
+
+  val q66PackOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len($tokensSql) AS BIGINT) AS n_toks,
+       |    doc_id % $PackShards AS shard
+       |  FROM documents),
+       |packed AS (
+       |  SELECT doc_id, lang, shard, n_toks,
+       |    CAST((sum(n_toks) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |     - n_toks) // $PackBudget AS BIGINT) AS seq
+       |  FROM toks)
+       |SELECT lang, shard, seq, count(*) AS n_docs,
+       |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM packed GROUP BY lang, shard, seq
+       |ORDER BY lang, shard, seq""".stripMargin
+
+  /** q67: CDC MERGE (upsert/delete apply) — the warehouse maintenance
+    * op: a change feed of (key, seq, op I/U/D, payload) rows is
+    * collapsed to latest-per-key and applied to a base snapshot.
+    * The feed is derived deterministically from `orders` itself so the
+    * oracle sees identical inputs: keys ≡ 0 (mod 7) get two update
+    * versions (latest wins), keys ≡ 1 get an update then a delete
+    * (the delete must win), keys ≡ 2 spawn inserts under fresh
+    * negative keys (collision-free at any scale factor).
+    *
+    * Shape for 100 TB: collapse is one window over the (small) feed;
+    * apply is one anti-join plus a union — both shuffle on the merge
+    * key only, the Delta/Iceberg MERGE shape. With the base stored
+    * through [[graft.storage.ParquetBackend]]'s bucketed layout the
+    * base side of the anti-join is exchange-free (BucketJoinSpec);
+    * nothing rescans or rewrites untouched data.
+    */
+  def q67CdcMerge(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_cents"))
+    def feedOf(mod: Int, seq: Int, op: String, key: Column,
+        status: Column, price: Column) =
+      orders.filter(col("o_orderkey") % 7 === mod)
+        .select(key.as("k"), lit(seq).as("seq"), lit(op).as("op"),
+          col("o_custkey").as("ck"), status.as("st"), price.as("pc"))
+    val feed =
+      feedOf(0, 1, "U", col("o_orderkey"), col("o_orderstatus"),
+          col("price_cents") + 100000L)
+        .unionAll(feedOf(0, 2, "U", col("o_orderkey"), col("o_orderstatus"),
+          col("price_cents") + 200000L))
+        .unionAll(feedOf(1, 1, "U", col("o_orderkey"), col("o_orderstatus"),
+          col("price_cents") + 100000L))
+        .unionAll(feedOf(1, 2, "D", col("o_orderkey"), col("o_orderstatus"),
+          lit(null).cast("long")))
+        .unionAll(feedOf(2, 1, "I", -col("o_orderkey") - 1, lit("N"),
+          col("price_cents")))
+    val latest = feed
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("seq").desc)))
+      .filter(col("rn") === 1)
+    val upserts = latest.filter(col("op") =!= "D")
+      .select(col("k").as("o_orderkey"), col("ck").as("o_custkey"),
+        col("st").as("o_orderstatus"), col("pc").as("price_cents"))
+    val untouched = orders.join(latest.select(col("k").as("o_orderkey")),
+      Seq("o_orderkey"), "left_anti")
+    untouched.unionAll(upserts).orderBy(col("o_orderkey"))
+  }
+
+  val q67CdcMergeOracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      |  FROM orders),
+      |feed AS (
+      |  SELECT o_orderkey AS k, 1 AS seq, 'U' AS op, o_custkey AS ck,
+      |    o_orderstatus AS st, price_cents + 100000 AS pc
+      |  FROM base WHERE o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 2, 'U', o_custkey, o_orderstatus,
+      |    price_cents + 200000 FROM base WHERE o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 1, 'U', o_custkey, o_orderstatus,
+      |    price_cents + 100000 FROM base WHERE o_orderkey % 7 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey, 2, 'D', o_custkey, o_orderstatus,
+      |    CAST(NULL AS BIGINT) FROM base WHERE o_orderkey % 7 = 1
+      |  UNION ALL
+      |  SELECT -o_orderkey - 1, 1, 'I', o_custkey, 'N',
+      |    price_cents FROM base WHERE o_orderkey % 7 = 2),
+      |latest AS (
+      |  SELECT * FROM (
+      |    SELECT k, op, ck, st, pc,
+      |      row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      |    FROM feed) WHERE rn = 1)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, price_cents
+      |FROM base WHERE o_orderkey NOT IN (SELECT k FROM latest)
+      |UNION ALL
+      |SELECT k, ck, st, pc FROM latest WHERE op <> 'D'
+      |ORDER BY o_orderkey""".stripMargin
+
+  val SemCentroids = 32
+  val SemWindow = 8
+  val SemTake = 50
+
+  /** q68: SemDeDup-style semantic dedup — cluster the corpus against a
+    * coarse codebook, then flag members whose cosine to a nearby
+    * cluster-mate is highest (Abbas et al. 2023's cluster-then-prune
+    * shape). The codebook is the first [[SemCentroids]] vectors
+    * (deterministic stand-in for trained k-means, as in `ann_ivf`);
+    * within each cluster members are ordered by similarity-to-centroid
+    * and each is compared only to its [[SemWindow]] predecessors in
+    * that ordering — the sorted-neighborhood method: near-duplicates
+    * have near-identical centroid cosines, so they land adjacent.
+    * Work is O(n·W), never O(n²/k). A production run drops members
+    * above a cosine threshold; like `dedup_embedding`, the gated query
+    * reports the top-[[SemTake]] evidence list (the bench corpus
+    * plants no semantic dups, so any fixed τ would gate on emptiness —
+    * Pipeline3Spec plants a near-dup and asserts it surfaces first).
+    *
+    * Shape for 100 TB: assignment is a broadcast of the codebook;
+    * ranking and the neighbor join both key on cent_id. The codebook
+    * size is the scale contract (like the LSH band width): clusters
+    * grow O(n/k), so k must track n to keep per-cluster sorts bounded
+    * — a cluster deployment trains k ∝ n/⟨cluster⟩ centroids.
+    */
+  def q68SemDedup(s: SparkSession, dir: String): DataFrame = {
+    import Similarity.{cosE6, idot}
+    val b = Similarity.exactPairsBase(s, dir)
+    val cents = broadcast(b.filter(col("vec_id") < SemCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        col("sq").as("csq")))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id").asc)
+    val assigned = b.crossJoin(cents)
+      .withColumn("cent_cos",
+        cosE6(idot(col("v"), col("cv")), col("sq"), col("csq")))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("v"), col("sq"), col("cent_id"),
+        col("cent_cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cent_id"))
+          .orderBy(col("cent_cos").desc, col("vec_id").asc)))
+    val withOff = assigned
+      .withColumn("off", explode(array((1 to SemWindow).map(lit): _*)))
+      .withColumn("prk", col("rk") - col("off"))
+    withOff.as("m").join(assigned.as("p"),
+        col("m.cent_id") === col("p.cent_id") &&
+          col("m.prk") === col("p.rk"))
+      .withColumn("cos_e6",
+        cosE6(idot(col("m.v"), col("p.v")), col("m.sq"), col("p.sq")))
+      .groupBy(col("m.vec_id").as("vec_id"), col("m.cent_id").as("cent_id"))
+      .agg(max(col("cos_e6")).as("best_cos_e6"),
+        count(lit(1)).as("n_cmp"))
+      .orderBy(col("best_cos_e6").desc, col("vec_id").asc)
+      .limit(SemTake)
+  }
+
+  val q68SemDedupOracle: String = {
+    import Similarity.ivecSql
+    val cos = (a: String, b: String, sqa: String, sqb: String) =>
+      s"""CAST(floor(CAST(list_sum(list_transform(range(1, len($a)+1),
+         |      i -> $a[i]*$b[i])) AS DOUBLE)
+         |  / (sqrt(CAST($sqa AS DOUBLE)) * sqrt(CAST($sqb AS DOUBLE)))
+         |  * 1e6) AS BIGINT)""".stripMargin
+    s"""WITH base AS (
+       |  SELECT vec_id, $ivecSql AS v FROM embeddings),
+       |sq AS (
+       |  SELECT vec_id, v,
+       |    CAST(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i])) AS BIGINT) AS sq
+       |  FROM base),
+       |cents AS (SELECT vec_id AS cent_id, v AS cv, sq AS csq FROM sq
+       |          WHERE vec_id < $SemCentroids),
+       |assigned AS (
+       |  SELECT vec_id, v, sq, cent_id, cent_cos FROM (
+       |    SELECT s.vec_id, s.v, s.sq, c.cent_id,
+       |      ${cos("s.v", "c.cv", "s.sq", "c.csq")} AS cent_cos,
+       |      row_number() OVER (PARTITION BY s.vec_id ORDER BY
+       |        ${cos("s.v", "c.cv", "s.sq", "c.csq")} DESC, c.cent_id ASC) AS crk
+       |    FROM sq s CROSS JOIN cents c) WHERE crk = 1),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY cent_id
+       |    ORDER BY cent_cos DESC, vec_id ASC) AS rk
+       |  FROM assigned),
+       |pairs AS (
+       |  SELECT m.vec_id, m.cent_id,
+       |    ${cos("m.v", "p.v", "m.sq", "p.sq")} AS cos_e6
+       |  FROM ranked m JOIN ranked p
+       |    ON m.cent_id = p.cent_id
+       |   AND p.rk BETWEEN m.rk - $SemWindow AND m.rk - 1)
+       |SELECT vec_id, cent_id, max(cos_e6) AS best_cos_e6,
+       |  count(*) AS n_cmp
+       |FROM pairs GROUP BY vec_id, cent_id
+       |ORDER BY best_cos_e6 DESC, vec_id ASC LIMIT $SemTake""".stripMargin
+  }
+
+  val SpanGram = 8
+
+  /** q69: cross-document duplicated-span profiling — the word-level
+    * form of exact-substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): an [[SpanGram]]-token
+    * gram is duplicated if it occurs in ≥2 distinct documents; each
+    * doc reports how much of it is covered by duplicated grams — the
+    * `dup_ratio` quality signal of RefinedWeb/Dolma-style pipelines.
+    *
+    * Shape for 100 TB: gram doc-frequency is ONE hash aggregation on
+    * the gram digest (no posting list is ever materialized — df ≥ 2 is
+    * a count, not a pair join, so boilerplate grams cost O(occurrences)
+    * not O(occurrences²)); the verdict join back to occurrences is an
+    * equi-join on the same digest key. Per-doc totals ride the shingle
+    * array length, map-only. Same codegen shingle kernel as q50.
+    */
+  def q69DupSpans(s: SparkSession, dir: String): DataFrame = {
+    val k = SpanGram
+    val withSh = Tables.spread(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenShingleMd5(
+          tokens(col("text")), k).as("sh"))
+    val grams = withSh.select(col("doc_id"), explode(col("sh")).as("sh"))
+    val dupSh = grams.groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("sh"))
+    val dupPerDoc = grams.join(dupSh, Seq("sh"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_grams"))
+    withSh.select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"))
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"))
+      .withColumn("dup_pct", expr("n_dup_grams * 100 div n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q69DupSpansOracle: String = {
+    val k = SpanGram
+    s"""WITH base AS (
+       |  SELECT doc_id, $tokensSql AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(1, greatest(1, len(toks) - ${k - 1}) + 1),
+       |    i -> md5(array_to_string(toks[i : i + ${k - 1}], ' ')))) AS sh
+       |  FROM base),
+       |dup AS (
+       |  SELECT sh FROM (SELECT sh, count(DISTINCT doc_id) AS df
+       |                  FROM sh GROUP BY sh) WHERE df >= 2),
+       |per_doc AS (
+       |  SELECT doc_id, count(*) AS n_dup_grams
+       |  FROM sh JOIN dup USING (sh) GROUP BY doc_id),
+       |totals AS (
+       |  SELECT doc_id,
+       |    CAST(greatest(1, len(toks) - ${k - 1}) AS BIGINT) AS n_grams
+       |  FROM base)
+       |SELECT t.doc_id, t.n_grams,
+       |  coalesce(p.n_dup_grams, 0) AS n_dup_grams,
+       |  coalesce(p.n_dup_grams, 0) * 100 // t.n_grams AS dup_pct
+       |FROM totals t LEFT JOIN per_doc p USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+  }
+}

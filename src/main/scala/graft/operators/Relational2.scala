@@ -505,11 +505,16 @@ object Relational2 {
   def q49SkewAgg(s: SparkSession, dir: String): DataFrame = {
     val f = skewFact(s, dir)
       .withColumn("salt", pmod(col("event_id") + col("rep"), lit(SkewSalt)))
+    // The hint sits on the DIM side: Spark builds the hinted relation's
+    // hash map, and building the FACT would materialize the hot key's
+    // entire partition (~15M rows/salt at the ×100 corpus) as one
+    // in-memory map — "cannot build hash map" OOM; caught by the sf10
+    // gate, invisible at sf0.1. Build the ×SkewSalt-replicated dim
+    // (bounded rows/partition), probe the fact.
     val d = t(s, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
       .withColumn("salt", explode(sequence(lit(0), lit(SkewSalt - 1))))
-    f.hint("shuffle_hash")
-      .join(d, f("k") === d("c_custkey") &&
+    f.join(d.hint("shuffle_hash"), f("k") === d("c_custkey") &&
         f("salt") === d("salt").cast("long"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_pairs"),
@@ -525,8 +530,10 @@ object Relational2 {
     val f = skewFact(s, dir)
     val d = t(s, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
-    f.hint("shuffle_hash")
-      .join(d, f("k") === d("c_custkey"))
+    // dim-side build for the same reason as the salted form: the twin's
+    // naive-ness is the unsalted shuffle (hot key on one reducer), not
+    // a fact-side hash map
+    f.join(d.hint("shuffle_hash"), f("k") === d("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("val_cents")).as("val_cents_sum"))

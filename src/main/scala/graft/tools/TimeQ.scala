@@ -29,7 +29,9 @@ object TimeQ {
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        graft.Sessions.releaseBlocks(spark) // see Bench: isolation
+        sec
       }
       val cold = once()
       val warm = once()

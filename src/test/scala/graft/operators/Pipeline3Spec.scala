@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Hand-computed semantics for the Pipeline3 block: packing math on a
+  * crafted corpus, MERGE latest-wins/delete/insert law on the real
+  * table, planted-near-dup recovery through the SemDeDup sorted
+  * neighborhood, and exact dup-span counts on a crafted overlap. */
+class Pipeline3Spec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val s = SparkSpec.spark
+
+  private def docsDir(rows: Seq[(Long, String, String)]): String = {
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("p3-docs")
+    rows.map { case (id, text, lang) =>
+      (id, text, lang, "src", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite")
+      .parquet(dir.resolve("documents.parquet").toString)
+    dir.toString
+  }
+
+  test("q66: greedy overflow packing lands docs by running offset") {
+    // doc_ids ≡ 0 (mod 8) → one (lang, shard) chain; token counts
+    // 300/300/300/100 against budget 512 ⇒ offsets 0/300/600/900 ⇒
+    // sequences 0/0/1/1
+    val words = (n: Int) => Seq.fill(n)("w").mkString(" ")
+    val dir = docsDir(Seq(
+      (0L, words(300), "en"), (8L, words(300), "en"),
+      (16L, words(300), "en"), (24L, words(100), "en")))
+    val rows = Pipeline3.q66Pack(s, dir)
+      .select("seq", "n_docs", "n_tokens", "first_doc", "last_doc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(rows === Seq((0L, 2L, 600L, 0L, 8L), (1L, 2L, 400L, 16L, 24L)))
+  }
+
+  test("q67: latest change wins, deletes drop, inserts land, " +
+      "untouched rows pass through") {
+    import s.implicits._
+    val base = graft.Tables.load(s, sf, "orders")
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("pc"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val merged = Pipeline3.q67CdcMerge(s, sf)
+      .select($"o_orderkey", $"price_cents").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    base.keys.foreach { k =>
+      k % 7 match {
+        case 0L => assert(merged(k) === base(k) + 200000L, s"key $k: seq-2 update must win")
+        case 1L => assert(!merged.contains(k), s"key $k: latest op is D")
+        case 2L => assert(merged(-k - 1) === base(k), s"insert for $k")
+          assert(merged(k) === base(k), s"source row of an insert is untouched")
+        case _ => assert(merged(k) === base(k), s"key $k untouched")
+      }
+    }
+    val nDel = base.keys.count(_ % 7 == 1)
+    val nIns = base.keys.count(_ % 7 == 2)
+    assert(merged.size === base.size - nDel + nIns)
+  }
+
+  test("q68: a planted near-dup pair surfaces at the top of the " +
+      "evidence list") {
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    val baseVecs = (0 until 100).map { i =>
+      (i.toLong, i, Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    }
+    val dup = {
+      val v = baseVecs(40)._3.clone(); v(3) += 0.01f
+      Seq((100L, 40, v))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("p3-emb")
+    (baseVecs ++ dup).toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite")
+      .parquet(dir.resolve("embeddings.parquet").toString)
+    val top = Pipeline3.q68SemDedup(s, dir.toString)
+      .select("vec_id", "best_cos_e6").collect()
+    // the pair lands in one cluster, adjacent in centroid-cos order;
+    // the later-ranked member reports the other as its best match
+    assert(top.nonEmpty)
+    val first = top.minBy(r => -r.getLong(1))
+    assert(Set(40L, 100L).contains(first.getLong(0)), first.toString)
+    assert(first.getLong(1) >= 990000L, s"planted cos was ${first.getLong(1)}")
+  }
+
+  test("q69: shared 8-gram spans count exactly; unique docs report 0") {
+    // A and B share their first 8 tokens (1 of each doc's 2 grams);
+    // C is disjoint (3 grams, none duplicated)
+    val dir = docsDir(Seq(
+      (1L, "a b c d e f g h i", "en"),
+      (2L, "a b c d e f g h x", "en"),
+      (3L, "p q r s t u v w y z", "en")))
+    val rows = Pipeline3.q69DupSpans(s, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(rows === Seq((1L, 2L, 1L, 50L), (2L, 2L, 1L, 50L),
+      (3L, 3L, 0L, 0L)))
+  }
+
+  test("q66/q68 windows are partitioned; q67/q69 plan no cartesian") {
+    import graft.tools.PlanAudit
+    Seq("q66_pack" -> Pipeline3.q66Pack _,
+        "q67_cdc_merge" -> Pipeline3.q67CdcMerge _,
+        "q68_semdedup" -> Pipeline3.q68SemDedup _,
+        "q69_dup_spans" -> Pipeline3.q69DupSpans _).foreach {
+      case (name, fn) =>
+        val a = PlanAudit.of(fn(s, sf))
+        assert(!a.cartesian && !a.bnlj && !a.globalWindow,
+          s"$name: cartesian=${a.cartesian} bnlj=${a.bnlj} " +
+            s"globalWindow=${a.globalWindow}")
+    }
+  }
+}
