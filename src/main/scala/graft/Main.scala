@@ -100,7 +100,7 @@ object Main {
       System.err.println(s"invalid port $port"); sys.exit(2)
     }
 
-    val spark = Sessions.defaults(SparkSession.builder()
+    val spark = Sessions.localDefaults(SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("graft-server")
       .config("spark.sql.shuffle.partitions",

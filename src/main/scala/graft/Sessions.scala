@@ -16,14 +16,21 @@ object Sessions {
   def defaults(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Local-mode GC robustness at the ×100 corpus: a full-heap
-      // stop-the-world pause in a 48 GiB single-JVM run can exceed the
-      // 120 s default, and the HeartbeatReceiver then removes the only
-      // executor, killing the context mid-suite (seen on the first
-      // full sf10 bench). On a real cluster heartbeats cross processes
-      // and the default is right; in local[*] they share the pausing
-      // JVM, so the timeout only guards against itself.
-      .config("spark.network.timeout", "600s")
+
+  /** [[defaults]] plus local-single-JVM-only overrides. Every graft
+    * entry point in this repo runs `local[*]` and uses this; a real
+    * cluster deployment should build on [[defaults]], where the stock
+    * 120 s network timeout correctly detects dead executors.
+    *
+    * - network.timeout=600s: local-mode GC robustness at the ×100
+    *   corpus — a full-heap stop-the-world pause in a big single-JVM
+    *   run can exceed the 120 s default, and the HeartbeatReceiver then
+    *   removes the only executor, killing the context mid-suite (seen
+    *   on the first full sf10 bench). In local[*] driver and executor
+    *   share the pausing JVM, so the timeout only guards against
+    *   itself. */
+  def localDefaults(b: SparkSession.Builder): SparkSession.Builder =
+    defaults(b).config("spark.network.timeout", "600s")
 
   /** Drop every block any query left behind (localCheckpoint barriers
     * persist MEMORY_AND_DISK blocks that only a GC cycle reclaims):

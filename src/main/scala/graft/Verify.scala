@@ -10,7 +10,7 @@ object Verify {
     // (local iteration; the driver always passes exactly two args)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = Sessions.defaults(SparkSession.builder()
+    val spark = Sessions.localDefaults(SparkSession.builder()
       .master(s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

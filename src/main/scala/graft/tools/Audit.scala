@@ -17,7 +17,7 @@ object Audit {
   def main(args: Array[String]): Unit = {
     val sfDir =
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val spark = graft.Sessions.defaults(SparkSession.builder()
+    val spark = graft.Sessions.localDefaults(SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4"))
       .config("spark.ui.enabled", "false")
@@ -82,5 +82,10 @@ object PlanAudit {
       "q54_knn_classify", "q55_cooccur_pmi",
       "q62_gapfill", // (types × hours) grid from two tiny broadcasts
       "q63_rrf_fusion", // 1-row query embedding + ≤400-row candidate set
-      "q64_dedup_pipeline") // bounded near-dup candidate verify side
+      "q64_dedup_pipeline", // bounded near-dup candidate verify side
+      // q68's codebook assignment broadcasts the k-row (k=32) centroid
+      // table against one embeddings scan — identical shape to ann_ivf:
+      // the fact side never shuffles, which is the right plan at any
+      // corpus scale (k grows ~log n, not n).
+      "q68_semdedup")
 }

@@ -70,7 +70,7 @@ object MakeSf1 {
     val out = if (args.length > 1) args(1) else "target/sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = graft.Sessions.defaults(SparkSession.builder()
+    val spark = graft.Sessions.localDefaults(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus))
       .config("spark.ui.enabled", "false")

@@ -7,7 +7,7 @@ import graft.Tables
 object ProfileQ22 {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/.benchdata/sf1")
-    val spark = graft.Sessions.defaults(SparkSession.builder().master("local[32]")
+    val spark = graft.Sessions.localDefaults(SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")).getOrCreate()

@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
   * session startup is ~5s, so specs must not each build their own). */
 object SparkSpec {
   lazy val spark: SparkSession = {
-    val s = Sessions.defaults(SparkSession.builder()
+    val s = Sessions.localDefaults(SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4"))
