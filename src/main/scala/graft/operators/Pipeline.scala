@@ -200,20 +200,34 @@ object Pipeline {
       else v.asInstanceOf[java.math.BigDecimal]
     }
     var sum0 = labelSum(labels)
-    var round = 0
+    var executed = 0
+    var fixRound = -1
     var converged = false
-    while (!converged && round < maxRounds) {
-      labels = propagate(labels, edges).localCheckpoint(true)
+    while (!converged && executed < maxRounds) {
+      // [[FixpointProbeEvery]] chained propagations per materialization:
+      // each driver round-trip (checkpoint job + probe job) is fixed
+      // overhead, and on the convergence tail — where nothing changes —
+      // it dominates the actual data work. Chaining k rounds between
+      // barriers cuts that overhead ~k×; the k-deep plan stays safe
+      // because each layer's duplicated `labels` reference shares one
+      // exchange (ReuseExchange), and monotonicity keeps the probe
+      // exact: labels only decrease, so "sum unchanged across the k
+      // window ⟺ no label changed in any of its rounds" — equality
+      // between probes k apart proves fixpoint at the window's START.
+      // Overshot rounds past the fixpoint are no-ops on the result.
+      val k = math.min(FixpointProbeEvery, maxRounds - executed)
+      labels = (1 to k).foldLeft(labels)((l, _) => propagate(l, edges))
+        .localCheckpoint(true)
       val sum1 = labelSum(labels)
-      converged = sum1.compareTo(sum0) == 0
+      executed += k
+      if (sum1.compareTo(sum0) == 0) { converged = true; fixRound = executed - k }
       sum0 = sum1
-      round += 1
     }
-    // the converging round observed no change, so the labels were at
-    // fixpoint after (round - 1) propagation rounds
+    // fixRound is the probe granularity's upper bound on the true
+    // fixpoint round (exact round rounded up to the probe cadence)
     oracleRoundBound.foreach { bound =>
-      require(converged && round - 1 <= bound,
-        s"CC fixpoint needed ${if (converged) round - 1 else s">=$maxRounds"} " +
+      require(converged && fixRound <= bound,
+        s"CC fixpoint needed ${if (converged) fixRound else s">=$maxRounds"} " +
           s"propagation rounds, above the pinned oracle bound $bound — " +
           "raise CcOracleRounds to keep the oracle at fixpoint")
     }
@@ -454,6 +468,16 @@ object Pipeline {
   }
 
   val q38CcLabelsOracle: String = ccOracleSql(CcRounds)
+
+  /** Rounds chained between driver convergence probes in the iterative
+    * fixpoints (q45 CC, q65 PageRank). Each probe is a materializing
+    * barrier plus an O(1)-row driver action — fixed overhead that
+    * dominates the convergence tail — and monotonicity makes the
+    * coarser probe exact: an unchanged total across a k-round window
+    * proves fixpoint at the window's start, and overshot rounds are
+    * no-ops. The reported fixpoint round is rounded UP to the cadence,
+    * so pinned oracle bounds need (k-1) rounds of slack. */
+  val FixpointProbeEvery = 3
 
   val CcOracleRounds = 6
 

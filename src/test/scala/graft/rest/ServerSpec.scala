@@ -233,7 +233,10 @@ class ServerSpec extends AnyFunSuite {
           """{"query":"mutation { addOneMovie(id:\"live\", name:\"now\") { id } }"}"""))
         .build(), HttpResponse.BodyHandlers.ofString())
       assert(mut.statusCode() == 200, mut.body())
-      val sse = sseF.get(30, java.util.concurrent.TimeUnit.SECONDS)
+      // generous bound: the subscriber's poll loop runs Spark jobs on
+      // the shared session, and late in the suite those can queue
+      // behind other tests' jobs for tens of seconds on a loaded box
+      val sse = sseF.get(120, java.util.concurrent.TimeUnit.SECONDS)
       assert(sse.statusCode() == 200)
       assert(sse.headers().firstValue("Content-Type").orElse("")
         .contains("text/event-stream"))
