@@ -40,15 +40,81 @@ final class ChangeLog(spark: SparkSession, dir: String) {
     if (m == null) 0L else m.asInstanceOf[Long]
   })
 
+  // append/compact coordination: appends (any model, concurrently) hold
+  // the READ half; compaction holds the WRITE half for its directory
+  // swap, so no append can land between "fold the log" and "replace the
+  // files" and be lost.
+  private val rw = new java.util.concurrent.locks.ReentrantReadWriteLock()
+
   /** Append one change event (called under the engine's per-model
     * write lock, so appends are ordered per model). */
   def append(m: ModelDefinition, op: String, rec: Record): Unit = {
-    val pkJson = Records.valueJson(rec(m.primaryKey))
-    val row = Row(m.modelName.pluralCamel, op, pkJson,
-      Records.toJson(rec, m), seq.incrementAndGet())
-    spark.createDataFrame(java.util.List.of(row), schema)
-      .write.mode(SaveMode.Append).parquet(dir)
+    rw.readLock().lock()
+    try {
+      val pkJson = Records.valueJson(rec(m.primaryKey))
+      val row = Row(m.modelName.pluralCamel, op, pkJson,
+        Records.toJson(rec, m), seq.incrementAndGet())
+      spark.createDataFrame(java.util.List.of(row), schema)
+        .write.mode(SaveMode.Append).parquet(dir)
+    } finally rw.readLock().unlock()
   }
+
+  /** Compact the log: fold every event with seq ≤ `upToSeq` down to
+    * the LATEST event per (model, pk) — delete tombstones retained —
+    * and rewrite the directory as that base plus the untouched tail
+    * (seq > upToSeq).
+    *
+    * Folded rows keep their original seq, which is what makes a
+    * post-compaction `Last-Event-ID` resume exact: a client at L
+    * receives precisely the rows with seq > L, and every event it has
+    * not seen survives compaction either verbatim (tail) or as its
+    * key's final state ≤ upToSeq (base, seq > L by definition of not
+    * having seen it); nothing ≤ L can be re-delivered because folded
+    * rows kept seqs ≤ L and are filtered exactly like the originals
+    * were. After compaction a snapshot refresh reads O(live keys +
+    * tail) rows instead of O(full history) — the log's analogue of the
+    * POINTOPS point-op bound; compaction itself reads the history
+    * ONCE, amortizing it.
+    *
+    * The fold is one window partitioned by (model, pk) — shuffled on
+    * the key, no driver materialization, scale-safe. Concurrency:
+    * takes the write half of the append lock, so appends (readers)
+    * drain first and block during the swap. A LIVE `readStream`
+    * subscription tracks FILES, not seqs — the rewrite presents folded
+    * rows as new files and the stream would re-emit them — so run
+    * compaction when no streaming query is attached, or
+    * `dropDuplicates("seq")` downstream of [[subscribe]]. */
+  def compact(upToSeq: Long): Unit = {
+    rw.writeLock().lock()
+    try {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{desc, row_number}
+      val log = all()
+      val base = log.filter(col("seq") <= upToSeq)
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(col("model"), col("pk"))
+            .orderBy(desc("seq"))))
+        .filter(col("_rn") === 1).drop("_rn")
+      val keep = base.unionByName(log.filter(col("seq") > upToSeq))
+      val tmp = Paths.get(dir + ".compacting")
+      // one file per model-ish chunk is plenty for a serving-side log;
+      // the win over the 1-row-per-append layout is already ~|events|×
+      keep.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val old = Paths.get(dir + ".old")
+      deleteTree(old) // stale leftover from a crashed compaction
+      Files.move(Paths.get(dir), old)
+      Files.move(tmp, Paths.get(dir))
+      deleteTree(old)
+      synchronized { cachedRows = Array.empty; cachedSeq = -1L }
+    } finally rw.writeLock().unlock()
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
 
   /** Streaming view of one model's changes. */
   def subscribe(m: ModelDefinition): DataFrame =

@@ -306,6 +306,70 @@ class ServerSpec extends AnyFunSuite {
     } finally s2.stop()
   }
 
+  test("changelog compaction: Last-Event-ID resume behaves identically " +
+      "over the folded log, and the log shrinks") {
+    // create e1..e3, delete e1, create e4 (seqs 1-5); a client consumed
+    // through seq 2; compact everything ≤ 4. The folded base keeps ONE
+    // row per key at its original seq (e1's create is folded INTO its
+    // delete tombstone), so the resumed client still receives exactly
+    // seqs 3,4,5 — while the stored history dropped a row and the
+    // snapshot refresh now reads O(live keys + tail).
+    val models = Files.createTempDirectory("compact-models")
+    Files.writeString(models.resolve("movie.json"), movieJson)
+    val reg = Registry.load(models).toOption.get
+    val log = new graft.streaming.ChangeLog(SparkSpec.spark,
+      Files.createTempDirectory("compact-log").toString)
+    val engine = new CrudEngine(SparkSpec.spark,
+      new ParquetBackend(SparkSpec.spark,
+        Files.createTempDirectory("compact-store").toString, buckets = 4),
+      Some(log))
+    val s = new Server(reg, engine, 0, Some(log))
+    s.start()
+    try {
+      val p = s.boundPort
+      def post(id: String): Unit = {
+        val r = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://localhost:$p/api/rest/movie"))
+          .method("POST", HttpRequest.BodyPublishers.ofString(
+            s"""{"id":"$id"}""")).build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(r.statusCode() == 201, r.body())
+      }
+      def sse(lastId: Long, maxEvents: Int): Seq[String] = {
+        val resp = client.send(HttpRequest.newBuilder(URI.create(
+          s"http://localhost:$p/api/subscribe/movie?max_events=$maxEvents"))
+          .header("Last-Event-ID", lastId.toString).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(resp.statusCode() == 200)
+        resp.body().split("\n\n").filter(_.startsWith("id:")).toSeq
+      }
+      post("e1"); post("e2"); post("e3")
+      val del = client.send(HttpRequest.newBuilder(URI.create(
+        s"http://localhost:$p/api/rest/movie/e1")).DELETE().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(del.statusCode() == 200, del.body())
+      post("e4") // seq 5, the tail
+      assert(log.all().count() == 5L)
+      log.compact(4L)
+      // history shrank: e1's create folded into its delete tombstone
+      assert(log.all().count() == 4L)
+      // the resumed client sees exactly what it would have without
+      // compaction: seqs 3 (create e3), 4 (delete e1), 5 (create e4)
+      val resumed = sse(2L, 3)
+      assert(resumed.map(_.linesIterator.next()) ==
+        Seq("id: 3", "id: 4", "id: 5"), resumed)
+      assert(resumed(0).contains(""""id":"e3"""") &&
+        resumed(1).contains(""""id":"e1"""") &&
+        resumed(2).contains(""""id":"e4""""), resumed)
+      // appends keep working over the swapped directory, and resume
+      // past the compaction point is untouched-tail-exact
+      post("e5") // seq 6
+      val tail = sse(5L, 1)
+      assert(tail.map(_.linesIterator.next()) == Seq("id: 6") &&
+        tail(0).contains(""""id":"e5""""), tail)
+    } finally s.stop()
+  }
+
   test("view file is served at GET /api/graphql when configured") {
     val dir = Files.createTempDirectory("view-models")
     Files.writeString(dir.resolve("movie.json"), movieJson)
