@@ -39,9 +39,21 @@ object Sessions {
     * order-dependent (a barrier-heavy query's blocks squeeze the next
     * query's execution memory; measured 6× inflation at sf10) and the
     * suite eventually GC-stalls. Semantically each bench entry is an
-    * independent job — on a cluster it would be its own application. */
+    * independent job — on a cluster it would be its own application.
+    *
+    * The explicit `System.gc()` is what actually reclaims broadcast
+    * blocks and shuffle files: Spark's ContextCleaner is weak-reference
+    * driven — it removes a broadcast/shuffle only after the driver GCs
+    * the owning object. On a large, mostly-idle driver heap a full GC
+    * may never happen during a whole bench suite, so ~170 executions'
+    * broadcasts and shuffles accumulate in unified memory and squeeze
+    * execution memory (measured: dedup_minhash_lsh 20s isolated vs 50s
+    * late in the sf10 suite, with warm > cold inversions from spill).
+    * Callers invoke this OUTSIDE the timed region, so the GC pause is
+    * suite wall-clock, not per-query time. */
   def releaseBlocks(spark: SparkSession): Unit = {
     spark.sharedState.cacheManager.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    System.gc()
   }
 }
