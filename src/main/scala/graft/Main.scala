@@ -20,16 +20,22 @@ import graft.storage.{GusJsonBackend, ParquetBackend, StorageBackend}
   *  - `create-model --name m --attrs "id:Integer,tags:[String]"
   *     --pk id --required "id" --out <dir>` — the reference's
   *    interactive wizard as a flag-driven command, running the same
-  *    validation rules before writing the definition file.
+  *    validation rules before writing the definition file;
+  *  - `create-model --interactive [--out <dir>]` — the reference's
+  *    dialog UX itself ([[graft.cli.ModelWizard]]).
   */
 object Main {
   def main(args: Array[String]): Unit = {
-    val (cmd, rest) =
+    val (cmd, rest0) =
       if (args.nonEmpty && !args.head.startsWith("--")) (args.head, args.tail)
       else ("start", args)
-    val opts = rest.sliding(2, 2).collect {
+    // bare (value-less) flags are extracted before key/value pairing
+    val interactive = rest0.contains("--interactive")
+    val rest = rest0.filterNot(_ == "--interactive")
+    val opts0 = rest.sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
     }.toMap
+    val opts = if (interactive) opts0 + ("interactive" -> "true") else opts0
     cmd match {
       case "start" => start(opts)
       case "create-model" => createModel(opts)
@@ -57,6 +63,25 @@ object Main {
     def need(k: String): String = opts.getOrElse(k, {
       System.err.println(s"missing --$k"); sys.exit(2)
     })
+    // --interactive: the reference's dialog UX (model_cli.rs:36-199);
+    // the wizard validates per-field, so parseDefinition below is a
+    // belt-and-braces re-check on the assembled document
+    if (opts.contains("interactive")) {
+      val wizard = new graft.cli.ModelWizard(
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in)),
+        System.out)
+      val json = wizard.run()
+      Registry.parseDefinition(json) match {
+        case Left(err) => System.err.println(s"invalid model: $err"); sys.exit(2)
+        case Right(m) =>
+          val out = Paths.get(opts.getOrElse("out", "."),
+            s"${m.modelName.raw}.json")
+          if (out.getParent != null) Files.createDirectories(out.getParent)
+          Files.writeString(out, json)
+          println(s"wrote $out")
+      }
+      return
+    }
     val name = need("name")
     val attrs = need("attrs").split(",").map { a =>
       val Array(n, t) = a.split(":", 2)
