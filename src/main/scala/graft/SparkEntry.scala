@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Behavior, Dedup, Multimodal, Pipeline, Pipeline2, Pipeline3, Relational, Relational2, Similarity, TextAnalysis}
+import graft.operators.{Behavior, Clustering, Dedup, Multimodal, Pipeline, Pipeline2, Pipeline3, Relational, Relational2, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -82,6 +82,7 @@ object SparkEntry {
     "q67_cdc_merge" -> Pipeline3.q67CdcMerge,
     "q68_semdedup" -> Pipeline3.q68SemDedup,
     "q69_dup_spans" -> Pipeline3.q69DupSpans,
+    "q70_kmeans" -> Clustering.q70Kmeans,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -366,6 +367,7 @@ object SparkEntry {
     "q67_cdc_merge" -> Pipeline3.q67CdcMergeOracle,
     "q68_semdedup" -> Pipeline3.q68SemDedupOracle,
     "q69_dup_spans" -> Pipeline3.q69DupSpansOracle,
+    "q70_kmeans" -> Clustering.q70KmeansOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,

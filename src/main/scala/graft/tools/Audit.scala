@@ -87,5 +87,8 @@ object PlanAudit {
       // table against one embeddings scan — identical shape to ann_ivf:
       // the fact side never shuffles, which is the right plan at any
       // corpus scale (k grows ~log n, not n).
-      "q68_semdedup")
+      "q68_semdedup",
+      // q70's Lloyd assignment broadcasts the k-row codebook against
+      // one corpus scan per round — the ann_ivf shape, k ≪ n always.
+      "q70_kmeans")
 }
