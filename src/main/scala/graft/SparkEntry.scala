@@ -83,6 +83,7 @@ object SparkEntry {
     "q68_semdedup" -> Pipeline3.q68SemDedup,
     "q69_dup_spans" -> Pipeline3.q69DupSpans,
     "q70_kmeans" -> Clustering.q70Kmeans,
+    "q71_incremental_dedup" -> Dedup.q71IncrementalDedup,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -368,6 +369,7 @@ object SparkEntry {
     "q68_semdedup" -> Pipeline3.q68SemDedupOracle,
     "q69_dup_spans" -> Pipeline3.q69DupSpansOracle,
     "q70_kmeans" -> Clustering.q70KmeansOracle,
+    "q71_incremental_dedup" -> Dedup.q71IncrementalDedupOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,
