@@ -541,15 +541,44 @@ object Dedup {
     val sigs = base.select(col("doc_id"), col("is_new"),
       graft.functions.TextFunctions
         .minHexWindows(col("hashes"), 8, NumHashes).as("sig"))
-    val bandCols = (0 until NumHashes / BandSize).map { b =>
-      md5(concat_ws("|",
-        (0 until BandSize).map(r => col("sig").getItem(b * BandSize + r)): _*))
-    }
     val bands = sigs.select(col("doc_id"), col("is_new"),
-      explode(array(bandCols: _*)).as("band"))
-    // probe side: batch bands only; build side: the full band index.
-    // The is_new/id filter admits (new × index) in EITHER id order but
-    // (new × new) only left-to-right — the index never self-pairs.
+      explode(bandArray(col("sig"))).as("band"))
+    incrementalVerdicts(bands,
+      base.select(col("doc_id"), col("is_new"), col("sh")))
+  }
+
+  /** LSH band digests of a minhash signature array. */
+  private[graft] def bandArray(sig: Column): Column =
+    array((0 until NumHashes / BandSize).map { b =>
+      md5(concat_ws("|",
+        (0 until BandSize).map(r => sig.getItem(b * BandSize + r)): _*))
+    }: _*)
+
+  /** The stored-index artifact incremental dedup probes against:
+    * band digests `(doc_id, band)` and shingle sets `(doc_id, sh)`
+    * for a document set — what a production ingest pipeline persists
+    * once per corpus and appends to per accepted batch (the streaming
+    * twin, `graft.streaming.DocIngest`, does exactly that). */
+  def indexOf(docs: DataFrame): (DataFrame, DataFrame) = {
+    val base = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+      .withColumn("hashes", shingleHashes(col("sh")))
+    val sigs = base.select(col("doc_id"),
+      graft.functions.TextFunctions
+        .minHexWindows(col("hashes"), 8, NumHashes).as("sig"))
+    (sigs.select(col("doc_id"), explode(bandArray(col("sig"))).as("band")),
+      base.select(col("doc_id"), col("sh")))
+  }
+
+  /** Core of q71 and the streaming ingest twin: given band digests
+    * `(doc_id, is_new, band)` and shingle sets `(doc_id, is_new, sh)`
+    * covering both the index (is_new=false) and the incoming batch
+    * (is_new=true), return one verdict row per new doc.
+    *
+    * Probe side: batch bands only; build side: the full band index.
+    * The is_new/id filter admits (new × index) in EITHER id order but
+    * (new × new) only left-to-right — the index never self-pairs. */
+  private[graft] def incrementalVerdicts(bands: DataFrame,
+      shs: DataFrame): DataFrame = {
     val newBands = bands.filter(col("is_new"))
       .select(col("doc_id").as("new_id"), col("band"))
     val partnerBands = bands.select(col("doc_id").as("partner_id"),
@@ -558,8 +587,8 @@ object Dedup {
       .filter(col("partner_id") =!= col("new_id"))
       .filter(!col("p_new") || col("partner_id") < col("new_id"))
       .select(col("new_id"), col("partner_id")).distinct()
-    val sa = base.select(col("doc_id").as("new_id"), col("sh").as("sha"))
-    val sb = base.select(col("doc_id").as("partner_id"), col("sh").as("shb"))
+    val sa = shs.select(col("doc_id").as("new_id"), col("sh").as("sha"))
+    val sb = shs.select(col("doc_id").as("partner_id"), col("sh").as("shb"))
     val matched = cand.join(sa, "new_id").join(sb, "partner_id")
       .select(col("new_id"), col("partner_id"),
         graft.functions.TextStatFunctions
@@ -570,7 +599,7 @@ object Dedup {
       .groupBy(col("new_id"))
       .agg(min(col("partner_id")).as("dup_of"),
         count(lit(1)).as("n_matches"))
-    base.filter(col("is_new")).select(col("doc_id").as("new_id"))
+    shs.filter(col("is_new")).select(col("doc_id").as("new_id"))
       .join(matched, Seq("new_id"), "left")
       .select(col("new_id").as("doc_id"),
         coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
