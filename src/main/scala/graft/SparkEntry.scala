@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Behavior, Clustering, Dedup, Multimodal, Pipeline, Pipeline2, Pipeline3, Relational, Relational2, Similarity, TextAnalysis}
+import graft.operators.{Behavior, Bpe, Clustering, Dedup, Multimodal, Pipeline, Pipeline2, Pipeline3, Relational, Relational2, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -84,6 +84,7 @@ object SparkEntry {
     "q69_dup_spans" -> Pipeline3.q69DupSpans,
     "q70_kmeans" -> Clustering.q70Kmeans,
     "q71_incremental_dedup" -> Dedup.q71IncrementalDedup,
+    "q72_bpe_merges" -> Bpe.q72BpeMerges,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -370,6 +371,7 @@ object SparkEntry {
     "q69_dup_spans" -> Pipeline3.q69DupSpansOracle,
     "q70_kmeans" -> Clustering.q70KmeansOracle,
     "q71_incremental_dedup" -> Dedup.q71IncrementalDedupOracle,
+    "q72_bpe_merges" -> Bpe.q72BpeMergesOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.TextAnalysis.tokensSql
+
+/** BPE-style subword vocabulary induction over the `documents` table —
+  * the tokenizer-training step of an LLM data pipeline (Sennrich et
+  * al. 2016). The classic algorithm is a loop: count adjacent symbol
+  * pairs (frequency-weighted by word count), merge the most frequent
+  * pair everywhere, repeat.
+  *
+  * Spark decomposition (the part that matters at 100 TB):
+  *  - the corpus-scale work is ONE pass — `explode(tokens)` →
+  *    `groupBy(word)` — collapsing 100 TB of text to a word-frequency
+  *    table (vocab-sized, millions of rows at web scale, ~40 here).
+  *    Every subsequent round touches only that table, never the
+  *    corpus: this is why BPE training is feasible at all, and the
+  *    code keeps that boundary explicit;
+  *  - each merge round is one shuffle over the word table (pair
+  *    explode → groupBy(pair) partial-agg) plus a 1-row collect of the
+  *    argmax (the q65-style driver probe: the merge pair must become a
+  *    literal in the next round's expression), then a map-only
+  *    3×`replace` rewrite of the symbol strings. Driver state is the
+  *    merge list itself — K rows;
+  *  - per-round `localCheckpoint` truncates lineage so round k+1's
+  *    plan does not grow with k (the q45/q65/q70 iteration pattern).
+  *
+  * Determinism/oracle strategy (everything engine-exact):
+  *  - words are symbolized as space-joined characters with a leading/
+  *    trailing space sentinel (`" t a b l e "`) via
+  *    `regexp_replace(w, '(.)', '$1 ')` — identical in DuckDB;
+  *  - the argmax merge breaks frequency ties by the lexicographically
+  *    smallest `lhs|rhs` pair string (binary collation both engines);
+  *  - a merge is applied as a FIXED 3-pass left-to-right literal
+  *    `replace(ws, " l r ", " lr ")`. Both engines' `replace` scans
+  *    left-to-right non-overlapping, so the result is bit-identical.
+  *    Pass 1 can skip an occurrence whose leading space was consumed
+  *    by the previous match; the survivors are then flanked by merged
+  *    symbols, so pass 2 always completes (pass 3 is margin). On runs
+  *    of ≥3 identical-pair repeats this picks different occurrences
+  *    than canonical greedy BPE (" a b a b a b " → the same three
+  *    merges, but via " ab a b ab "); the learned VOCABULARY is
+  *    well-defined and identical across engines, which is the
+  *    contract that matters here. The pair separator `|` assumes
+  *    tokens never contain `|` (true of the normalized corpus).
+  *
+  * A fixed `Merges` count keeps the oracle expressible as unrolled
+  * CTEs (the q70 treatment); real vocab training just runs more
+  * rounds of the same shape.
+  */
+object Bpe {
+
+  val Merges = 8  // learned merge count (tiny; the SHAPE is the loop)
+  val Passes = 3  // fixed replace passes per merge — see scaladoc
+
+  /** Symbolize a word: "table" → " t a b l e " (space sentinels). */
+  private def symbolize(w: Column): Column =
+    concat(lit(" "), trim(regexp_replace(w, "(.)", "$1 ")), lit(" "))
+
+  /** One merge application: 3-pass literal replace (see scaladoc). */
+  private[operators] def applyMerge(ws: Column, lhs: String,
+      rhs: String): Column = {
+    val pat = lit(s" $lhs $rhs ")
+    val rep = lit(s" $lhs$rhs ")
+    (1 to Passes).foldLeft(ws)((c, _) => replace(c, pat, rep))
+  }
+
+  /** q72: learn the top-`Merges` BPE merges; returns one row per
+    * merge: (rank, lhs, rhs, pair_freq). */
+  def q72BpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // corpus → word-frequency table: the ONLY corpus-scale stage
+    var words = Tables.spread(Tables.load(s, dir, "documents"))
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(symbolize(col("w")).as("ws"), col("freq"))
+      .localCheckpoint(true)
+
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (k <- 1 to Merges) {
+      val syms = split(trim(col("ws")), " ")
+      val best = words
+        .filter(size(syms) >= 2) // single-symbol words have no pairs
+        .select(col("freq"), explode(
+          transform(sequence(lit(0), size(syms) - 2),
+            j => concat(get(syms, j), lit("|"), get(syms, j + 1))))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("f"))
+        .orderBy(col("f").desc, col("pair").asc)
+        .limit(1).collect()
+      require(best.nonEmpty, s"q72: vocabulary exhausted after ${k - 1} " +
+        s"merges — lower Merges (=$Merges) for this corpus")
+      val Array(lhs, rhs) = best(0).getString(best(0).fieldIndex("pair"))
+        .split("\\|", 2)
+      merges += ((k.toLong, lhs, rhs,
+        best(0).getLong(best(0).fieldIndex("f"))))
+      words = words
+        .select(applyMerge(col("ws"), lhs, rhs).as("ws"), col("freq"))
+        .localCheckpoint(true)
+    }
+    merges.result().toDF("rank", "lhs", "rhs", "pair_freq")
+      .orderBy(col("rank"))
+  }
+
+  /** One merge round as DuckDB CTEs: `prev` word table → pair counts
+    * → argmax (`m\$r`: rank, lhs, rhs, f) → rewritten words `out`. */
+  private def roundSql(r: Int, prev: String, out: String): String =
+    s"""p$r AS (
+       |  SELECT pair, CAST(sum(freq) AS BIGINT) AS f FROM (
+       |    SELECT freq, unnest(list_transform(
+       |        range(1, len(string_split(trim(ws), ' '))),
+       |        j -> string_split(trim(ws), ' ')[j] || '|' ||
+       |             string_split(trim(ws), ' ')[j+1])) AS pair
+       |    FROM $prev)
+       |  GROUP BY pair),
+       |m$r AS (
+       |  SELECT CAST($r AS BIGINT) AS rank,
+       |    string_split(pair, '|')[1] AS lhs,
+       |    string_split(pair, '|')[2] AS rhs, f
+       |  FROM p$r ORDER BY f DESC, pair ASC LIMIT 1),
+       |$out AS (
+       |  SELECT ${(1 to Passes).foldLeft("ws")((e, _) =>
+             s"replace($e, ' '||lhs||' '||rhs||' ', ' '||lhs||rhs||' ')")
+           } AS ws, freq
+       |  FROM $prev, m$r)""".stripMargin
+
+  val q72BpeMergesOracle: String = {
+    val rounds = (1 to Merges)
+      .map(r => roundSql(r, s"w${r - 1}", s"w$r")).mkString(",\n")
+    val union = (1 to Merges)
+      .map(r => s"SELECT rank, lhs, rhs, f AS pair_freq FROM m$r")
+      .mkString(" UNION ALL ")
+    s"""WITH w0 AS (
+       |  SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '
+       |      AS ws,
+       |    CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest($tokensSql) AS w FROM documents)
+       |  GROUP BY 1),
+       |$rounds
+       |$union ORDER BY rank""".stripMargin
+  }
+}
