@@ -310,4 +310,64 @@ object Pipeline3 {
        |FROM totals t LEFT JOIN per_doc p USING (doc_id)
        |ORDER BY t.doc_id""".stripMargin
   }
+
+  /** DSIR ratio fixed-point scale: a gram's importance ratio is
+    * `tgt_count * DsirScale div raw_count` — exact integer floor
+    * division in both engines. At 2^63 the headroom is raw counts up
+    * to ~9·10^12 per gram; a 100 TB corpus with hotter grams lifts
+    * this to DECIMAL(38,0) the way q55's PMI did. */
+  val DsirScale = 1000000L
+
+  /** q73: data-selection importance weighting in the DSIR family (Xie
+    * et al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"): score every document by how much its token
+    * distribution resembles a target domain (here `lang='en'`)
+    * relative to the raw corpus, then keep/resample by the score. DSIR
+    * proper uses hashed-ngram log-likelihood ratios; this keeps the
+    * same structure — per-gram target/raw frequency ratio, summed over
+    * the document's occurrences — but replaces `log p_t(g)/p_r(g)`
+    * with the integer-scaled ratio `tgt(g)*Scale div raw(g)`, a
+    * monotone-per-gram proxy that both engines compute bit-identically
+    * (floor division on positive BIGINTs; DuckDB `//`).
+    *
+    * Plan shape (the part that matters at 100 TB): two corpus passes,
+    * the q36 tf-idf template. Pass 1 explodes tokens and builds the
+    * vocab-sized ratio table in ONE aggregation — `raw` and `tgt` are
+    * a count and a conditional sum over the same shuffle, never two
+    * scans. Pass 2 re-explodes and equi-joins grams to ratios (the
+    * table is vocab-sized: broadcastable for curated targets, shuffle
+    * join for web-scale vocab — Spark picks by size), then one
+    * groupBy(doc_id). Grams unseen in the target contribute 0 via the
+    * left join, so out-of-domain docs score low rather than erroring
+    * on a missing gram. */
+  def q73DsirWeight(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.spread(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("w"))
+    val ratios = toks
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("raw"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tgt"))
+      .filter(col("tgt") > 0)
+      .select(col("w"), expr(s"tgt * $DsirScale div raw").as("r"))
+    toks.join(ratios, Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("r"), lit(0L))).as("dsir_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q73DsirWeightOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, unnest($tokensSql) AS w FROM documents),
+       |ratios AS (
+       |  SELECT w,
+       |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+       |      * $DsirScale
+       |      // CAST(count(*) AS BIGINT) AS r
+       |  FROM toks GROUP BY w
+       |  HAVING sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) > 0)
+       |SELECT t.doc_id, CAST(sum(coalesce(r.r, 0)) AS BIGINT) AS dsir_score
+       |FROM toks t LEFT JOIN ratios r USING (w)
+       |GROUP BY t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
 }

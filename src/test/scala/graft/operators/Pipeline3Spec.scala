@@ -103,6 +103,20 @@ class Pipeline3Spec extends AnyFunSuite {
       (3L, 3L, 0L, 0L)))
   }
 
+  test("q73: DSIR weighting — hand-computed ratios, target-only grams") {
+    // Corpus: the:raw=4,tgt=2 → 500000; cat/dog:1/1 → 1000000;
+    // le/chat: tgt=0 → excluded (contribute 0 via the left join).
+    // doc1 = doc2 = 500000+1000000; doc4 (fr, shares "the" twice) =
+    // 2×500000; doc3 (fully out-of-domain) = 0.
+    val dir = docsDir(Seq(
+      (1L, "the cat", "en"), (2L, "the dog", "en"),
+      (3L, "le chat", "fr"), (4L, "the the chat", "fr")))
+    val rows = Pipeline3.q73DsirWeight(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == Map(1L -> 1500000L, 2L -> 1500000L,
+      3L -> 0L, 4L -> 1000000L))
+  }
+
   test("q66/q68 windows are partitioned; q67/q69 plan no cartesian") {
     import graft.tools.PlanAudit
     // q68's codebook-assignment BNLJ (broadcast 32-row centroid table,
@@ -112,7 +126,8 @@ class Pipeline3Spec extends AnyFunSuite {
     Seq("q66_pack" -> Pipeline3.q66Pack _,
         "q67_cdc_merge" -> Pipeline3.q67CdcMerge _,
         "q68_semdedup" -> Pipeline3.q68SemDedup _,
-        "q69_dup_spans" -> Pipeline3.q69DupSpans _).foreach {
+        "q69_dup_spans" -> Pipeline3.q69DupSpans _,
+        "q73_dsir_weight" -> Pipeline3.q73DsirWeight _).foreach {
       case (name, fn) =>
         val a = PlanAudit.of(fn(s, sf))
         val bnljOk = !a.bnlj || PlanAudit.intendedNonEqui(name)
