@@ -86,6 +86,7 @@ object SparkEntry {
     "q71_incremental_dedup" -> Dedup.q71IncrementalDedup,
     "q72_bpe_merges" -> Bpe.q72BpeMerges,
     "q73_dsir_weight" -> Pipeline3.q73DsirWeight,
+    "q74_bpe_encode" -> Bpe.q74BpeEncode,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -374,6 +375,7 @@ object SparkEntry {
     "q71_incremental_dedup" -> Dedup.q71IncrementalDedupOracle,
     "q72_bpe_merges" -> Bpe.q72BpeMergesOracle,
     "q73_dsir_weight" -> Pipeline3.q73DsirWeightOracle,
+    "q74_bpe_encode" -> Bpe.q74BpeEncodeOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,

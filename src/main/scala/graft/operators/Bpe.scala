@@ -68,10 +68,10 @@ object Bpe {
     (1 to Passes).foldLeft(ws)((c, _) => replace(c, pat, rep))
   }
 
-  /** q72: learn the top-`Merges` BPE merges; returns one row per
-    * merge: (rank, lhs, rhs, pair_freq). */
-  def q72BpeMerges(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** The training loop behind q72/q74: learns `Merges` ranked merges
+    * as driver state (K rows — the merge list IS the model). */
+  private[operators] def trainMerges(s: SparkSession,
+      dir: String): Seq[(Long, String, String, Long)] = {
     // corpus → word-frequency table: the ONLY corpus-scale stage
     var words = Tables.spread(Tables.load(s, dir, "documents"))
       .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
@@ -101,9 +101,57 @@ object Bpe {
         .select(applyMerge(col("ws"), lhs, rhs).as("ws"), col("freq"))
         .localCheckpoint(true)
     }
-    merges.result().toDF("rank", "lhs", "rhs", "pair_freq")
+    merges.result()
+  }
+
+  /** q72: learn the top-`Merges` BPE merges; returns one row per
+    * merge: (rank, lhs, rhs, pair_freq). */
+  def q72BpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    trainMerges(s, dir).toDF("rank", "lhs", "rhs", "pair_freq")
       .orderBy(col("rank"))
   }
+
+  /** Tokenizer application with a FIXED merge list: per-doc word and
+    * BPE-piece counts. The merge cascade runs on the DISTINCT-word
+    * vocabulary (map-only: Merges×Passes literal replaces per vocab
+    * entry, never per occurrence — the simhash memoization lesson),
+    * then occurrences equi-join their word's piece count and sum per
+    * doc. Two corpus passes + a vocab-sized join side, the q36/q73
+    * template. */
+  private[operators] def encode(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+    val pieces = merges.foldLeft(symbolize(col("w"))) {
+      case (ws, (l, r)) => applyMerge(ws, l, r)
+    }
+    val wp = toks.select(col("w")).distinct()
+      .select(col("w"),
+        size(split(trim(pieces), " ")).cast("long").as("n_pieces_w"))
+    toks.join(wp, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_pieces_w")).as("n_pieces"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q74: BPE tokenization of the corpus with the q72-trained merges —
+    * the apply half of tokenizer training: every document's token
+    * count under the learned subword vocabulary (what a training run
+    * needs for budgeting/packing). Training cost is q72; application
+    * is [[encode]]'s vocab-sized cascade. */
+  def q74BpeEncode(s: SparkSession, dir: String): DataFrame =
+    encode(Tables.spread(Tables.load(s, dir, "documents")),
+      trainMerges(s, dir).map(m => (m._2, m._3)))
+
+  /** The fixed 3-pass replace as DuckDB SQL (lhs/rhs in scope). */
+  private def replace3Sql(base: String): String =
+    (1 to Passes).foldLeft(base)((e, _) =>
+      s"replace($e, ' '||lhs||' '||rhs||' ', ' '||lhs||rhs||' ')")
+
+  /** [[symbolize]] as DuckDB SQL over a column named `w`. */
+  private val symbolizeSql =
+    """' ' || trim(regexp_replace(w, '(.)', '\1 ', 'g')) || ' '"""
 
   /** One merge round as DuckDB CTEs: `prev` word table → pair counts
     * → argmax (`m\$r`: rank, lhs, rhs, f) → rewritten words `out`. */
@@ -122,24 +170,50 @@ object Bpe {
        |    string_split(pair, '|')[2] AS rhs, f
        |  FROM p$r ORDER BY f DESC, pair ASC LIMIT 1),
        |$out AS (
-       |  SELECT ${(1 to Passes).foldLeft("ws")((e, _) =>
-             s"replace($e, ' '||lhs||' '||rhs||' ', ' '||lhs||rhs||' ')")
-           } AS ws, freq
+       |  SELECT ${replace3Sql("ws")} AS ws, freq
        |  FROM $prev, m$r)""".stripMargin
 
+  private val w0Sql =
+    s"""w0 AS (
+       |  SELECT $symbolizeSql AS ws,
+       |    CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest($tokensSql) AS w FROM documents)
+       |  GROUP BY 1)""".stripMargin
+
+  private def roundsSql: String = (1 to Merges)
+    .map(r => roundSql(r, s"w${r - 1}", s"w$r")).mkString(",\n")
+
   val q72BpeMergesOracle: String = {
-    val rounds = (1 to Merges)
-      .map(r => roundSql(r, s"w${r - 1}", s"w$r")).mkString(",\n")
     val union = (1 to Merges)
       .map(r => s"SELECT rank, lhs, rhs, f AS pair_freq FROM m$r")
       .mkString(" UNION ALL ")
-    s"""WITH w0 AS (
-       |  SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '
-       |      AS ws,
-       |    CAST(count(*) AS BIGINT) AS freq
-       |  FROM (SELECT unnest($tokensSql) AS w FROM documents)
-       |  GROUP BY 1),
-       |$rounds
+    s"""WITH $w0Sql,
+       |$roundsSql
        |$union ORDER BY rank""".stripMargin
+  }
+
+  /** q74 oracle: the q72 training chain (for `m1..mK`), then a
+    * DISTINCT-word mapping chain `v0..vK` applying each round's merge,
+    * then the occurrence join + per-doc sum. */
+  val q74BpeEncodeOracle: String = {
+    val vchain = (1 to Merges).map(r =>
+      s"""v$r AS (
+         |  SELECT w, ${replace3Sql("ws")} AS ws FROM v${r - 1}, m$r)"""
+        .stripMargin).mkString(",\n")
+    s"""WITH $w0Sql,
+       |$roundsSql,
+       |v0 AS (
+       |  SELECT DISTINCT w, $symbolizeSql AS ws
+       |  FROM (SELECT unnest($tokensSql) AS w FROM documents)),
+       |$vchain,
+       |wp AS (
+       |  SELECT w, CAST(len(string_split(trim(ws), ' ')) AS BIGINT)
+       |      AS n_pieces_w
+       |  FROM v$Merges),
+       |toks AS (SELECT doc_id, unnest($tokensSql) AS w FROM documents)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(n_pieces_w) AS BIGINT) AS n_pieces
+       |FROM toks JOIN wp USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 }

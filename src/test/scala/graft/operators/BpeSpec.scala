@@ -30,6 +30,16 @@ class BpeSpec extends AnyFunSuite {
     assert(applied(" a a a a ", "a", "a") == " aa aa ")
   }
 
+  test("encode counts pieces under a fixed merge cascade") {
+    import s.implicits._
+    // merges (a,b) then (ab,c): "abc" → " ab c " → " abc " = 1 piece;
+    // "xy" untouched = 2 pieces; "ab" → 1 piece
+    val docs = Seq((1L, "abc xy"), (2L, "ab abc")).toDF("doc_id", "text")
+    val out = Bpe.encode(docs, Seq(("a", "b"), ("ab", "c")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 2L, 3L), (2L, 2L, 2L)))
+  }
+
   test("q72 learns Merges ranked merges; rank 1 is the corpus argmax") {
     val out = Bpe.q72BpeMerges(s, sf).collect()
     assert(out.length == Bpe.Merges)
