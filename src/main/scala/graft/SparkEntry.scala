@@ -87,6 +87,7 @@ object SparkEntry {
     "q72_bpe_merges" -> Bpe.q72BpeMerges,
     "q73_dsir_weight" -> Pipeline3.q73DsirWeight,
     "q74_bpe_encode" -> Bpe.q74BpeEncode,
+    "q75_lm_score" -> Pipeline3.q75LmScore,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -376,6 +377,7 @@ object SparkEntry {
     "q72_bpe_merges" -> Bpe.q72BpeMergesOracle,
     "q73_dsir_weight" -> Pipeline3.q73DsirWeightOracle,
     "q74_bpe_encode" -> Bpe.q74BpeEncodeOracle,
+    "q75_lm_score" -> Pipeline3.q75LmScoreOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,

@@ -356,6 +356,80 @@ object Pipeline3 {
       .orderBy(col("doc_id"))
   }
 
+  /** q75: language-model quality scoring in the CCNet family (Wenzek
+    * et al. 2020, "CCNet: Extracting High Quality Monolingual Datasets
+    * from Web Crawl Data"): score each document under a bigram LM
+    * trained on the corpus itself — fluent documents (whose bigrams
+    * are corpus-typical) score high, word-soup scores low. CCNet uses
+    * per-token log-perplexity from a pretrained KenLM; this keeps the
+    * structure — train counts, score each doc by its average bigram
+    * probability — with `P(w2|w1)` as the integer-scaled ratio
+    * `cnt(w1 w2)*Scale div cnt(w1)` and the doc score as the integer
+    * mean over its bigrams (no log: a monotone-enough proxy both
+    * engines compute bit-identically).
+    *
+    * Plan shape: the q73 two-pass template, one level up — pass 1
+    * builds the bigram-vocab-sized probability table (bigram counts
+    * equi-joined to their prefix unigram counts); pass 2 re-derives
+    * doc bigrams and equi-joins them to probabilities, one
+    * groupBy(doc_id). Every doc bigram exists in the corpus table by
+    * construction, so the scoring join is inner; docs with <2 tokens
+    * surface with n_bigrams=0, score 0 via the final left join rather
+    * than silently dropping. */
+  def q75LmScore(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextStatFunctions.tokenNgrams
+    val docs = Tables.spread(Tables.load(s, dir, "documents"))
+    val uni = docs
+      .select(explode(tokenNgrams(col("text"), 1)).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("cnt_w1"))
+    val bi = docs
+      .select(explode(tokenNgrams(col("text"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cnt_bi"))
+    val probs = bi
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .join(uni, "w1")
+      .select(col("bigram"), expr(s"cnt_bi * $DsirScale div cnt_w1").as("p"))
+    val scored = docs
+      .select(col("doc_id"), explode(tokenNgrams(col("text"), 2)).as("bigram"))
+      .join(probs, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(p) div count(1)").as("lm_score"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_score"), lit(0L)).as("lm_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q75LmScoreOracle: String = {
+    val bigramsSql = "unnest(list_transform(range(1, greatest(len(t) " +
+      "- 1, 0) + 1), i -> t[i] || ' ' || t[i + 1]))"
+    s"""WITH toks AS (
+       |  SELECT doc_id, $tokensSql AS t FROM documents),
+       |uni AS (
+       |  SELECT w1, count(*) AS cnt_w1
+       |  FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY w1),
+       |bi AS (
+       |  SELECT bigram, count(*) AS cnt_bi
+       |  FROM (SELECT $bigramsSql AS bigram FROM toks) GROUP BY bigram),
+       |probs AS (
+       |  SELECT bigram,
+       |    CAST(cnt_bi AS BIGINT) * $DsirScale
+       |      // CAST(cnt_w1 AS BIGINT) AS p
+       |  FROM bi JOIN uni ON uni.w1 = string_split(bigram, ' ')[1]),
+       |docbi AS (
+       |  SELECT doc_id, $bigramsSql AS bigram FROM toks),
+       |scored AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(p) AS BIGINT) // CAST(count(*) AS BIGINT) AS lm_score
+       |  FROM docbi JOIN probs USING (bigram) GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+       |  coalesce(s.lm_score, 0) AS lm_score
+       |FROM (SELECT doc_id FROM documents) d LEFT JOIN scored s USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val q73DsirWeightOracle: String =
     s"""WITH toks AS (
        |  SELECT doc_id, lang, unnest($tokensSql) AS w FROM documents),

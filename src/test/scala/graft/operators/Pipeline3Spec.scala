@@ -117,6 +117,19 @@ class Pipeline3Spec extends AnyFunSuite {
       3L -> 0L, 4L -> 1000000L))
   }
 
+  test("q75: bigram LM scoring — hand-computed probabilities and means") {
+    // uni: a=4 b=4 z=1; bi: "a b"=3 → 3e6 div 4 = 750000,
+    // "b a"=2 → 2e6 div 4 = 500000. doc1 mean = 2e6 div 3 = 666666;
+    // doc3 (single token) surfaces as (0, 0), never dropped.
+    val dir = docsDir(Seq(
+      (1L, "a b a b", "en"), (2L, "a b", "en"),
+      (3L, "z", "en"), (4L, "b a", "en")))
+    val rows = Pipeline3.q75LmScore(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, 3L, 666666L), (2L, 1L, 750000L),
+      (3L, 0L, 0L), (4L, 1L, 500000L)))
+  }
+
   test("q66/q68 windows are partitioned; q67/q69 plan no cartesian") {
     import graft.tools.PlanAudit
     // q68's codebook-assignment BNLJ (broadcast 32-row centroid table,
@@ -127,7 +140,8 @@ class Pipeline3Spec extends AnyFunSuite {
         "q67_cdc_merge" -> Pipeline3.q67CdcMerge _,
         "q68_semdedup" -> Pipeline3.q68SemDedup _,
         "q69_dup_spans" -> Pipeline3.q69DupSpans _,
-        "q73_dsir_weight" -> Pipeline3.q73DsirWeight _).foreach {
+        "q73_dsir_weight" -> Pipeline3.q73DsirWeight _,
+        "q75_lm_score" -> Pipeline3.q75LmScore _).foreach {
       case (name, fn) =>
         val a = PlanAudit.of(fn(s, sf))
         val bnljOk = !a.bnlj || PlanAudit.intendedNonEqui(name)
