@@ -88,6 +88,7 @@ object SparkEntry {
     "q73_dsir_weight" -> Pipeline3.q73DsirWeight,
     "q74_bpe_encode" -> Bpe.q74BpeEncode,
     "q75_lm_score" -> Pipeline3.q75LmScore,
+    "q76_centroid_outliers" -> Clustering.q76CentroidOutliers,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -378,6 +379,7 @@ object SparkEntry {
     "q73_dsir_weight" -> Pipeline3.q73DsirWeightOracle,
     "q74_bpe_encode" -> Bpe.q74BpeEncodeOracle,
     "q75_lm_score" -> Pipeline3.q75LmScoreOracle,
+    "q76_centroid_outliers" -> Clustering.q76CentroidOutliersOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,

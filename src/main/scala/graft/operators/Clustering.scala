@@ -141,4 +141,66 @@ object Clustering {
        |FROM c$Rounds, range(0, $Dims) t(i)
        |ORDER BY cent_id, i""".stripMargin
   }
+
+  val OutlierTopK = 5
+
+  /** q76: distance-to-centroid outlier ranking per label group — the
+    * example-difficulty metric of Sorscher et al. 2022 ("Beyond neural
+    * scaling laws: beating power law scaling via data pruning"): rank
+    * each embedding by its squared distance from its group's centroid;
+    * the far tail is what curation inspects (mislabeled/atypical
+    * examples) and what pruning keeps or drops depending on the
+    * data-abundance regime. Exact in the integer milli-vector space:
+    * the centroid re-quantizes per component as `floor(double(Σv)/n)`
+    * (the q70 one-IEEE-op trick) and distances are pure integer sums,
+    * so both engines hash-match.
+    *
+    * Plan shape: per-dim decomposition, never per-pair — one
+    * groupBy(label, dim) with map-side partial aggregation collapses
+    * the centroid shuffle to O(labels × dims) rows regardless of
+    * corpus size; the distance pass joins each (vec, dim) row to the
+    * BROADCAST centroid table (labels × dims rows — KBytes) and sums
+    * per vector. Top-k per label goes through the rank window, which
+    * WindowGroupLimit prunes to k rows per partition before the final
+    * shuffle. */
+  def q76CentroidOutliers(s: SparkSession, dir: String): DataFrame = {
+    val b = Similarity.exactPairsBase(s, dir)
+    val dims = b.select(col("label"), col("vec_id"),
+      posexplode(col("v")).as(Seq("i", "comp")))
+    val cents = dims.groupBy(col("label"), col("i"))
+      .agg(sum(col("comp")).as("sm"), count(lit(1)).as("n"))
+      .select(col("label"), col("i"),
+        floor(col("sm").cast("double") / col("n")).cast("long").as("c"))
+    val dist = dims.join(broadcast(cents), Seq("label", "i"))
+      .groupBy(col("label"), col("vec_id"))
+      .agg(sum((col("comp") - col("c")) * (col("comp") - col("c")))
+        .as("dist"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("dist").desc, col("vec_id").asc)
+    dist.withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= OutlierTopK)
+      .select(col("label"), col("rk"), col("vec_id"), col("dist"))
+      .orderBy(col("label"), col("rk"))
+  }
+
+  val q76CentroidOutliersOracle: String =
+    s"""WITH base AS (
+       |  SELECT vec_id, label, ${Similarity.ivecSql} AS v FROM embeddings),
+       |dims AS (
+       |  SELECT label, vec_id, t.i AS i, v[t.i+1] AS comp
+       |  FROM base, range(0, $Dims) t(i)),
+       |cents AS (
+       |  SELECT label, i,
+       |    CAST(floor(CAST(sum(comp) AS DOUBLE) / count(*)) AS BIGINT) AS c
+       |  FROM dims GROUP BY label, i),
+       |dist AS (
+       |  SELECT d.label, d.vec_id,
+       |    CAST(sum((d.comp - c.c) * (d.comp - c.c)) AS BIGINT) AS dist
+       |  FROM dims d JOIN cents c ON c.label = d.label AND c.i = d.i
+       |  GROUP BY d.label, d.vec_id)
+       |SELECT label, rk, vec_id, dist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY label
+       |    ORDER BY dist DESC, vec_id ASC) AS rk FROM dist)
+       |WHERE rk <= $OutlierTopK
+       |ORDER BY label, rk""".stripMargin
 }

@@ -14,6 +14,22 @@ class ClusteringSpec extends AnyFunSuite {
 
   private lazy val out = Clustering.q70Kmeans(s, sf).cache()
 
+  test("q76: hand-computed centroid, distances and outlier ranking") {
+    import s.implicits._
+    // milli-vecs (0,0),(0,0),(9,0); centroid = (floor(9/3), 0) = (3,0);
+    // dists 9, 9, 36 → rank: v3 first, then the tie breaks by vec_id
+    val dir = java.nio.file.Files.createTempDirectory("q76")
+    Seq((1L, Array(0f, 0f), 0), (2L, Array(0f, 0f), 0),
+        (3L, Array(0.009f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite")
+      .parquet(dir.resolve("embeddings.parquet").toString)
+    val rows = Clustering.q76CentroidOutliers(s, dir.toString).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(rows == Seq((0, 1, 3L, 36L), (0, 2, 1L, 9L), (0, 3, 2L, 9L)))
+  }
+
   test("q70: every centroid is a full Dims-dim vector, ids from the seed range") {
     val perCent = out.groupBy("cent_id").count().collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
