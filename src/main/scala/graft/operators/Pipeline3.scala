@@ -430,6 +430,62 @@ object Pipeline3 {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** q77 drift top-k and the cohort split point (sources src0..src9
+    * form snapshot A, src10+ snapshot B — a stand-in for two crawl
+    * versions of the same corpus). */
+  val DriftTopK = 50
+  private val CohortASql = "CAST(substr(source, 4) AS INT) < 10"
+
+  /** q77: corpus drift monitor — the dataset-versioning diff a
+    * production pipeline runs between two crawl snapshots before
+    * retraining: which grams shifted frequency mass the most? Each
+    * gram's drift is the absolute difference of its scaled frequency
+    * (occurrences per `DsirScale` total tokens, integer floor) in the
+    * two cohorts; the report is the top-`DriftTopK` drifted grams with
+    * their raw counts. Frequencies, not raw counts, so a 2× bigger
+    * snapshot B doesn't read as "everything drifted".
+    *
+    * Plan shape: ONE corpus pass — both cohorts' counts are
+    * conditional sums over the same gram shuffle; the two totals ride
+    * the same aggregation as a 1-row broadcast (the q36/q55 totals
+    * pattern, allowlisted BNLJ). Top-k is TakeOrderedAndProject —
+    * per-partition truncation, never a global sort. */
+  def q77CorpusDrift(s: SparkSession, dir: String): DataFrame = {
+    val inA = expr(CohortASql)
+    val grams = Tables.spread(Tables.load(s, dir, "documents"))
+      .select(inA.as("in_a"), explode(tokens(col("text"))).as("g"))
+    val counts = grams.groupBy(col("g"))
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(col("in_a"), 0L).otherwise(1L)).as("cnt_b"))
+    val totals = counts.agg(sum(col("cnt_a")).as("tot_a"),
+      sum(col("cnt_b")).as("tot_b"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("g"), col("cnt_a"), col("cnt_b"),
+        abs(expr(s"(cnt_a * $DsirScale) div tot_a") -
+          expr(s"(cnt_b * $DsirScale) div tot_b")).as("drift_ppm"))
+      .orderBy(col("drift_ppm").desc, col("g").asc)
+      .limit(DriftTopK)
+  }
+
+  val q77CorpusDriftOracle: String =
+    s"""WITH grams AS (
+       |  SELECT $CohortASql AS in_a, unnest($tokensSql) AS g
+       |  FROM documents),
+       |counts AS (
+       |  SELECT g,
+       |    CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+       |    CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+       |  FROM grams GROUP BY g),
+       |totals AS (
+       |  SELECT CAST(sum(cnt_a) AS BIGINT) AS tot_a,
+       |    CAST(sum(cnt_b) AS BIGINT) AS tot_b FROM counts)
+       |SELECT g, cnt_a, cnt_b,
+       |  abs((cnt_a * $DsirScale) // tot_a
+       |    - (cnt_b * $DsirScale) // tot_b) AS drift_ppm
+       |FROM counts CROSS JOIN totals
+       |ORDER BY drift_ppm DESC, g ASC
+       |LIMIT $DriftTopK""".stripMargin
+
   val q73DsirWeightOracle: String =
     s"""WITH toks AS (
        |  SELECT doc_id, lang, unnest($tokensSql) AS w FROM documents),

@@ -90,5 +90,8 @@ object PlanAudit {
       "q68_semdedup",
       // q70's Lloyd assignment broadcasts the k-row codebook against
       // one corpus scan per round — the ann_ivf shape, k ≪ n always.
-      "q70_kmeans")
+      "q70_kmeans",
+      // q77 joins its gram counts to a 1-row cohort-totals broadcast —
+      // the q36/q55 totals shape.
+      "q77_corpus_drift")
 }

@@ -130,6 +130,22 @@ class Pipeline3Spec extends AnyFunSuite {
       (3L, 0L, 0L), (4L, 1L, 500000L)))
   }
 
+  test("q77: hand-computed cohort frequencies and drift ordering") {
+    import s.implicits._
+    // A={src1: "a a b"} tot_a=3, B={src15: "a c"} tot_b=2; drifts:
+    // c |0-500000|, b |333333-0|, a |666666-500000| — c, b, a order
+    val dir = java.nio.file.Files.createTempDirectory("q77")
+    Seq((1L, "a a b", "en", "src1", 5L), (2L, "a c", "en", "src15", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite")
+      .parquet(dir.resolve("documents.parquet").toString)
+    val rows = Pipeline3.q77CorpusDrift(s, dir.toString).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(rows == Seq(("c", 0L, 1L, 500000L), ("b", 1L, 0L, 333333L),
+      ("a", 2L, 1L, 166666L)))
+  }
+
   test("q66/q68 windows are partitioned; q67/q69 plan no cartesian") {
     import graft.tools.PlanAudit
     // q68's codebook-assignment BNLJ (broadcast 32-row centroid table,
@@ -141,7 +157,8 @@ class Pipeline3Spec extends AnyFunSuite {
         "q68_semdedup" -> Pipeline3.q68SemDedup _,
         "q69_dup_spans" -> Pipeline3.q69DupSpans _,
         "q73_dsir_weight" -> Pipeline3.q73DsirWeight _,
-        "q75_lm_score" -> Pipeline3.q75LmScore _).foreach {
+        "q75_lm_score" -> Pipeline3.q75LmScore _,
+        "q77_corpus_drift" -> Pipeline3.q77CorpusDrift _).foreach {
       case (name, fn) =>
         val a = PlanAudit.of(fn(s, sf))
         val bnljOk = !a.bnlj || PlanAudit.intendedNonEqui(name)
