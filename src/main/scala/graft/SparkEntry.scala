@@ -90,6 +90,7 @@ object SparkEntry {
     "q75_lm_score" -> Pipeline3.q75LmScore,
     "q76_centroid_outliers" -> Clustering.q76CentroidOutliers,
     "q77_corpus_drift" -> Pipeline3.q77CorpusDrift,
+    "q78_random_projection" -> Similarity.q78RandomProjection,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -382,6 +383,7 @@ object SparkEntry {
     "q75_lm_score" -> Pipeline3.q75LmScoreOracle,
     "q76_centroid_outliers" -> Clustering.q76CentroidOutliersOracle,
     "q77_corpus_drift" -> Pipeline3.q77CorpusDriftOracle,
+    "q78_random_projection" -> Similarity.q78RandomProjectionOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,

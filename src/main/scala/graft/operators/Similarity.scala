@@ -364,4 +364,61 @@ object Similarity {
        |FROM cand c JOIN sq a ON a.vec_id = c.vec_a
        |            JOIN sq b ON b.vec_id = c.vec_b
        |ORDER BY cos_e6 DESC, vec_a ASC, vec_b ASC LIMIT 50""".stripMargin
+
+  val ProjDims = 16  // JL target dimensionality (64 → 16)
+  private val EmbDims = 64  // embeddings table is fixed 64-dim
+
+  /** The ±1 sign matrix the whole LSH family shares: sign(j, i) is the
+    * first-hex-digit parity of md5("p<j>:<i>") — the same convention
+    * as the `lshBucket` kernel and `planeBitSql`, computed driver-side
+    * (ProjDims × EmbDims ints, constant-folded into the projection
+    * expressions). */
+  private def signMatrix(planes: Int, dims: Int): Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(planes, dims) { (j, i) =>
+      val h = md.digest(s"p$j:$i".getBytes("UTF-8"))
+      // first hex digit = high nibble of byte 0
+      if (((h(0) >> 4) & 1) == 1) 1 else -1
+    }
+  }
+
+  /** q78: deterministic random projection (Johnson–Lindenstrauss
+    * sketch) of every embedding from 64 to `ProjDims` dimensions with
+    * the ±1 sign matrix — Achlioptas 2003's database-friendly
+    * projection, and exactly the linear form the `ann_lsh` /
+    * `dedup_embedding` hyperplane bucketers THRESHOLD: this op
+    * materializes the sketch itself, the standard dimensionality
+    * reduction before storage/indexing of web-scale embedding tables.
+    * Integer milli-vector dot products, so both engines hash-match.
+    *
+    * Plan shape: map-only — one corpus scan, 16 codegen'd ±sum
+    * expressions per row (the sign matrix is literals, folded at plan
+    * time), exploded to (vec_id, j, comp). No shuffle anywhere except
+    * the output sort; at cluster scale this is a pure narrow
+    * transform that pipelines into whatever consumes it. */
+  def q78RandomProjection(s: SparkSession, dir: String): DataFrame = {
+    val signs = signMatrix(ProjDims, EmbDims)
+    val b = Tables.spread(Tables.load(s, dir, "embeddings"))
+      .select(col("vec_id"), ivec(col("embedding")).as("v"))
+    val projections = array((0 until ProjDims).map { j =>
+      (0 until EmbDims).map { i =>
+        val t = col("v").getItem(i)
+        if (signs(j)(i) > 0) t else -t
+      }.reduce(_ + _)
+    }: _*)
+    b.select(col("vec_id"), posexplode(projections).as(Seq("j", "comp")))
+      .select(col("vec_id"), col("j").cast("long").as("j"), col("comp"))
+      .orderBy(col("vec_id"), col("j"))
+  }
+
+  val q78RandomProjectionOracle: String =
+    s"""WITH base AS (
+       |  SELECT vec_id, $ivecSql AS v FROM embeddings)
+       |SELECT vec_id, t.j AS j,
+       |  CAST(list_sum(list_transform(range(1, len(v)+1),
+       |    i -> CASE WHEN substring(md5('p' || t.j || ':' || (i-1)), 1, 1)
+       |      IN ('1','3','5','7','9','b','d','f')
+       |      THEN v[i] ELSE -v[i] END)) AS BIGINT) AS comp
+       |FROM base, range(0, $ProjDims) t(j)
+       |ORDER BY vec_id, j""".stripMargin
 }

@@ -17,6 +17,27 @@ class SimilaritySpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
   private lazy val s = SparkSpec.spark
 
+  test("q78: projection is linear and uses the shared sign convention") {
+    import s.implicits._
+    // proj is a fixed linear map: proj(2v) must be exactly 2*proj(v),
+    // and proj(e_0) must equal the md5("p<j>:0")-parity sign itself
+    // (the lshBucket/planeBitSql convention) — ±1 in milli-space 1000
+    val dir = java.nio.file.Files.createTempDirectory("q78")
+    val v = Array.tabulate(64)(i => (i % 7).toFloat / 1000f)
+    val e0 = Array.tabulate(64)(i => if (i == 0) 0.001f else 0f)
+    Seq((1L, v, 0), (2L, v.map(_ * 2), 0), (3L, e0, 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite")
+      .parquet(dir.resolve("embeddings.parquet").toString)
+    val rows = Similarity.q78RandomProjection(s, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows.size == 3 * Similarity.ProjDims)
+    (0L until Similarity.ProjDims.toLong).foreach { j =>
+      assert(rows((2L, j)) == 2 * rows((1L, j)), s"plane $j not linear")
+      assert(math.abs(rows((3L, j))) == 1L, s"plane $j basis-vector image")
+    }
+  }
+
   test("dedup_embedding plan has no cartesian / broadcast nested loop") {
     val plan = Similarity.dedupEmbedding(s, sf)
       .queryExecution.executedPlan.toString
