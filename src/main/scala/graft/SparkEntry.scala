@@ -91,6 +91,7 @@ object SparkEntry {
     "q76_centroid_outliers" -> Clustering.q76CentroidOutliers,
     "q77_corpus_drift" -> Pipeline3.q77CorpusDrift,
     "q78_random_projection" -> Similarity.q78RandomProjection,
+    "q79_event_anomaly" -> Behavior.q79EventAnomaly,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -384,6 +385,7 @@ object SparkEntry {
     "q76_centroid_outliers" -> Clustering.q76CentroidOutliersOracle,
     "q77_corpus_drift" -> Pipeline3.q77CorpusDriftOracle,
     "q78_random_projection" -> Similarity.q78RandomProjectionOracle,
+    "q79_event_anomaly" -> Behavior.q79EventAnomalyOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,

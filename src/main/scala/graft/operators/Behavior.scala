@@ -201,4 +201,54 @@ object Behavior {
        |  count(*) AS n_users
        |FROM per_user LEFT JOIN p_after USING (user_id)
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val AnomalyTopK = 20
+
+  /** q79: event-rate anomaly report — the ops-monitoring sweep an
+    * ingestion pipeline runs over its own telemetry: for every
+    * (event_type, hour) bucket, the per-mille deviation of that
+    * hour's event count from the type's mean hourly count, top-k
+    * most-deviant buckets. Deviation is relative (per-mille of the
+    * type mean) so a high-volume type doesn't drown a quiet type's
+    * outage; only OBSERVED hours enter the mean (an all-zero hour is
+    * invisible here — the gap-filling variant of that question is
+    * q62's grid). Integer throughout: mean = sum div hours, deviation
+    * = |cnt−mean|·1000 div mean, mean ≥ 1 always.
+    *
+    * Plan shape: one shuffle of the events to (type, hour) counts
+    * with map-side partial aggregation; the per-type means re-shuffle
+    * only the TINY hourly table, then broadcast back (types-count
+    * rows); top-k is TakeOrderedAndProject. */
+  def q79EventAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.load(s, dir, "events")
+      .groupBy(col("event_type"),
+        (expr("ts div 3600000000000") * 3600L).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val means = hourly.groupBy(col("event_type"))
+      .agg(expr("sum(n_events) div count(1)").as("mean_events"))
+    hourly.join(broadcast(means), "event_type")
+      .select(col("event_type"), col("hour"), col("n_events"),
+        col("mean_events"),
+        expr("(abs(n_events - mean_events) * 1000) div mean_events")
+          .as("dev_pm"))
+      .orderBy(col("dev_pm").desc, col("event_type").asc, col("hour").asc)
+      .limit(AnomalyTopK)
+  }
+
+  val q79EventAnomalyOracle: String =
+    s"""WITH hourly AS (
+       |  SELECT event_type,
+       |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour,
+       |    CAST(count(*) AS BIGINT) AS n_events
+       |  FROM events GROUP BY 1, 2),
+       |means AS (
+       |  SELECT event_type,
+       |    CAST(sum(n_events) AS BIGINT) // count(*) AS mean_events
+       |  FROM hourly GROUP BY 1)
+       |SELECT h.event_type, h.hour, h.n_events, m.mean_events,
+       |  (abs(h.n_events - m.mean_events) * 1000) // m.mean_events
+       |    AS dev_pm
+       |FROM hourly h JOIN means m USING (event_type)
+       |ORDER BY dev_pm DESC, h.event_type ASC, h.hour ASC
+       |LIMIT $AnomalyTopK""".stripMargin
 }

@@ -11,6 +11,28 @@ class BehaviorSpec extends AnyFunSuite {
   lazy val spark = SparkSpec.spark
   val dir = "/root/testdata/sf0.001"
 
+  test("q79: hand-computed hourly means and per-mille deviations") {
+    import spark.implicits._
+    // type a: hours 0h×3, 1h×1 → mean (3+1) div 2 = 2, both hours
+    // deviate |cnt−2|·1000 div 2 = 500; type b: one hour at its own
+    // mean → dev 0. ts is raw nanos (the engine's reading of the
+    // TIMESTAMP(NANOS) column).
+    val h = 3600L * 1000000000L
+    val tmp = java.nio.file.Files.createTempDirectory("q79")
+    val rows = Seq(
+      (1L, 0L, 1L, "a", 0.0, "{}"), (2L, 1L, 1L, "a", 0.0, "{}"),
+      (3L, 2L, 1L, "a", 0.0, "{}"), (4L, h, 1L, "a", 0.0, "{}")) ++
+      (10L to 19L).map(i => (i, 5L, 2L, "b", 0.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite")
+      .parquet(tmp.resolve("events.parquet").toString)
+    val out = Behavior.q79EventAnomaly(spark, tmp.toString).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(out == Seq(("a", 0L, 3L, 2L, 500L), ("a", 3600L, 1L, 2L, 500L),
+      ("b", 0L, 10L, 10L, 0L)))
+  }
+
   test("q58: sessions partition the event stream and never run backwards") {
     val sess = Behavior.q58SessionizeBatch(spark, dir)
     val totalEvents = Tables.load(spark, dir, "events").count()
