@@ -92,6 +92,7 @@ object SparkEntry {
     "q77_corpus_drift" -> Pipeline3.q77CorpusDrift,
     "q78_random_projection" -> Similarity.q78RandomProjection,
     "q79_event_anomaly" -> Behavior.q79EventAnomaly,
+    "q80_dedup_cut" -> Pipeline3.q80DedupCut,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -386,6 +387,7 @@ object SparkEntry {
     "q77_corpus_drift" -> Pipeline3.q77CorpusDriftOracle,
     "q78_random_projection" -> Similarity.q78RandomProjectionOracle,
     "q79_event_anomaly" -> Behavior.q79EventAnomalyOracle,
+    "q80_dedup_cut" -> Pipeline3.q80DedupCutOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,

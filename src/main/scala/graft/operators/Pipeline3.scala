@@ -500,4 +500,133 @@ object Pipeline3 {
        |FROM toks t LEFT JOIN ratios r USING (w)
        |GROUP BY t.doc_id
        |ORDER BY t.doc_id""".stripMargin
+
+  /** q80: exact-substring duplicate-span REMOVAL — the corpus-rewriting
+    * step of Lee et al. 2022 that q69 only profiles: every token span
+    * covered by a cross-document-duplicated [[SpanGram]]-gram is cut
+    * from the document, and the surviving tokens are re-joined into
+    * the deduplicated text (reference scope: qwerdenkerXD/gus has no
+    * analytics; this generalizes its record surface the way the rest
+    * of the pipeline family does).
+    *
+    * Span semantics: a gram occurring in ≥2 distinct documents marks
+    * tokens `[pos+1, min(pos+k, n)]` as duplicated in EVERY document
+    * that contains it; overlapping/adjacent marks are merged into
+    * islands per doc (gaps-and-islands over a doc-partitioned window),
+    * and the kept text is the complement. Both engines compute the
+    * same integer token intervals, so the rebuilt strings hash-match.
+    *
+    * Shape for 100 TB: identical skeleton to q69 — gram df is ONE hash
+    * aggregation on the digest (df≥2 is a count; no posting list, no
+    * pair join), the verdict rejoins occurrences on the same digest
+    * key, and every window/groupBy past that point is keyed by doc_id
+    * (one doc-keyed shuffle reused by the window, the island merge
+    * AND the interval collect — HashPartitioning(doc_id) satisfies all
+    * three ClusteredDistributions, so Catalyst plans a single
+    * exchange). The final splice is map-side: each doc filters its own
+    * token array against its own sorted island list (O(tokens ×
+    * islands) worst case; islands are few and wide in real corpora —
+    * a binary-search kernel is the upgrade path if a pathological
+    * corpus ever makes this the bottleneck, not a different plan). */
+  def q80DedupCut(s: SparkSession, dir: String): DataFrame = {
+    val k = SpanGram
+    val base = Tables.spread(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val withSh = base.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n"),
+      graft.functions.TextFunctions.tokenShingleMd5(col("toks"), k).as("sh"))
+    val grams = withSh.select(col("doc_id"), col("n"),
+      posexplode(col("sh")).as(Seq("pos", "sh")))
+    val dupSh = grams.groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("sh"))
+    val occ = grams.join(dupSh, Seq("sh"), "left_semi")
+      .select(col("doc_id"),
+        (col("pos") + 1).cast("long").as("s"),
+        least(col("pos") + lit(k), col("n")).cast("long").as("e"))
+    val prev = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val run = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = occ
+      .withColumn("pmax", max(col("e")).over(prev))
+      .withColumn("brk",
+        when(col("pmax").isNull || col("s") > col("pmax") + 1, 1).otherwise(0))
+      .withColumn("iid", sum(col("brk")).over(run))
+      .groupBy(col("doc_id"), col("iid"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val perDoc = islands.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("iv"),
+        sum(col("e") - col("s") + 1).as("n_removed"))
+    base.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        expr("""CASE WHEN iv IS NULL THEN array_join(toks, ' ')
+               |ELSE array_join(filter(toks,
+               |  (t, i) -> NOT exists(iv,
+               |    v -> i + 1 >= v.s AND i + 1 <= v.e)), ' ')
+               |END""".stripMargin).as("text_dedup"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q80DedupCutOracle: String = {
+    val k = SpanGram
+    s"""WITH base AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id, len(toks) AS n,
+       |    unnest(list_transform(
+       |      range(1, greatest(1, len(toks) - ${k - 1}) + 1),
+       |      i -> {'s': i,
+       |            'sh': md5(array_to_string(toks[i : i + ${k - 1}], ' '))}
+       |    )) AS u
+       |  FROM base),
+       |occ0 AS (
+       |  SELECT doc_id, u.s AS s, least(u.s + ${k - 1}, n) AS e, u.sh AS sh
+       |  FROM sh),
+       |dup AS (
+       |  SELECT sh FROM (SELECT sh, count(DISTINCT doc_id) AS df
+       |                  FROM occ0 GROUP BY sh) WHERE df >= 2),
+       |occ AS (SELECT doc_id, s, e FROM occ0 WHERE sh IN (SELECT sh FROM dup)),
+       |isl0 AS (
+       |  SELECT doc_id, s, e,
+       |    max(e) OVER (PARTITION BY doc_id ORDER BY s
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS pmax
+       |  FROM occ),
+       |isl1 AS (
+       |  SELECT doc_id, s, e,
+       |    CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END AS brk
+       |  FROM isl0),
+       |isl2 AS (
+       |  SELECT doc_id, s, e,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+       |                   ROWS UNBOUNDED PRECEDING) AS iid
+       |  FROM isl1),
+       |isl AS (
+       |  SELECT doc_id, iid, min(s) AS s, max(e) AS e
+       |  FROM isl2 GROUP BY doc_id, iid),
+       |ivs AS (
+       |  SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS n_removed
+       |  FROM isl GROUP BY doc_id),
+       |tokp AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+       |    i -> {'i': i, 't': toks[i]})) AS u
+       |  FROM base),
+       |kept AS (
+       |  SELECT tp.doc_id, tp.u.i AS i, tp.u.t AS t FROM tokp tp
+       |  WHERE NOT EXISTS (SELECT 1 FROM isl
+       |    WHERE isl.doc_id = tp.doc_id AND tp.u.i BETWEEN isl.s AND isl.e)),
+       |txt AS (
+       |  SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS text_dedup
+       |  FROM kept GROUP BY doc_id)
+       |SELECT b.doc_id, CAST(len(b.toks) AS BIGINT) AS n_tokens,
+       |  coalesce(v.n_removed, 0) AS n_removed,
+       |  coalesce(t.text_dedup, '') AS text_dedup
+       |FROM base b
+       |LEFT JOIN ivs v USING (doc_id)
+       |LEFT JOIN txt t USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+  }
 }

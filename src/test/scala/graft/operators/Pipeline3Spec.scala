@@ -103,6 +103,26 @@ class Pipeline3Spec extends AnyFunSuite {
       (3L, 3L, 0L, 0L)))
   }
 
+  test("q80: duplicated spans are cut, overlapping marks merge, " +
+      "unique docs survive verbatim") {
+    // docs 1/2 share exactly their first 8 tokens → island [1,8],
+    // kept text is the 9th token; doc 3 is untouched; docs 4/5 share
+    // 9 tokens → grams [1,8] and [2,9] overlap → merged island [1,9]
+    val dir = docsDir(Seq(
+      (1L, "a b c d e f g h i", "en"),
+      (2L, "a b c d e f g h x", "en"),
+      (3L, "p q r s t u v w y z", "en"),
+      (4L, "m n o p q r s t u zz", "en"),
+      (5L, "m n o p q r s t u ww", "en")))
+    val rows = Pipeline3.q80DedupCut(s, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    assert(rows === Seq(
+      (1L, 9L, 8L, "i"), (2L, 9L, 8L, "x"),
+      (3L, 10L, 0L, "p q r s t u v w y z"),
+      (4L, 10L, 9L, "zz"), (5L, 10L, 9L, "ww")))
+  }
+
   test("q73: DSIR weighting — hand-computed ratios, target-only grams") {
     // Corpus: the:raw=4,tgt=2 → 500000; cat/dog:1/1 → 1000000;
     // le/chat: tgt=0 → excluded (contribute 0 via the left join).
@@ -156,6 +176,7 @@ class Pipeline3Spec extends AnyFunSuite {
         "q67_cdc_merge" -> Pipeline3.q67CdcMerge _,
         "q68_semdedup" -> Pipeline3.q68SemDedup _,
         "q69_dup_spans" -> Pipeline3.q69DupSpans _,
+        "q80_dedup_cut" -> Pipeline3.q80DedupCut _,
         "q73_dsir_weight" -> Pipeline3.q73DsirWeight _,
         "q75_lm_score" -> Pipeline3.q75LmScore _,
         "q77_corpus_drift" -> Pipeline3.q77CorpusDrift _).foreach {
