@@ -93,6 +93,7 @@ object SparkEntry {
     "q78_random_projection" -> Similarity.q78RandomProjection,
     "q79_event_anomaly" -> Behavior.q79EventAnomaly,
     "q80_dedup_cut" -> Pipeline3.q80DedupCut,
+    "q81_weighted_sample" -> Pipeline3.q81WeightedSample,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -388,6 +389,7 @@ object SparkEntry {
     "q78_random_projection" -> Similarity.q78RandomProjectionOracle,
     "q79_event_anomaly" -> Behavior.q79EventAnomalyOracle,
     "q80_dedup_cut" -> Pipeline3.q80DedupCutOracle,
+    "q81_weighted_sample" -> Pipeline3.q81WeightedSampleOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,

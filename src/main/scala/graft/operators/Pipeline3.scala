@@ -501,6 +501,65 @@ object Pipeline3 {
        |GROUP BY t.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
+  val SampleK = 100
+
+  /** q81: weighted sampling WITHOUT replacement — the Efraimidis–
+    * Spirakis (2006) one-pass reservoir form, the op a mixture
+    * pipeline runs to draw "k documents, inclusion probability ∝
+    * token count" (length-proportional sampling is how most
+    * pretraining mixtures weight sources). Each doc draws the
+    * exponential-race key `-ln(u)/w` (the log-transformed E-S key
+    * `u^(1/w)`; the k SMALLEST keys are the sample); `u` is a
+    * hash-seeded uniform — `(v+1)/2^24+1` from the first 6 hex chars
+    * of md5(doc_id) — so the draw is a pure function of the row and
+    * both engines replay it exactly.
+    *
+    * Determinism contract: `u` is the same IEEE double in both
+    * engines (exact integer ratio); `ln` may differ in the last ulp
+    * between libm and the JVM, so the key is quantized to 1e-9
+    * (`round(1e9·(-ln u)/w)` as BIGINT) with a doc_id tie-break — a
+    * flip needs the true key within ~1e-16 relative of a quantization
+    * boundary, ~1e-10 per row.
+    *
+    * Shape for 100 TB: the key is map-side arithmetic on the scan;
+    * selection is ORDER BY key LIMIT k — TakeOrderedAndProject, O(k)
+    * state per partition and a k-row driver merge, never a global
+    * sort. This is the distributed reservoir: the same plan at any
+    * corpus size. */
+  def q81WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val v = conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+      16, 10).cast("long")
+    val u = (v + lit(1)).cast("double") / lit(16777217.0d)
+    Tables.spread(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+      .withColumn("es_key",
+        round(lit(1e9) * -log(u) / col("n_toks")).cast("long"))
+      .orderBy(col("es_key"), col("doc_id"))
+      .limit(SampleK)
+  }
+
+  val q81WeightedSampleOracle: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS n_toks,
+       |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS hx
+       |  FROM documents),
+       |v AS (
+       |  SELECT doc_id, n_toks,
+       |      (strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 1048576
+       |    + (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) * 65536
+       |    + (strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 4096
+       |    + (strpos('0123456789abcdef', substring(hx, 4, 1)) - 1) * 256
+       |    + (strpos('0123456789abcdef', substring(hx, 5, 1)) - 1) * 16
+       |    + (strpos('0123456789abcdef', substring(hx, 6, 1)) - 1) AS v
+       |  FROM w)
+       |SELECT doc_id, n_toks,
+       |  CAST(round(1e9 * -ln((v + 1) / 16777217.0) / n_toks) AS BIGINT)
+       |    AS es_key
+       |FROM v
+       |ORDER BY es_key, doc_id
+       |LIMIT $SampleK""".stripMargin
+
   /** q80: exact-substring duplicate-span REMOVAL — the corpus-rewriting
     * step of Lee et al. 2022 that q69 only profiles: every token span
     * covered by a cross-document-duplicated [[SpanGram]]-gram is cut

@@ -123,6 +123,34 @@ class Pipeline3Spec extends AnyFunSuite {
       (4L, 10L, 9L, "zz"), (5L, 10L, 9L, "ww")))
   }
 
+  test("q81: weighted sample draws K docs, keys match the E-S " +
+      "definition, and the sample is length-biased") {
+    val out = Pipeline3.q81WeightedSample(s, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === Pipeline3.SampleK)
+    assert(out.map(_._3).toSeq === out.map(_._3).sortBy(identity).toSeq,
+      "keys must arrive ascending")
+    // recompute one key from the written definition (md5 hex → 24-bit
+    // uniform → quantized exponential race), independently of Spark
+    val (id, w, key) = out.head
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 6)
+    val u = (java.lang.Long.parseLong(hex, 16) + 1) / 16777217.0d
+    assert(key === math.round(1e9 * -math.log(u) / w))
+    // inclusion probability ∝ token count ⇒ the sample must skew long.
+    // At a 100-of-500 sampling fraction the without-replacement bias
+    // is modest (measured 1.13× on this corpus); 1.05× is the
+    // direction check with headroom against data regeneration.
+    import s.implicits._
+    val corpusMean = graft.Tables.load(s, sf, "documents")
+      .select(size(graft.operators.TextAnalysis.tokens($"text")))
+      .as[Int].collect().map(_.toDouble).sum / 500
+    val sampleMean = out.map(_._2.toDouble).sum / out.length
+    assert(sampleMean > corpusMean * 1.05,
+      s"sample mean $sampleMean vs corpus mean $corpusMean")
+  }
+
   test("q73: DSIR weighting — hand-computed ratios, target-only grams") {
     // Corpus: the:raw=4,tgt=2 → 500000; cat/dog:1/1 → 1000000;
     // le/chat: tgt=0 → excluded (contribute 0 via the left join).
@@ -177,6 +205,7 @@ class Pipeline3Spec extends AnyFunSuite {
         "q68_semdedup" -> Pipeline3.q68SemDedup _,
         "q69_dup_spans" -> Pipeline3.q69DupSpans _,
         "q80_dedup_cut" -> Pipeline3.q80DedupCut _,
+        "q81_weighted_sample" -> Pipeline3.q81WeightedSample _,
         "q73_dsir_weight" -> Pipeline3.q73DsirWeight _,
         "q75_lm_score" -> Pipeline3.q75LmScore _,
         "q77_corpus_drift" -> Pipeline3.q77CorpusDrift _).foreach {
