@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Behavior, Bpe, Clustering, Dedup, Multimodal, Pipeline, Pipeline2, Pipeline3, Redact, Relational, Relational2, Similarity, TextAnalysis}
+import graft.operators.{Behavior, Bpe, Clustering, Dedup, Multimodal, Pipeline, Pipeline2, Pipeline3, Redact, Relational, Relational2, Retrieval, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -95,6 +95,7 @@ object SparkEntry {
     "q80_dedup_cut" -> Pipeline3.q80DedupCut,
     "q81_weighted_sample" -> Pipeline3.q81WeightedSample,
     "q82_pii_redact" -> Redact.q82PiiRedact,
+    "q83_bm25" -> Retrieval.q83Bm25,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -392,6 +393,7 @@ object SparkEntry {
     "q80_dedup_cut" -> Pipeline3.q80DedupCutOracle,
     "q81_weighted_sample" -> Pipeline3.q81WeightedSampleOracle,
     "q82_pii_redact" -> Redact.q82PiiRedactOracle,
+    "q83_bm25" -> Retrieval.q83Bm25Oracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,

@@ -88,6 +88,9 @@ object PlanAudit {
       // the fact side never shuffles, which is the right plan at any
       // corpus scale (k grows ~log n, not n).
       "q68_semdedup",
+      // q83's corpus-stats join broadcasts ONE row (N, T, per-term
+      // idf) against the per-doc frame — the q36/q55 totals shape.
+      "q83_bm25",
       // q70's Lloyd assignment broadcasts the k-row codebook against
       // one corpus scan per round — the ann_ivf shape, k ≪ n always.
       "q70_kmeans",
