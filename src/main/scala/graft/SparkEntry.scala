@@ -96,6 +96,7 @@ object SparkEntry {
     "q81_weighted_sample" -> Pipeline3.q81WeightedSample,
     "q82_pii_redact" -> Redact.q82PiiRedact,
     "q83_bm25" -> Retrieval.q83Bm25,
+    "q84_curation_funnel" -> Pipeline3.q84CurationFunnel,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -394,6 +395,7 @@ object SparkEntry {
     "q81_weighted_sample" -> Pipeline3.q81WeightedSampleOracle,
     "q82_pii_redact" -> Redact.q82PiiRedactOracle,
     "q83_bm25" -> Retrieval.q83Bm25Oracle,
+    "q84_curation_funnel" -> Pipeline3.q84CurationFunnelOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.TextAnalysis.{tokens, tokensSql}
+import graft.operators.TextAnalysis.{normSql, tokens, tokensSql}
 
 /** Third block of training-data pipeline operators: token-budget
   * sequence packing, CDC merge/upsert application, SemDeDup-style
@@ -559,6 +559,162 @@ object Pipeline3 {
        |FROM v
        |ORDER BY es_key, doc_id
        |LIMIT $SampleK""".stripMargin
+
+  val CurationK = 50
+
+  /** q84: the composed curation funnel — what a training-data run
+    * actually executes end-to-end, as ONE oracle-gated query (the
+    * q64 pattern, applied to the rewrite side of the house):
+    *
+    *   1. quality gate + exact-dedup survivor election (q37's
+    *      semantics: md5-normalized survivor, 10≤tokens≤5000,
+    *      type-token ratio ≥30%),
+    *   2. duplicate-span REMOVAL among the survivors (q80's cut —
+    *      gram df≥2 is counted on the CLEANED corpus, which is the
+    *      composed semantics: exact dups must not inflate span df),
+    *   3. length-weighted sampling without replacement over the
+    *      deduplicated documents (q81's exponential-race keys with
+    *      weight = post-cut token count).
+    *
+    * Shape for 100 TB: ONE documents scan feeding a survivor barrier
+    * (lazy localCheckpoint — AuditSpec proves no rescan downstream,
+    * as for q64); the span stage is the q80 skeleton (digest-count
+    * df, doc-keyed windows); the sample is TakeOrderedAndProject.
+    * Every stage's state is bounded the same way as its standalone
+    * twin — composing them adds no new shuffle beyond q80's. */
+  def q84CurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val k = SpanGram
+    val base = Tables.spread(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"),
+        md5(graft.functions.TextStatFunctions.normText(col("text")))
+          .as("h"),
+        tokens(col("text")).as("toks"),
+        graft.functions.TextStatFunctions.tokenStats(col("text"), Nil)
+          .as("st"))
+      .select(col("doc_id"), col("lang"), col("h"), col("toks"),
+        col("st").getItem(1).cast("long").as("n_tokens"),
+        (col("st").getItem(2) * 100).as("dx"))
+      .withColumn("ttr_pct", expr("dx div n_tokens"))
+    val survivors = base
+      .withColumn("survivor",
+        min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .filter(col("doc_id") === col("survivor") &&
+        col("n_tokens").between(10, 5000) && col("ttr_pct") >= 30)
+      .select(col("doc_id"), col("lang"), col("toks"), col("n_tokens"))
+      .localCheckpoint(false) // funnel barrier: documents scanned once
+    val grams = survivors.select(col("doc_id"),
+        col("n_tokens").as("n"),
+        graft.functions.TextFunctions.tokenShingleMd5(col("toks"), k)
+          .as("sh"))
+      .select(col("doc_id"), col("n"),
+        posexplode(col("sh")).as(Seq("pos", "sh")))
+    val dupSh = grams.groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("sh"))
+    val occ = grams.join(dupSh, Seq("sh"), "left_semi")
+      .select(col("doc_id"),
+        (col("pos") + 1).cast("long").as("s"),
+        least(col("pos") + lit(k), col("n")).cast("long").as("e"))
+    val prev = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val run = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val removed = occ
+      .withColumn("pmax", max(col("e")).over(prev))
+      .withColumn("brk",
+        when(col("pmax").isNull || col("s") > col("pmax") + 1, 1)
+          .otherwise(0))
+      .withColumn("iid", sum(col("brk")).over(run))
+      .groupBy(col("doc_id"), col("iid"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("e") - col("s") + 1).as("n_removed"))
+    val v = conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+      16, 10).cast("long")
+    val u = (v + lit(1)).cast("double") / lit(16777217.0d)
+    survivors.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+      .withColumn("n_kept", col("n_tokens") - col("n_removed"))
+      .filter(col("n_kept") >= 1)
+      .withColumn("es_key",
+        round(lit(1e9) * -log(u) / col("n_kept")).cast("long"))
+      .orderBy(col("es_key"), col("doc_id"))
+      .limit(CurationK)
+  }
+
+  val q84CurationFunnelOracle: String = {
+    val k = SpanGram
+    s"""WITH raw AS (
+       |  SELECT doc_id, lang, text, $tokensSql AS toks FROM documents),
+       |base AS (
+       |  SELECT doc_id, lang, md5($normSql) AS h, toks,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(toks)) * 100 // len(toks) AS BIGINT)
+       |      AS ttr_pct
+       |  FROM raw),
+       |surv AS (
+       |  SELECT doc_id, lang, toks, n_tokens FROM (
+       |    SELECT *, min(doc_id) OVER (PARTITION BY h) AS survivor
+       |    FROM base)
+       |  WHERE doc_id = survivor AND n_tokens BETWEEN 10 AND 5000
+       |    AND ttr_pct >= 30),
+       |sh AS (
+       |  SELECT doc_id, n_tokens AS n,
+       |    unnest(list_transform(
+       |      range(1, greatest(1, len(toks) - ${k - 1}) + 1),
+       |      i -> {'s': i,
+       |            'sh': md5(array_to_string(toks[i : i + ${k - 1}], ' '))}
+       |    )) AS u
+       |  FROM surv),
+       |occ0 AS (
+       |  SELECT doc_id, u.s AS s, least(u.s + ${k - 1}, n) AS e, u.sh AS sh
+       |  FROM sh),
+       |dup AS (
+       |  SELECT sh FROM (SELECT sh, count(DISTINCT doc_id) AS df
+       |                  FROM occ0 GROUP BY sh) WHERE df >= 2),
+       |occ AS (SELECT doc_id, s, e FROM occ0 WHERE sh IN (SELECT sh FROM dup)),
+       |isl0 AS (
+       |  SELECT doc_id, s, e,
+       |    max(e) OVER (PARTITION BY doc_id ORDER BY s
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS pmax
+       |  FROM occ),
+       |isl2 AS (
+       |  SELECT doc_id, s, e,
+       |    sum(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING)
+       |      AS iid
+       |  FROM isl0),
+       |ivs AS (
+       |  SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS n_removed
+       |  FROM (SELECT doc_id, iid, min(s) AS s, max(e) AS e
+       |        FROM isl2 GROUP BY doc_id, iid)
+       |  GROUP BY doc_id),
+       |stats AS (
+       |  SELECT s2.doc_id, s2.lang, s2.n_tokens,
+       |    coalesce(v.n_removed, 0) AS n_removed,
+       |    s2.n_tokens - coalesce(v.n_removed, 0) AS n_kept,
+       |    substring(md5(CAST(s2.doc_id AS VARCHAR)), 1, 6) AS hx
+       |  FROM surv s2 LEFT JOIN ivs v USING (doc_id)
+       |  WHERE s2.n_tokens - coalesce(v.n_removed, 0) >= 1),
+       |keyed AS (
+       |  SELECT doc_id, lang, n_tokens, n_removed, n_kept,
+       |      (strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 1048576
+       |    + (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) * 65536
+       |    + (strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 4096
+       |    + (strpos('0123456789abcdef', substring(hx, 4, 1)) - 1) * 256
+       |    + (strpos('0123456789abcdef', substring(hx, 5, 1)) - 1) * 16
+       |    + (strpos('0123456789abcdef', substring(hx, 6, 1)) - 1) AS v
+       |  FROM stats)
+       |SELECT doc_id, lang, n_tokens, n_removed, n_kept,
+       |  CAST(round(1e9 * -ln((v + 1) / 16777217.0) / n_kept) AS BIGINT)
+       |    AS es_key
+       |FROM keyed
+       |ORDER BY es_key, doc_id
+       |LIMIT $CurationK""".stripMargin
+  }
 
   /** q80: exact-substring duplicate-span REMOVAL — the corpus-rewriting
     * step of Lee et al. 2022 that q69 only profiles: every token span

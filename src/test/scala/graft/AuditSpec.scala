@@ -42,6 +42,14 @@ class AuditSpec extends AnyFunSuite {
       "embedding confirmation must scan the embeddings table")
   }
 
+  test("q84 funnel reuses the survivor barrier — documents are never " +
+      "rescanned past the quality gate") {
+    val plan = SparkEntry.queries("q84_curation_funnel")(SparkSpec.spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      "documents rescanned past the survivor barrier")
+  }
+
   test("AUDIT.md is not stale: its row set equals SparkEntry.queries") {
     // The committed audit table went stale in round 5 (78 rows while the
     // live map had 84). Parse the markdown's first column and demand

@@ -151,6 +151,25 @@ class Pipeline3Spec extends AnyFunSuite {
       s"sample mean $sampleMean vs corpus mean $corpusMean")
   }
 
+  test("q84: the curation funnel composes — exact dups elect one " +
+      "survivor, low-quality docs drop, shared spans are cut") {
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val dir = docsDir(Seq(
+      (1L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12", "en"),
+      (2L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12", "en"), // exact dup
+      (3L, s"$shared b1 b2 b3 b4", "en"),
+      (4L, s"$shared c1 c2 c3 c4", "en"),
+      (5L, "w w w w w w w w w w w w", "en"),  // ttr 8% < 30 → dropped
+      (6L, "too short here now", "en")))      // 4 tokens < 10 → dropped
+    val rows = Pipeline3.q84CurationFunnel(s, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(t => (t._1, t._2, t._3, t._4)).toSet ===
+      Set((1L, 12L, 0L, 12L), (3L, 12L, 8L, 4L), (4L, 12L, 8L, 4L)))
+    val keys = rows.map(_._5).toSeq
+    assert(keys === keys.sorted, "sample keys must arrive ascending")
+  }
+
   test("q73: DSIR weighting — hand-computed ratios, target-only grams") {
     // Corpus: the:raw=4,tgt=2 → 500000; cat/dog:1/1 → 1000000;
     // le/chat: tgt=0 → excluded (contribute 0 via the left join).
@@ -206,6 +225,7 @@ class Pipeline3Spec extends AnyFunSuite {
         "q69_dup_spans" -> Pipeline3.q69DupSpans _,
         "q80_dedup_cut" -> Pipeline3.q80DedupCut _,
         "q81_weighted_sample" -> Pipeline3.q81WeightedSample _,
+        "q84_curation_funnel" -> Pipeline3.q84CurationFunnel _,
         "q73_dsir_weight" -> Pipeline3.q73DsirWeight _,
         "q75_lm_score" -> Pipeline3.q75LmScore _,
         "q77_corpus_drift" -> Pipeline3.q77CorpusDrift _).foreach {
