@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Behavior, Bpe, Clustering, Dedup, Multimodal, Pipeline, Pipeline2, Pipeline3, Pq, Redact, Relational, Relational2, Retrieval, Similarity, TextAnalysis}
+import graft.operators.{Behavior, Bpe, Clustering, Dedup, Multimodal, Pipeline, Pipeline2, Pipeline3, Pq, Redact, Relational, Relational2, Retrieval, Similarity, TextAnalysis, Threshold}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -98,6 +98,7 @@ object SparkEntry {
     "q83_bm25" -> Retrieval.q83Bm25,
     "q84_curation_funnel" -> Pipeline3.q84CurationFunnel,
     "q85_pq_adc" -> Pq.q85PqAdc,
+    "q86_otsu_threshold" -> Threshold.q86OtsuThreshold,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -398,6 +399,7 @@ object SparkEntry {
     "q83_bm25" -> Retrieval.q83Bm25Oracle,
     "q84_curation_funnel" -> Pipeline3.q84CurationFunnelOracle,
     "q85_pq_adc" -> Pq.q85PqAdcOracle,
+    "q86_otsu_threshold" -> Threshold.q86OtsuThresholdOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,
