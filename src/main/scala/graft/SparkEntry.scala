@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Behavior, Bpe, Clustering, Dedup, Multimodal, Pipeline, Pipeline2, Pipeline3, Pq, Redact, Relational, Relational2, Retrieval, Similarity, TextAnalysis, Threshold}
+import graft.operators.{Behavior, Bpe, Clustering, Dedup, Ivfpq, Multimodal, Pipeline, Pipeline2, Pipeline3, Pq, Redact, Relational, Relational2, Retrieval, Similarity, TextAnalysis, Threshold}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -99,6 +99,7 @@ object SparkEntry {
     "q84_curation_funnel" -> Pipeline3.q84CurationFunnel,
     "q85_pq_adc" -> Pq.q85PqAdc,
     "q86_otsu_threshold" -> Threshold.q86OtsuThreshold,
+    "q87_ivfpq" -> Ivfpq.q87Ivfpq,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -400,6 +401,7 @@ object SparkEntry {
     "q84_curation_funnel" -> Pipeline3.q84CurationFunnelOracle,
     "q85_pq_adc" -> Pq.q85PqAdcOracle,
     "q86_otsu_threshold" -> Threshold.q86OtsuThresholdOracle,
+    "q87_ivfpq" -> Ivfpq.q87IvfpqOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,

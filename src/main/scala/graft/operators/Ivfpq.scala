@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The full IVF-PQ index shape (Jégou et al. 2011; the FAISS
+  * `IndexIVFPQ`): coarse quantization into inverted cells + product
+  * quantization of the RESIDUAL (vector − its cell centroid) + ADC
+  * search restricted to the query's `NProbe` nearest cells. This is
+  * the composition of `ann_ivf` (coarse cells), `q85_pq_adc`
+  * (sub-codebooks, codes, distance tables) and `q70_kmeans`
+  * (training), and it is what a billion-vector index actually runs:
+  * q85 scans every code per query; q87 touches only the probed
+  * cells' codes — per-query work drops by ~cells/nprobe while the
+  * residual quantization keeps the codes centered and tight.
+  *
+  * Exactness: identical strategy to q85 — integer milli-vectors,
+  * integer residuals (closed under subtraction), integer distances,
+  * floor-division centroid updates, fixed training rounds; every
+  * engine-visible number is exact and the DuckDB oracle unrolls the
+  * same computation.
+  *
+  * 100 TB posture: the coarse codebook is a constant-size broadcast
+  * (its crossJoin is the INTENDED BroadcastNestedLoopJoin, the
+  * ann_ivf/q68 shape, allowlisted); everything downstream is
+  * equi-joins — residual subvectors to the broadcast PQ codebook on
+  * the subspace id, and scoring on (cell, subspace, code) against
+  * the per-query distance-table broadcast, which implicitly prunes
+  * the corpus to probed cells with ZERO per-query scan of the
+  * others. Codes are M small ints (64× smaller than the float
+  * vectors); cell counts must track √n and nprobe the recall target
+  * — parameters, not shape changes. */
+object Ivfpq {
+
+  val Kc = 8      // coarse cells (cells ≪ n is the SHAPE; grow ~√n)
+  val NProbe = 2  // cells scanned per query
+
+  /** q87: coarse-assign, PQ-train on residuals, encode, ADC over the
+    * probed cells only; returns (qid, rk, vec_id, adist). */
+  def q87Ivfpq(s: SparkSession, dir: String): DataFrame = {
+    val b = Similarity.exactPairsBase(s, dir)
+      .select(col("vec_id"), col("v"), col("sq"))
+    val coarse = broadcast(b.filter(col("vec_id") < Kc)
+      .select(col("vec_id").as("cell"), col("v").as("ccv"),
+        col("sq").as("ccsq")))
+
+    // rank every vector's distance to each coarse cell (8-row
+    // constant broadcast side — the intended non-equi join)
+    def coarseRank(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cdist").asc, col("cell").asc)
+      df.crossJoin(coarse)
+        .withColumn("cdist",
+          col("sq") - lit(2L) * Similarity.idot(col("v"), col("ccv"))
+            + col("ccsq"))
+        .withColumn("crk0", row_number().over(w))
+    }
+    def residual: org.apache.spark.sql.Column =
+      zip_with(col("v"), col("ccv"), (a, c) => a - c)
+
+    // corpus: nearest cell + integer residual
+    val corpus = coarseRank(b).filter(col("crk0") === 1)
+      .select(col("vec_id"), col("cell"), residual.as("r"))
+    val subs = Pq.subvectorsOf(corpus, "r")
+    val cents = Pq.trainCents(subs.drop("cell")
+      .select(col("vec_id"), col("m"), col("sv"), col("ssq")))
+    val codes = Pq.assign(subs, cents)
+      .select(col("vec_id"), col("cell"), col("m"),
+        col("cent_id").as("code"))
+
+    // queries: NProbe nearest cells, one residual PER probed cell
+    val qres = coarseRank(b.filter(col("vec_id") < Pq.NQueries))
+      .filter(col("crk0") <= NProbe)
+      .select(col("vec_id").as("qid"), col("cell"), residual.as("qr"))
+    val dt = Pq.subvectorsOf(qres, "qr")
+      .join(broadcast(cents), Seq("m"))
+      .select(col("qid"), col("cell"), col("m"), col("cent_id"),
+        (col("ssq") - lit(2L) * Similarity.idot(col("sv"), col("cv"))
+          + col("csq")).as("pd"))
+
+    // scoring: only codes in probed cells match the distance table
+    val scored = codes
+      .join(broadcast(dt),
+        codes("cell") === dt("cell") && codes("m") === dt("m") &&
+          codes("code") === dt("cent_id"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("pd")).as("adist"))
+
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(wq).cast("int"))
+      .filter(col("rk") <= Pq.TopK)
+      .select(col("qid"), col("rk"), col("vec_id"), col("adist"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  val q87IvfpqOracle: String = {
+    val dims = Clustering.Dims
+    val fullDot =
+      s"CAST(list_sum(list_transform(range(1, ${dims + 1}), " +
+        "i -> s.v[i]*c.ccv[i])) AS BIGINT)"
+    val rounds = (1 to Pq.Rounds)
+      .map(r => Pq.roundSql(r, if (r == 1) "c0" else s"c${r - 1}",
+        s"c$r"))
+      .mkString(",\n")
+    val cFin = s"c${Pq.Rounds}"
+    s"""WITH base AS (
+       |  SELECT vec_id, ${Similarity.ivecSql} AS v FROM embeddings),
+       |sqt AS (
+       |  SELECT vec_id, v,
+       |    CAST(list_sum(list_transform(range(1, ${dims + 1}),
+       |      i -> v[i]*v[i])) AS BIGINT) AS sq
+       |  FROM base),
+       |coarse AS (SELECT vec_id AS cell, v AS ccv, sq AS ccsq
+       |           FROM sqt WHERE vec_id < $Kc),
+       |cass AS (
+       |  SELECT s.vec_id, s.v, c.cell, c.ccv,
+       |    row_number() OVER (PARTITION BY s.vec_id ORDER BY
+       |      s.sq - 2*$fullDot + c.ccsq ASC, c.cell ASC) AS crk0
+       |  FROM sqt s CROSS JOIN coarse c),
+       |res AS (
+       |  SELECT vec_id, cell,
+       |    list_transform(range(1, ${dims + 1}), i -> v[i] - ccv[i])
+       |      AS r
+       |  FROM cass WHERE crk0 = 1),
+       |subs AS (
+       |  SELECT vec_id, cell, m, sv, ${Pq.dotSql("sv", "sv")} AS ssq
+       |  FROM (SELECT vec_id, cell, t.m AS m,
+       |          list_transform(range(1, ${Pq.SubDims + 1}),
+       |            i -> r[t.m*${Pq.SubDims} + i]) AS sv
+       |        FROM res, range(0, ${Pq.M}) t(m))),
+       |c0 AS (SELECT m, vec_id AS cent_id, sv AS cv, ssq AS csq
+       |       FROM subs WHERE vec_id < ${Pq.PqK}),
+       |$rounds,
+       |enc AS (
+       |  SELECT vec_id, cell, m, cent_id AS code FROM (
+       |    SELECT s.vec_id, s.cell, s.m, c.cent_id,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+       |        s.ssq - 2*${Pq.dotSql("s.sv", "c.cv")} + c.csq ASC,
+       |        c.cent_id ASC) AS crk
+       |    FROM subs s JOIN $cFin c ON c.m = s.m)
+       |  WHERE crk = 1),
+       |qres AS (
+       |  SELECT vec_id AS qid, cell,
+       |    list_transform(range(1, ${dims + 1}), i -> v[i] - ccv[i])
+       |      AS qr
+       |  FROM cass WHERE crk0 <= $NProbe AND vec_id < ${Pq.NQueries}),
+       |qsubs AS (
+       |  SELECT qid, cell, m, sv, ${Pq.dotSql("sv", "sv")} AS ssq
+       |  FROM (SELECT qid, cell, t.m AS m,
+       |          list_transform(range(1, ${Pq.SubDims + 1}),
+       |            i -> qr[t.m*${Pq.SubDims} + i]) AS sv
+       |        FROM qres, range(0, ${Pq.M}) t(m))),
+       |dt AS (
+       |  SELECT q.qid, q.cell, q.m, c.cent_id,
+       |    q.ssq - 2*${Pq.dotSql("q.sv", "c.cv")} + c.csq AS pd
+       |  FROM qsubs q JOIN $cFin c ON c.m = q.m),
+       |sc AS (
+       |  SELECT d.qid, e.vec_id, CAST(sum(d.pd) AS BIGINT) AS adist
+       |  FROM enc e JOIN dt d ON d.cell = e.cell AND d.m = e.m
+       |    AND d.cent_id = e.code
+       |  WHERE d.qid <> e.vec_id
+       |  GROUP BY d.qid, e.vec_id)
+       |SELECT qid, rk, vec_id, adist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |    ORDER BY adist ASC, vec_id ASC) AS rk FROM sc)
+       |WHERE rk <= ${Pq.TopK}
+       |ORDER BY qid, rk""".stripMargin
+  }
+}

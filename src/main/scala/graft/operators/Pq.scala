@@ -62,40 +62,31 @@ object Pq {
   val NQueries = 5  // pinned query panel, the ann_brute convention
   val TopK = 10
 
-  /** (vec_id, m, sv, ssq): each vector exploded into its M exact
-    * integer subvectors with their squared norms. */
-  private def subvectors(s: SparkSession, dir: String): DataFrame =
-    Similarity.exactPairsBase(s, dir)
-      .select(col("vec_id"),
-        explode(sequence(lit(0), lit(M - 1))).as("m"), col("v"))
-      .select(col("vec_id"), col("m"),
-        slice(col("v"), col("m") * SubDims + 1, lit(SubDims)).as("sv"))
+  /** Explode a (vec_id, `vcol`, …) relation into its M exact integer
+    * subvectors with squared norms: adds (m, sv, ssq), drops `vcol`,
+    * keeps every other column (q87 carries the coarse cell through).
+    */
+  private[operators] def subvectorsOf(df: DataFrame,
+      vcol: String): DataFrame =
+    df.withColumn("m", explode(sequence(lit(0), lit(M - 1))))
+      .withColumn("sv",
+        slice(col(vcol), col("m") * SubDims + 1, lit(SubDims)))
       .withColumn("ssq", Similarity.idot(col("sv"), col("sv")))
+      .drop(vcol)
 
-  /** Nearest-centroid assignment: equi-join on the subspace id
-    * against the broadcast codebook, argmin by (dist, cent_id). */
-  private def assign(subs: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("dist").asc, col("cent_id").asc)
-    subs.join(broadcast(cents), Seq("m"))
-      .withColumn("dist",
-        col("ssq") - lit(2L) * Similarity.idot(col("sv"), col("cv"))
-          + col("csq"))
-      .withColumn("crk", row_number().over(w))
-      .filter(col("crk") === 1)
-  }
+  /** (vec_id, m, sv, ssq) over the raw embeddings. */
+  private def subvectors(s: SparkSession, dir: String): DataFrame =
+    subvectorsOf(Similarity.exactPairsBase(s, dir)
+      .select(col("vec_id"), col("v")), "v")
 
-  /** q85: train M sub-codebooks, encode the corpus, ADC-score the
-    * pinned query panel; returns (qid, rk, vec_id, adist). */
-  def q85PqAdc(s: SparkSession, dir: String): DataFrame = {
-    val subs = subvectors(s, dir)
-
-    // init: the first-K vectors' subvectors (the q70/ann_ivf seed)
+  /** The fixed-round Lloyd training loop over any subvector relation:
+    * returns the M×K codebook (m, cent_id, cv, csq), seeded with the
+    * first-K vectors' subvectors. */
+  private[operators] def trainCents(subs: DataFrame): DataFrame = {
     var cents = subs.filter(col("vec_id") < PqK)
       .select(col("m"), col("vec_id").as("cent_id"),
         col("sv").as("cv"), col("ssq").as("csq"))
       .localCheckpoint(true)
-
     for (_ <- 1 to Rounds) {
       val sums = assign(subs, cents)
         .select(col("m"), col("cent_id"),
@@ -112,6 +103,28 @@ object Pq {
         // k×M rows; the barrier keeps round r+1 independent of round r
         .localCheckpoint(true)
     }
+    cents
+  }
+
+  /** Nearest-centroid assignment: equi-join on the subspace id
+    * against the broadcast codebook, argmin by (dist, cent_id). */
+  private[operators] def assign(subs: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("dist").asc, col("cent_id").asc)
+    subs.join(broadcast(cents), Seq("m"))
+      .withColumn("dist",
+        col("ssq") - lit(2L) * Similarity.idot(col("sv"), col("cv"))
+          + col("csq"))
+      .withColumn("crk", row_number().over(w))
+      .filter(col("crk") === 1)
+  }
+
+  /** q85: train M sub-codebooks, encode the corpus, ADC-score the
+    * pinned query panel; returns (qid, rk, vec_id, adist). */
+  def q85PqAdc(s: SparkSession, dir: String): DataFrame = {
+    val subs = subvectors(s, dir)
+    val cents = trainCents(subs)
 
     // encode: final assignment → (vec_id, m, code)
     val codes = assign(subs, cents)
@@ -145,12 +158,12 @@ object Pq {
   }
 
   /** Integer dot of two DuckDB lists (length [[SubDims]]). */
-  private def dotSql(a: String, b: String): String =
+  private[operators] def dotSql(a: String, b: String): String =
     s"CAST(list_sum(list_transform(range(1, ${SubDims + 1}), " +
       s"i -> $a[i]*$b[i])) AS BIGINT)"
 
   /** One Lloyd round as DuckDB CTEs, keyed by subspace. */
-  private def roundSql(r: Int, prev: String, out: String): String =
+  private[operators] def roundSql(r: Int, prev: String, out: String): String =
     s"""d$r AS (
        |  SELECT s.vec_id, s.m, s.sv, c.cent_id,
        |    s.ssq - 2*${dotSql("s.sv", "c.cv")} + c.csq AS dist

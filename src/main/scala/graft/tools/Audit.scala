@@ -80,6 +80,7 @@ object PlanAudit {
   val intendedNonEqui: Set[String] =
     Set("q30_range_join", "q36_tfidf", "ann_brute", "ann_ivf",
       "q54_knn_classify", "q55_cooccur_pmi",
+      "q87_ivfpq", // constant Kc-row coarse codebook, the ann_ivf shape
       "q62_gapfill", // (types × hours) grid from two tiny broadcasts
       "q63_rrf_fusion", // 1-row query embedding + ≤400-row candidate set
       "q64_dedup_pipeline", // bounded near-dup candidate verify side
