@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Behavior, Bpe, Budget, Clustering, Dedup, Ivfpq, Multimodal, Pipeline, Pipeline2, Pipeline3, Pq, Redact, Relational, Relational2, Retrieval, Similarity, TextAnalysis, Threshold}
+import graft.operators.{Behavior, Bpe, Budget, Clustering, Dedup, Ivfpq, Multimodal, Overlap, Pipeline, Pipeline2, Pipeline3, Pq, Redact, Relational, Relational2, Retrieval, Similarity, TextAnalysis, Threshold}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -101,6 +101,7 @@ object SparkEntry {
     "q86_otsu_threshold" -> Threshold.q86OtsuThreshold,
     "q87_ivfpq" -> Ivfpq.q87Ivfpq,
     "q88_token_budget" -> Budget.q88TokenBudget,
+    "q89_source_overlap" -> Overlap.q89SourceOverlap,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -404,6 +405,7 @@ object SparkEntry {
     "q86_otsu_threshold" -> Threshold.q86OtsuThresholdOracle,
     "q87_ivfpq" -> Ivfpq.q87IvfpqOracle,
     "q88_token_budget" -> Budget.q88TokenBudgetOracle,
+    "q89_source_overlap" -> Overlap.q89SourceOverlapOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,
