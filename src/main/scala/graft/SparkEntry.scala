@@ -102,6 +102,7 @@ object SparkEntry {
     "q87_ivfpq" -> Ivfpq.q87Ivfpq,
     "q88_token_budget" -> Budget.q88TokenBudget,
     "q89_source_overlap" -> Overlap.q89SourceOverlap,
+    "q90_tok_fertility" -> Bpe.q90TokenizerFertility,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -406,6 +407,7 @@ object SparkEntry {
     "q87_ivfpq" -> Ivfpq.q87IvfpqOracle,
     "q88_token_budget" -> Budget.q88TokenBudgetOracle,
     "q89_source_overlap" -> Overlap.q89SourceOverlapOracle,
+    "q90_tok_fertility" -> Bpe.q90TokenizerFertilityOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,

@@ -144,6 +144,51 @@ object Bpe {
     encode(Tables.spread(Tables.load(s, dir, "documents")),
       trainMerges(s, dir).map(m => (m._2, m._3)))
 
+  /** q90: tokenizer fertility report per language — the standard
+    * tokenizer-evaluation table (how many subword pieces per word
+    * each language pays under the learned vocabulary; a tokenizer
+    * trained on skewed data taxes under-represented languages with
+    * higher fertility). Per lang: occurrence and distinct-word
+    * counts, total pieces, `fertility_e6 = pieces·10⁶ div words`,
+    * and the split rate (occurrences not representable as a single
+    * piece). Reuses [[trainMerges]] (train once) and the
+    * distinct-vocab merge cascade of [[encode]]: the cascade is
+    * map-only over the vocabulary, occurrences join their word's
+    * piece count, and the per-lang aggregate is one map-side-combined
+    * shuffle — the scalar agg buffers here are bytes, so sharing the
+    * groupBy with `count(DISTINCT w)`'s Expand is safe (the q22
+    * hazard needs multi-KB buffers).
+    *
+    * 100 TB posture: identical to q74 — two corpus passes (word
+    * frequencies for training; occurrence counting for the report)
+    * plus a vocab-sized broadcast join side; per-lang output is
+    * #languages rows. */
+  def q90TokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val merges = trainMerges(s, dir).map(m => (m._2, m._3))
+    val toks = Tables.spread(Tables.load(s, dir, "documents"))
+      .select(col("lang"),
+        explode(TextAnalysis.tokens(col("text"))).as("w"))
+    val pieces = merges.foldLeft(symbolize(col("w"))) {
+      case (ws, (l, r)) => applyMerge(ws, l, r)
+    }
+    val wp = toks.select(col("w")).distinct()
+      .select(col("w"),
+        size(split(trim(pieces), " ")).cast("long").as("n_pieces_w"))
+    toks.join(wp, "w")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        countDistinct(col("w")).as("n_vocab"),
+        sum(col("n_pieces_w")).as("n_pieces"),
+        sum(when(col("n_pieces_w") > 1, 1L).otherwise(0L))
+          .as("n_split"))
+      .withColumn("fertility_e6", expr("n_pieces * 1000000 div n_words"))
+      .withColumn("split_rate_e6", expr("n_split * 1000000 div n_words"))
+      .select(col("lang"), col("n_words"), col("n_vocab"),
+        col("n_pieces"), col("n_split"), col("fertility_e6"),
+        col("split_rate_e6"))
+      .orderBy(col("lang"))
+  }
+
   /** The fixed 3-pass replace as DuckDB SQL (lhs/rhs in scope). */
   private def replace3Sql(base: String): String =
     (1 to Passes).foldLeft(base)((e, _) =>
@@ -215,5 +260,37 @@ object Bpe {
        |  CAST(sum(n_pieces_w) AS BIGINT) AS n_pieces
        |FROM toks JOIN wp USING (w)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** q90 oracle: the q72 training chain + q74's vocab cascade, then
+    * the per-language occurrence aggregate. */
+  val q90TokenizerFertilityOracle: String = {
+    val vchain = (1 to Merges).map(r =>
+      s"""v$r AS (
+         |  SELECT w, ${replace3Sql("ws")} AS ws FROM v${r - 1}, m$r)"""
+        .stripMargin).mkString(",\n")
+    s"""WITH $w0Sql,
+       |$roundsSql,
+       |v0 AS (
+       |  SELECT DISTINCT w, $symbolizeSql AS ws
+       |  FROM (SELECT unnest($tokensSql) AS w FROM documents)),
+       |$vchain,
+       |wp AS (
+       |  SELECT w, CAST(len(string_split(trim(ws), ' ')) AS BIGINT)
+       |      AS n_pieces_w
+       |  FROM v$Merges),
+       |toks AS (SELECT lang, unnest($tokensSql) AS w FROM documents),
+       |agg AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(count(DISTINCT w) AS BIGINT) AS n_vocab,
+       |    CAST(sum(n_pieces_w) AS BIGINT) AS n_pieces,
+       |    CAST(sum(CASE WHEN n_pieces_w > 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_split
+       |  FROM toks JOIN wp USING (w)
+       |  GROUP BY lang)
+       |SELECT lang, n_words, n_vocab, n_pieces, n_split,
+       |  CAST(n_pieces * 1000000 // n_words AS BIGINT) AS fertility_e6,
+       |  CAST(n_split * 1000000 // n_words AS BIGINT) AS split_rate_e6
+       |FROM agg ORDER BY lang""".stripMargin
   }
 }

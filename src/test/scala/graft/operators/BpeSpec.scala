@@ -53,6 +53,26 @@ class BpeSpec extends AnyFunSuite {
       s"rank-1 merge ${r1.mkString(",")} != independent argmax $top")
   }
 
+  test("q90 fertility totals reconcile with q74's per-doc encode") {
+    val byLang = Bpe.q90TokenizerFertility(s, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(byLang.nonEmpty)
+    assert(byLang.forall { case (_, nw, nv, np, ns, fert, split) =>
+      np >= nw && nv <= nw && ns <= nw &&
+        fert == np * 1000000L / nw && split == ns * 1000000L / nw })
+    // every doc has a lang, so per-lang totals must equal per-doc ones
+    val docs = Bpe.q74BpeEncode(s, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(byLang.map(_._2).sum == docs.map(_._1).sum)
+    assert(byLang.map(_._4).sum == docs.map(_._2).sum)
+  }
+
+  test("q90 plans no cartesian, no BNLJ, no global window") {
+    val a = graft.tools.PlanAudit.of(Bpe.q90TokenizerFertility(s, sf))
+    assert(!a.cartesian && !a.bnlj && !a.globalWindow)
+  }
+
   private object Tables {
     def topPairIndependent(s2: org.apache.spark.sql.SparkSession,
         dir: String): (String, String, Long) = {
