@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Behavior, Bpe, Budget, Clustering, Dedup, Ivfpq, Multimodal, Overlap, Pipeline, Pipeline2, Pipeline3, Pq, Redact, Relational, Relational2, Retrieval, Similarity, TextAnalysis, Threshold}
+import graft.operators.{Behavior, Bpe, Budget, Clustering, Dedup, Ivfpq, Multimodal, Overlap, Pipeline, Pipeline2, Pipeline3, Pq, Redact, Relational, Relational2, Retrieval, Similarity, Sketch, TextAnalysis, Threshold}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -103,6 +103,7 @@ object SparkEntry {
     "q88_token_budget" -> Budget.q88TokenBudget,
     "q89_source_overlap" -> Overlap.q89SourceOverlap,
     "q90_tok_fertility" -> Bpe.q90TokenizerFertility,
+    "q91_cms_calibration" -> Sketch.q91CmsCalibration,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -408,6 +409,7 @@ object SparkEntry {
     "q88_token_budget" -> Budget.q88TokenBudgetOracle,
     "q89_source_overlap" -> Overlap.q89SourceOverlapOracle,
     "q90_tok_fertility" -> Bpe.q90TokenizerFertilityOracle,
+    "q91_cms_calibration" -> Sketch.q91CmsCalibrationOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,
