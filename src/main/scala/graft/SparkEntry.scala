@@ -104,6 +104,7 @@ object SparkEntry {
     "q89_source_overlap" -> Overlap.q89SourceOverlap,
     "q90_tok_fertility" -> Bpe.q90TokenizerFertility,
     "q91_cms_calibration" -> Sketch.q91CmsCalibration,
+    "q92_diversity_sample" -> Clustering.q92DiversitySample,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -410,6 +411,7 @@ object SparkEntry {
     "q89_source_overlap" -> Overlap.q89SourceOverlapOracle,
     "q90_tok_fertility" -> Bpe.q90TokenizerFertilityOracle,
     "q91_cms_calibration" -> Sketch.q91CmsCalibrationOracle,
+    "q92_diversity_sample" -> Clustering.q92DiversitySampleOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,

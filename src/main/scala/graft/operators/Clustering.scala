@@ -42,9 +42,10 @@ object Clustering {
   val Rounds = 3  // fixed Lloyd rounds — see determinism note above
   val Dims = 64   // embeddings table is fixed 64-dim (TESTDATA.md)
 
-  /** q70: train the k-means codebook; returns the trained centroids
-    * exploded to (cent_id, n_assigned, i, comp) rows. */
-  def q70Kmeans(s: SparkSession, dir: String): DataFrame = {
+  /** The Lloyd training loop behind q70/q92: returns the trained
+    * codebook as k rows (cent_id, cv, csq, n_assigned). */
+  private[operators] def trainCodebook(s: SparkSession,
+      dir: String): DataFrame = {
     val b = Similarity.exactPairsBase(s, dir)
       .select(col("vec_id"), col("v"), col("sq"))
 
@@ -86,14 +87,18 @@ object Clustering {
         // barrier keeps round r+1's plan independent of round r's
         .localCheckpoint(true)
     }
-
     cents
+  }
+
+  /** q70: train the k-means codebook; returns the trained centroids
+    * exploded to (cent_id, n_assigned, i, comp) rows. */
+  def q70Kmeans(s: SparkSession, dir: String): DataFrame =
+    trainCodebook(s, dir)
       .select(col("cent_id"), col("n_assigned"),
         posexplode(col("cv")).as(Seq("i", "comp")))
       .select(col("cent_id"), col("n_assigned"),
         col("i").cast("long").as("i"), col("comp"))
       .orderBy(col("cent_id"), col("i"))
-  }
 
   /** One Lloyd round as DuckDB CTEs: `prev` → assignment → per-dim
     * sums → re-quantized codebook `out` (cent_id, cv, csq, n). */
@@ -140,6 +145,105 @@ object Clustering {
        |  cv[t.i+1] AS comp
        |FROM c$Rounds, range(0, $Dims) t(i)
        |ORDER BY cent_id, i""".stripMargin
+  }
+
+  val SampleCap = 25 // per-cell keep budget for q92
+
+  /** q92: cluster-capped diversity sampling — the cluster-balanced
+    * subsampling step of embedding-space curation (cap the over-dense
+    * clusters, keep sparse clusters whole, so the subsample preserves
+    * coverage of the embedding space instead of mirroring its density
+    * skew). Assigns every vector to its nearest q70-trained centroid
+    * (the [[trainCodebook]] codebook — broadcast k rows, the intended
+    * ann_ivf/q70 BNLJ shape), then keeps at most `SampleCap` vectors
+    * per cell in deterministic pseudo-random order (24-bit md5 prefix
+    * of vec_id, ties to vec_id — the q81/q47 hash-sampling key).
+    * Returns (cell, vec_id, rk, n_cell): the kept rows plus how big
+    * their cell was, so the output shows exactly where density was
+    * cut.
+    *
+    * 100 TB posture: assignment is one corpus pass against a
+    * broadcast codebook (never shuffles the fact side); per-cell
+    * selection is a k-partition window that WindowGroupLimit
+    * truncates to `SampleCap` rows per partition BEFORE the sort
+    * spills anything — O(k · cap) survivors. The per-vector nearest-
+    * centroid window is partitioned by vec_id (the q70 shape). */
+  def q92DiversitySample(s: SparkSession, dir: String): DataFrame = {
+    val b = Similarity.exactPairsBase(s, dir)
+      .select(col("vec_id"), col("v"), col("sq"))
+    val cents = trainCodebook(s, dir)
+
+    val wv = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist").asc, col("cent_id").asc)
+    val assigned = b
+      .crossJoin(broadcast(cents.select("cent_id", "cv", "csq")))
+      .withColumn("dist",
+        col("sq") - lit(2L) * Similarity.idot(col("v"), col("cv")) +
+          col("csq"))
+      .withColumn("crk", row_number().over(wv))
+      .filter(col("crk") === 1)
+      .select(col("cent_id").as("cell"), col("vec_id"))
+
+    val wc = Window.partitionBy(col("cell"))
+      .orderBy(col("skey").asc, col("vec_id").asc)
+    val wn = Window.partitionBy(col("cell"))
+    assigned
+      .withColumn("skey",
+        conv(substring(md5(col("vec_id").cast("string")), 1, 6), 16, 10)
+          .cast("long"))
+      .withColumn("n_cell", count(lit(1)).over(wn))
+      .withColumn("rk", row_number().over(wc).cast("long"))
+      .filter(col("rk") <= SampleCap)
+      .select(col("cell"), col("vec_id"), col("rk"), col("n_cell"))
+      .orderBy(col("cell"), col("rk"))
+  }
+
+  /** q92 oracle: the q70 training chain, one more assignment round
+    * against the final codebook, then the per-cell capped hash-order
+    * selection. */
+  val q92DiversitySampleOracle: String = {
+    val rounds = (1 to Rounds)
+      .map(r => roundSql(r, if (r == 1) "c0" else s"c${r - 1}", s"c$r"))
+      .mkString(",\n")
+    val hex6 = (0 until 6).map { i =>
+      val mult = math.pow(16, 5 - i).toLong
+      s"(strpos('0123456789abcdef', substring(hx, ${i + 1}, 1)) - 1)" +
+        (if (mult == 1) "" else s" * $mult")
+    }.mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT vec_id, ${Similarity.ivecSql} AS v FROM embeddings),
+       |sq AS (
+       |  SELECT vec_id, v,
+       |    CAST(list_sum(list_transform(range(1, len(v)+1),
+       |      i -> v[i]*v[i])) AS BIGINT) AS sq
+       |  FROM base),
+       |c0 AS (SELECT vec_id AS cent_id, v AS cv, sq AS csq, 0 AS n
+       |       FROM sq WHERE vec_id < $K),
+       |$rounds,
+       |df AS (
+       |  SELECT s.vec_id, c.cent_id,
+       |    s.sq - 2*CAST(list_sum(list_transform(range(1, len(s.v)+1),
+       |        i -> s.v[i]*c.cv[i])) AS BIGINT) + c.csq AS dist
+       |  FROM sq s CROSS JOIN c$Rounds c),
+       |af AS (
+       |  SELECT vec_id, cent_id AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist ASC, cent_id ASC) AS crk FROM df)
+       |  WHERE crk = 1),
+       |keyed AS (
+       |  SELECT cell, vec_id, $hex6 AS skey FROM (
+       |    SELECT cell, vec_id,
+       |      substring(md5(CAST(vec_id AS VARCHAR)), 1, 6) AS hx
+       |    FROM af)),
+       |sel AS (
+       |  SELECT cell, vec_id,
+       |    CAST(row_number() OVER (PARTITION BY cell
+       |      ORDER BY skey ASC, vec_id ASC) AS BIGINT) AS rk,
+       |    CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS n_cell
+       |  FROM keyed)
+       |SELECT cell, vec_id, rk, n_cell FROM sel
+       |WHERE rk <= $SampleCap
+       |ORDER BY cell, rk""".stripMargin
   }
 
   val OutlierTopK = 5

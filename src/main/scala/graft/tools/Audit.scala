@@ -95,6 +95,9 @@ object PlanAudit {
       // q70's Lloyd assignment broadcasts the k-row codebook against
       // one corpus scan per round — the ann_ivf shape, k ≪ n always.
       "q70_kmeans",
+      // q92 reuses q70's training loop AND its broadcast-codebook
+      // assignment for the final cell labeling — same intended shape.
+      "q92_diversity_sample",
       // q77 joins its gram counts to a 1-row cohort-totals broadcast —
       // the q36/q55 totals shape.
       "q77_corpus_drift")

@@ -63,4 +63,31 @@ class ClusteringSpec extends AnyFunSuite {
     assert(!a.cartesian && bnljOk && !a.globalWindow,
       s"cartesian=${a.cartesian} bnlj=${a.bnlj} globalWindow=${a.globalWindow}")
   }
+
+  test("q92: caps dense cells, keeps sparse cells whole, ranks 1..cap") {
+    val rows = Clustering.q92DiversitySample(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val byCell = rows.groupBy(_._1)
+    byCell.foreach { case (_, rs) =>
+      val nCell = rs.head._4
+      assert(rs.forall(_._4 == nCell)) // consistent cell size
+      // exactly min(n_cell, cap) survivors, ranked contiguously
+      assert(rs.length.toLong == math.min(nCell, Clustering.SampleCap.toLong))
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    // cells are codebook ids; a dense corpus must actually get cut
+    assert(byCell.keySet.subsetOf((0L until Clustering.K).toSet))
+    val n = graft.Tables.load(s, sf, "embeddings").count()
+    if (n > Clustering.K.toLong * Clustering.SampleCap)
+      assert(rows.exists(r => r._4 > Clustering.SampleCap))
+  }
+
+  test("q92: plan reuses the intended broadcast-codebook assignment") {
+    import graft.tools.PlanAudit
+    val a = PlanAudit.of(Clustering.q92DiversitySample(s, sf))
+    assert(PlanAudit.intendedNonEqui("q92_diversity_sample"))
+    assert(!a.cartesian && !a.globalWindow,
+      s"cartesian=${a.cartesian} globalWindow=${a.globalWindow}")
+  }
 }
