@@ -48,6 +48,22 @@ object Sketch {
     conv(substring(md5(concat(r.cast("string"), lit(":"), w)), 1, 6),
       16, 10).cast("long") % Width
 
+  /** The d×W sketch of a document set, built straight from the
+    * occurrence stream — ONE declarative definition that runs over a
+    * batch DataFrame *and* a streaming one unchanged (a streaming
+    * aggregation whose state is the ≤ d×W counter groups themselves:
+    * bounded regardless of stream length, no watermark needed — the
+    * mergeable-summary contract as a Spark plan). By associativity
+    * of the counter sums this equals q91's build from the exact
+    * word-count table; [[SketchStreamSpec]] asserts all three routes
+    * (batch here, streaming here, q91's) agree counter for counter. */
+  def tokenSketch(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .select(col("w"), explode(sequence(lit(0), lit(Depth - 1))).as("r"))
+      .withColumn("b", bucket(col("r"), col("w")))
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+
   /** q91: CMS estimates vs exact counts for the top-K tokens;
     * returns (token, n_exact, cms_est, overshoot). */
   def q91CmsCalibration(s: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,32 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Sketch
+
+/** Continuous Count-Min-Sketch over a landing directory of document
+  * batches — the streaming twin of q91's sketch build, and the
+  * clearest showcase of the mergeable-summary contract as a Spark
+  * plan: [[Sketch.tokenSketch]] is ONE declarative aggregation that
+  * runs unchanged over a batch DataFrame or this file stream. As a
+  * streaming aggregation its state is the counter groups themselves
+  * — at most d×W rows no matter how long the stream runs, so no
+  * watermark is needed and `complete` output mode is cheap by
+  * construction (the whole "result table" is the sketch).
+  *
+  * Production shape at scale: each micro-batch's partial counts
+  * merge into the state store by the same associative sum that
+  * merges per-partition sketches in the batch plan; emitting the
+  * d×W table per trigger gives downstream consumers a
+  * monotonically-converging frequency summary of everything ingested
+  * so far. */
+object StreamSketch {
+
+  /** The streaming sketch over doc batches landing in `landingDir`
+    * (schema = documents.parquet). Returns the unstarted streaming
+    * DataFrame of (r, b, c); callers pick sink/trigger/output mode
+    * (`complete` — the result IS the ≤ d×W-row sketch). */
+  def cmsStream(spark: SparkSession, landingDir: String): DataFrame =
+    Sketch.tokenSketch(
+      spark.readStream.schema(DocIngest.docSchema).parquet(landingDir))
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.operators.Sketch
+
+/** The mergeable-summary contract, tested: the streaming CMS over
+  * two document micro-batches must equal, counter for counter, the
+  * batch sketch over their union — same `tokenSketch` definition,
+  * two execution modes. */
+class SketchStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+
+  test("streaming CMS counters equal the batch sketch of the union") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val half = docs.count() / 2
+
+    // stage the corpus as two landing files → two micro-batches
+    val landing = Files.createTempDirectory("cms-landing")
+    docs.filter($"doc_id" < half).coalesce(1).write
+      .parquet(landing.resolve("b0").toString)
+    docs.filter($"doc_id" >= half).coalesce(1).write
+      .parquet(landing.resolve("b1").toString)
+    val stage = Files.createTempDirectory("cms-stage")
+    var n = 0
+    for (sub <- Seq("b0", "b1");
+         f <- new java.io.File(landing.resolve(sub).toString).listFiles()
+        if f.getName.endsWith(".parquet")) {
+      Files.copy(f.toPath, stage.resolve(s"batch$n.parquet")); n += 1
+    }
+
+    val q = StreamSketch.cmsStream(spark, stage.toString)
+      .writeStream.format("memory").queryName("cms_stream")
+      .option("maxFilesPerTrigger", "1")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("cms_stream")
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    val batch = Sketch.tokenSketch(docs)
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    assert(streamed === batch)
+    assert(batch.size <= Sketch.Depth * Sketch.Width) // bounded state
+    // and both agree with q91's exact-table-derived build: the total
+    // mass per hash row is the corpus occurrence count either way
+    val occ = docs.select(org.apache.spark.sql.functions.explode(
+      graft.operators.TextAnalysis.tokens(
+        org.apache.spark.sql.functions.col("text")))).count()
+    (0 until Sketch.Depth).foreach { r =>
+      assert(batch.collect { case ((`r`, _), c) => c }.sum === occ)
+    }
+  }
+}
