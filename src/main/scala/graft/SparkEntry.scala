@@ -105,6 +105,7 @@ object SparkEntry {
     "q90_tok_fertility" -> Bpe.q90TokenizerFertility,
     "q91_cms_calibration" -> Sketch.q91CmsCalibration,
     "q92_diversity_sample" -> Clustering.q92DiversitySample,
+    "q93_label_affinity" -> Overlap.q93LabelAffinity,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -412,6 +413,7 @@ object SparkEntry {
     "q90_tok_fertility" -> Bpe.q90TokenizerFertilityOracle,
     "q91_cms_calibration" -> Sketch.q91CmsCalibrationOracle,
     "q92_diversity_sample" -> Clustering.q92DiversitySampleOracle,
+    "q93_label_affinity" -> Overlap.q93LabelAffinityOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,

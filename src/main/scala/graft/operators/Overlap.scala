@@ -51,7 +51,8 @@ object Overlap {
 
   /** Expand the ordered C(n,2) pairs of a sorted array column via
     * nested transform/slice; `f(a, b)` builds the pair element. */
-  private def orderedPairs(arr: Column, f: (Column, Column) => Column): Column =
+  private[operators] def orderedPairs(arr: Column,
+      f: (Column, Column) => Column): Column =
     flatten(transform(arr, (a, i) =>
       transform(slice(arr, i + lit(2), size(arr)), b => f(a, b))))
 
@@ -121,6 +122,88 @@ object Overlap {
         col("mh_agree"), col("mh_est_e6"))
       .orderBy(col("source_a"), col("source_b"))
   }
+
+  /** q93: label-centroid affinity matrix — the SEMANTIC complement
+    * of q89's lexical overlap: for every pair of labels, the cosine
+    * between their mean embedding vectors, next to both group sizes.
+    * The eval-side diagnostic for "which label pairs are confusable"
+    * (centroids nearly parallel ⇒ the label boundary is weak in this
+    * embedding space) and the source-mixture analogue when labels
+    * partition the corpus.
+    *
+    * Exactness: centroids re-quantize to integer space exactly as
+    * q70's Lloyd update does (`floor(double(Σ mᵢ) / n)` per
+    * component — one IEEE division of identical integer inputs in
+    * both engines); the pairwise cosine is the established `cos_e6`
+    * form on those integer vectors. Fully deterministic.
+    *
+    * 100 TB posture: ONE corpus pass — the per-(label, dim) partial
+    * sum collapses the scan to O(L × dims) groups map-side (the q70
+    * update shuffle without the assignment join); the pair matrix
+    * expands from one collected L-row list (the q89 shape). No join
+    * at data scale anywhere. */
+  def q93LabelAffinity(s: SparkSession, dir: String): DataFrame = {
+    val dims = Similarity.exactPairsBase(s, dir)
+      .select(col("label"), posexplode(col("v")).as(Seq("i", "m")))
+    val cents = dims.groupBy(col("label"), col("i"))
+      .agg(sum(col("m")).as("sm"), count(lit(1)).as("n"))
+      .withColumn("c",
+        floor(col("sm").cast("double") / col("n")).cast("long"))
+    val vecs = cents.groupBy(col("label"))
+      .agg(
+        transform(sort_array(collect_list(struct(col("i"), col("c")))),
+          e => e.getField("c")).as("cv"),
+        max(col("n")).as("n_members"))
+      .withColumn("csq", Similarity.idot(col("cv"), col("cv")))
+
+    vecs
+      .select(struct(col("label"), col("n_members"), col("cv"),
+        col("csq")).as("d"))
+      .agg(sort_array(collect_list(col("d"))).as("ds"))
+      .select(explode(orderedPairs(col("ds"), (a, b) =>
+        struct(a.getField("label").as("label_a"),
+          b.getField("label").as("label_b"),
+          a.getField("n_members").as("n_a"),
+          b.getField("n_members").as("n_b"),
+          Similarity.cosE6(
+            Similarity.idot(a.getField("cv"), b.getField("cv")),
+            a.getField("csq"), b.getField("csq")).as("cos_e6"))))
+        .as("p"))
+      .select(col("p.label_a"), col("p.label_b"), col("p.n_a"),
+        col("p.n_b"), col("p.cos_e6"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  val q93LabelAffinityOracle: String =
+    s"""WITH base AS (
+       |  SELECT vec_id, label, ${Similarity.ivecSql} AS v
+       |  FROM embeddings),
+       |dims AS (
+       |  SELECT label, t.i AS i, CAST(sum(v[t.i+1]) AS BIGINT) AS sm,
+       |    count(*) AS n
+       |  FROM base, range(0, ${Clustering.Dims}) t(i)
+       |  GROUP BY label, t.i),
+       |cvals AS (
+       |  SELECT label, i,
+       |    CAST(floor(CAST(sm AS DOUBLE) / n) AS BIGINT) AS c, n
+       |  FROM dims),
+       |cents AS (
+       |  SELECT label, list(c ORDER BY i) AS cv,
+       |    CAST(max(n) AS BIGINT) AS n_members
+       |  FROM cvals GROUP BY label),
+       |withsq AS (
+       |  SELECT label, cv, n_members,
+       |    CAST(list_sum(list_transform(range(1, len(cv)+1),
+       |      i -> cv[i]*cv[i])) AS BIGINT) AS csq
+       |  FROM cents)
+       |SELECT a.label AS label_a, b.label AS label_b,
+       |  a.n_members AS n_a, b.n_members AS n_b,
+       |  CAST(floor(CAST(list_sum(list_transform(range(1, len(a.cv)+1),
+       |      i -> a.cv[i]*b.cv[i])) AS DOUBLE)
+       |    / (sqrt(CAST(a.csq AS DOUBLE)) * sqrt(CAST(b.csq AS DOUBLE)))
+       |    * 1e6) AS BIGINT) AS cos_e6
+       |FROM withsq a JOIN withsq b ON a.label < b.label
+       |ORDER BY label_a, label_b""".stripMargin
 
   val q89SourceOverlapOracle: String = {
     val sigDefs = (0 until NumHashes)

@@ -69,6 +69,46 @@ class OverlapSpec extends AnyFunSuite {
         j == inter * 1000000L / uni })
   }
 
+  private def embDir(rows: Seq[(Long, Seq[Float], Int)]): String = {
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("affinity-emb")
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite")
+      .parquet(dir.resolve("embeddings.parquet").toString)
+    dir.toString
+  }
+
+  test("q93: hand-computed centroids — orthogonal 0, parallel 1e6") {
+    // label 0: two copies of (1,0) → centroid (1000,0); label 1:
+    // (0,1) → (0,1000); label 2: (2,0) → (2000,0) — parallel to 0
+    val dir = embDir(Seq(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(1f, 0f), 0),
+      (3L, Seq(0f, 1f), 1), (4L, Seq(2f, 0f), 2)))
+    val rows = Overlap.q93LabelAffinity(s, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.toSeq === Seq(
+      (0, 1, 2L, 1L, 0L),
+      (0, 2, 2L, 1L, 1000000L),
+      (1, 2, 1L, 1L, 0L)))
+  }
+
+  test("q93 on the real corpus: complete matrix, cosine in range") {
+    val df = Overlap.q93LabelAffinity(s, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    val labels = rows.flatMap(r => Seq(r.getInt(0), r.getInt(1))).distinct
+    assert(rows.length === labels.length * (labels.length - 1) / 2)
+    assert(rows.forall { r =>
+      val c = r.getLong(4); c >= -1000000L && c <= 1000000L })
+  }
+
+  test("q93 plans one pass to L-by-dims groups: no join at data " +
+      "scale, no cartesian, no BNLJ, no global window") {
+    val a = graft.tools.PlanAudit.of(
+      Overlap.q93LabelAffinity(s, "/root/testdata/sf0.001"))
+    assert(!a.cartesian && !a.bnlj && !a.globalWindow)
+  }
+
   test("q89 plans no cartesian, no BNLJ, no global window") {
     val a = graft.tools.PlanAudit.of(
       Overlap.q89SourceOverlap(s, "/root/testdata/sf0.001"))
