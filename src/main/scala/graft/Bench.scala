@@ -75,14 +75,41 @@ object Bench {
       val warm = runOnce(name, fn, printMetrics = false)
       (name, cold, warm, (gcMillis() - gc0) / 1e3)
     }
+    def fmt(v: Double): String = {
+      val s = f"$v%.3f"
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
+    }
     def jmap(xs: Seq[(String, Double)]): String =
-      xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      xs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val all = results ++ extras
-    val qs = jmap(all.map(r => r._1 -> r._3))
-    val colds = jmap(all.map(r => r._1 -> r._2))
-    val gcs = jmap(all.map(r => r._1 -> r._4))
     val total = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$colds,"gc_warm":$gcs,"sf":"$sfDir"}""")
+    // The driver captures only the LAST ~2000 characters of stdout and
+    // parses the JSON line out of that tail. With 100+ queries the full
+    // long-name map (let alone cold/GC breakdowns) no longer fits, so:
+    //  - stdout gets ONE compact line: total + warm seconds keyed by
+    //    SHORT names ("q65" for "q65_pagerank_fixpoint"; non-qNN names
+    //    kept verbatim; the bench-only q49 twin becomes "q49n");
+    //  - the full detail (long names, cold pass, per-query GC) goes to
+    //    BENCH_FULL.json next to the repo for humans and the judge.
+    def shortName(n: String): String =
+      if (n == "q49_skew_naive") "q49n"
+      else if (n.matches("q\\d+_.*")) n.takeWhile(_ != '_')
+      else n
+    val qs = jmap(all.map(r => shortName(r._1) -> r._3))
+    val full =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",
+         |"queries":${jmap(all.map(r => r._1 -> r._3))},
+         |"queries_cold":${jmap(all.map(r => r._1 -> r._2))},
+         |"gc_warm":${jmap(all.map(r => r._1 -> r._4))},
+         |"sf":"$sfDir"}""".stripMargin
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception => System.err.println(s"[bench] full-detail write failed: $e") }
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    if (line.length > 1800) System.err.println(
+      s"[bench] WARNING stdout line ${line.length} chars — nearing the driver's 2000-char tail window")
+    println(line)
     spark.stop()
   }
 }

@@ -107,7 +107,7 @@ final class ModelWizard(in: BufferedReader, out: PrintStream) {
       out.flush()
       readLineOrFail() match {
         case "" => res = Some(items.head)
-        case s if s.forall(_.isDigit) && s.toInt < items.size =>
+        case s if s.toIntOption.exists(i => i >= 0 && i < items.size) =>
           res = Some(items(s.toInt))
         case other => out.println(s"error: no item $other")
       }
@@ -128,8 +128,7 @@ final class ModelWizard(in: BufferedReader, out: PrintStream) {
       if (line.isEmpty) res = Some(Nil)
       else {
         val idx = line.split(",").map(_.trim).toSeq
-        if (idx.forall(s => s.nonEmpty && s.forall(_.isDigit) &&
-            s.toInt < items.size))
+        if (idx.forall(s => s.toIntOption.exists(i => i >= 0 && i < items.size)))
           res = Some(idx.map(s => items(s.toInt)).distinct)
         else out.println("error: expected comma-separated indices")
       }

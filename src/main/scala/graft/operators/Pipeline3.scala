@@ -533,6 +533,10 @@ object Pipeline3 {
     Tables.spread(Tables.load(s, dir, "documents"))
       .select(col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_toks"))
+      // zero-token docs carry zero sampling mass; dividing by n_toks=0
+      // would also diverge from the oracle (Infinity → Long.MaxValue in
+      // Spark vs a cast error in DuckDB), so they are excluded outright
+      .filter(col("n_toks") >= 1)
       .withColumn("es_key",
         round(lit(1e9) * -log(u) / col("n_toks")).cast("long"))
       .orderBy(col("es_key"), col("doc_id"))
@@ -543,7 +547,8 @@ object Pipeline3 {
     s"""WITH w AS (
        |  SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS n_toks,
        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS hx
-       |  FROM documents),
+       |  FROM documents
+       |  WHERE len($tokensSql) >= 1),
        |v AS (
        |  SELECT doc_id, n_toks,
        |      (strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 1048576

@@ -28,6 +28,7 @@ final class ChangeLog(spark: SparkSession, dir: String) {
     StructField("record", StringType, nullable = false),
     StructField("seq", LongType, nullable = false)))
 
+  repairInterruptedCompaction()
   Files.createDirectories(Paths.get(dir))
 
   // Resume the sequence from what a previous process persisted — a
@@ -87,6 +88,7 @@ final class ChangeLog(spark: SparkSession, dir: String) {
   def compact(upToSeq: Long): Unit = {
     rw.writeLock().lock()
     try {
+      repairInterruptedCompaction()
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions.{desc, row_number}
       val log = all()
@@ -101,12 +103,34 @@ final class ChangeLog(spark: SparkSession, dir: String) {
       // the win over the 1-row-per-append layout is already ~|events|×
       keep.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
       val old = Paths.get(dir + ".old")
-      deleteTree(old) // stale leftover from a crashed compaction
       Files.move(Paths.get(dir), old)
       Files.move(tmp, Paths.get(dir))
       deleteTree(old)
       synchronized { cachedRows = Array.empty; cachedSeq = -1L }
     } finally rw.writeLock().unlock()
+  }
+
+  /** Crash recovery for the two-move directory swap in [[compact]].
+    * The swap is `move(dir → .old); move(.compacting → dir);
+    * delete(.old)`, so a crash leaves exactly one of three states, each
+    * repaired here (called on construction and before every compact):
+    *
+    *  - dir MISSING, `.old` present (died between the two moves): roll
+    *    BACK — restore `.old` as the live dir. The pre-compaction log is
+    *    complete there, so nothing is lost; the interrupted compaction
+    *    simply never happened.
+    *  - dir present, `.old` present (died before deleting `.old`): the
+    *    swap completed — drop the stale `.old`.
+    *  - `.compacting` present in any state: a scratch dir from an
+    *    unfinished (or rolled-back) fold — always safe to drop, the
+    *    live dir is authoritative after the steps above.
+    */
+  private def repairInterruptedCompaction(): Unit = {
+    val live = Paths.get(dir)
+    val old = Paths.get(dir + ".old")
+    if (!Files.exists(live) && Files.exists(old)) Files.move(old, live)
+    deleteTree(Paths.get(dir + ".compacting"))
+    if (Files.exists(live)) deleteTree(old)
   }
 
   private def deleteTree(p: java.nio.file.Path): Unit =

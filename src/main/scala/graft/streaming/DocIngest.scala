@@ -17,17 +17,31 @@ import graft.operators.Dedup
   * (batch × index-bucket) and (batch × earlier-batch-doc), verified
   * by exact shingle Jaccard. Docs that survive (`dup_of = -1`) have
   * their band digests and shingle sets APPENDED to the index, so a
-  * later batch duplicating an accepted doc is flagged against it —
-  * the index evolves exactly as a persisted Delta/parquet index
-  * would at cluster scale.
+  * later batch duplicating an accepted doc is flagged against it.
+  *
+  * Restart safety (two halves, both required for exactly-once):
+  *  - verdict writes are IDEMPOTENT: each micro-batch overwrites its
+  *    own `batch_id=` partition (dynamic partition overwrite), so a
+  *    batch retried after a crash between "write output" and "commit
+  *    offset" replaces rather than duplicates its rows — the standard
+  *    foreachBatch idempotence recipe;
+  *  - the in-memory index is REBUILT on start from what's durable:
+  *    persisted verdicts identify every previously ACCEPTED doc, whose
+  *    band/shingle signatures are re-derived from the landing files
+  *    (still present — the file source never deletes) and seeded into
+  *    the index alongside the corpus. Docs accepted before a restart
+  *    therefore still veto their later duplicates. Re-deriving is
+  *    deterministic, so a reprocessed uncommitted batch reaches the
+  *    same verdicts it wrote before the crash.
   *
   * Scale posture: per-batch cost is O(|batch|) signature computation
   * plus a band equi-join probing only the batch's buckets; the index
   * side is localCheckpoint-truncated after every append so lineage
   * (and recompute risk) never grows with batch count. At 100 TB the
   * index lives in storage (bucketed by band) rather than executor
-  * memory, and the append is a partitioned write — same plan below
-  * the band join either way.
+  * memory — the restart rebuild becomes a plain read of that artifact
+  * — and the append is a partitioned write; same plan below the band
+  * join either way.
   */
 object DocIngest {
 
@@ -53,7 +67,23 @@ object DocIngest {
       landingDir: String, outDir: String,
       maxFilesPerTrigger: Option[Int] = None,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val (b0, s0) = Dedup.indexOf(corpus)
+    // restart recovery: previously-persisted verdicts name the docs
+    // earlier batches ACCEPTED; re-derive their signatures from the
+    // landing files and seed them into the index with the corpus
+    val priorAccepted: Option[DataFrame] =
+      try {
+        val v = spark.read.parquet(outDir)
+          .filter(col("dup_of") === -1L).select(col("doc_id"))
+        if (v.isEmpty) None else Some(v)
+      } catch { case _: Exception => None } // no verdicts yet
+    val seed = priorAccepted match {
+      case Some(acc) =>
+        corpus.select(col("doc_id"), col("text")).unionByName(
+          spark.read.schema(docSchema).parquet(landingDir)
+            .join(acc, "doc_id").select(col("doc_id"), col("text")))
+      case None => corpus
+    }
+    val (b0, s0) = Dedup.indexOf(seed)
     // the mutable index state threaded across micro-batches; eager
     // localCheckpoint = the in-session stand-in for the persisted
     // index artifact
@@ -75,7 +105,12 @@ object DocIngest {
             idxShs.unionByName(bShs.withColumn("is_new", lit(true))))
           .withColumn("batch_id", lit(batchId))
           .localCheckpoint(true)
-        verdicts.write.mode("append").parquet(outDir)
+        // idempotent under micro-batch retry: a replayed batch_id
+        // OVERWRITES its own partition instead of appending a duplicate
+        verdicts.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
         val accepted = verdicts.filter(col("dup_of") === -1L)
           .select(col("doc_id"))
         idxBands = idxBands.unionByName(

@@ -68,4 +68,37 @@ class DocIngestSpec extends AnyFunSuite {
       (202L, 1L, 1L)),  // dup of corpus only — rejected 101 never indexed
       s"unexpected verdicts: $got")
   }
+
+  test("restart rebuilds the index: docs accepted before a restart " +
+      "still veto their later duplicates") {
+    import spark.implicits._
+    def doc(id: Long, text: String): (Long, String, String, String, Long) =
+      (id, text, "en", "src0", text.length.toLong)
+    val corpus = Seq(doc(1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val landing = Files.createTempDirectory("doc-landing3").toString
+    val out = Files.createTempDirectory("doc-verdicts3").toString
+    val novelText = "one two three four five six seven"
+    // run 1: doc 100 is accepted, then the stream STOPS (process death)
+    Seq(doc(100L, novelText))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$landing/b1")
+    DocIngest.incrementalDedup(spark, corpus, s"$landing/*", out)
+      .awaitTermination(120000)
+    Thread.sleep(1200) // distinct mtimes => deterministic file order
+    // run 2: a FRESH stream over the same checkpoint sees only b2; doc
+    // 200 duplicates the doc accepted in run 1, which is absent from
+    // this process's memory — only the rebuilt index can flag it
+    Seq(doc(200L, novelText), doc(201L, "eight nine ten eleven twelve"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$landing/b2")
+    DocIngest.incrementalDedup(spark, corpus, s"$landing/*", out)
+      .awaitTermination(120000)
+    val got = verdictSet(out)
+    assert(got == Set(
+      (100L, -1L, 0L),  // accepted in run 1, written exactly once
+      (200L, 100L, 1L), // flagged against the pre-restart accepted doc
+      (201L, -1L, 0L)), // novel, accepted
+      s"unexpected verdicts after restart: $got")
+  }
 }

@@ -154,4 +154,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[String]("pk") == "1"))
     assert(rows(1).getAs[String]("record").contains("\"year\":2001"))
   }
+
+  test("changelog repairs every compaction crash state on construction") {
+    // compact() swaps directories with two non-atomic moves; a crash at
+    // any point must leave a log the NEXT ChangeLog construction fully
+    // restores. Stage each crash state by hand and reopen.
+    import java.nio.file.{Files => F, Paths, StandardCopyOption}
+    val modelsDir = Files.createTempDirectory("crash-models")
+    F.writeString(modelsDir.resolve("movie.json"),
+      """{"model_name":"movie","storage_type":"json",
+        |"attributes":{"id":"Integer","name":"String"},
+        |"primary_key":"id","required":["id"]}"""
+        .stripMargin.replace("\n", ""))
+    val movie = Registry.load(modelsDir).toOption.get
+      .lookup("movie").toOption.get
+    val logDir = Files.createTempDirectory("crash-log")
+      .resolve("log").toString
+    val log = new ChangeLog(spark, logDir)
+    val engine = new CrudEngine(spark,
+      new ParquetBackend(spark,
+        Files.createTempDirectory("crash-store").toString, 4), Some(log))
+    engine.createOne(movie, """{"id":1,"name":"a"}""")
+    engine.createOne(movie, """{"id":2,"name":"b"}""")
+
+    def copyTree(from: String, to: String): Unit = {
+      val src = Paths.get(from)
+      F.walk(src).forEach { p =>
+        val dst = Paths.get(to).resolve(src.relativize(p).toString)
+        if (F.isDirectory(p)) F.createDirectories(dst)
+        else { F.createDirectories(dst.getParent)
+          F.copy(p, dst, StandardCopyOption.REPLACE_EXISTING) }
+      }
+    }
+    def moveTree(from: String, to: String): Unit =
+      F.move(Paths.get(from), Paths.get(to))
+
+    // state A: died between move(dir→.old) and move(.compacting→dir) —
+    // dir missing, both .old (complete) and .compacting present
+    copyTree(logDir, logDir + ".compacting")
+    moveTree(logDir, logDir + ".old")
+    val reopenedA = new ChangeLog(spark, logDir)
+    assert(reopenedA.all().count() == 2L, "rolled back to the .old log")
+    assert(!F.exists(Paths.get(logDir + ".old")) &&
+      !F.exists(Paths.get(logDir + ".compacting")), "scratch dirs gone")
+
+    // state B: died after the swap, before deleting .old — both present
+    copyTree(logDir, logDir + ".old")
+    val reopenedB = new ChangeLog(spark, logDir)
+    assert(reopenedB.all().count() == 2L)
+    assert(!F.exists(Paths.get(logDir + ".old")), "stale .old dropped")
+
+    // state C: died mid-fold — only .compacting is stale
+    copyTree(logDir, logDir + ".compacting")
+    val reopenedC = new ChangeLog(spark, logDir)
+    assert(reopenedC.all().count() == 2L)
+    assert(!F.exists(Paths.get(logDir + ".compacting")))
+
+    // the repaired log still appends and resumes seq correctly
+    val engine2 = new CrudEngine(spark,
+      new ParquetBackend(spark,
+        Files.createTempDirectory("crash-store2").toString, 4),
+      Some(reopenedC))
+    engine2.createOne(movie, """{"id":3,"name":"c"}""")
+    val seqs = reopenedC.all().orderBy("seq").collect()
+      .map(_.getAs[Long]("seq")).toSeq
+    assert(seqs == Seq(1L, 2L, 3L), s"seq resumed without reuse: $seqs")
+  }
 }
