@@ -6,11 +6,13 @@ import org.apache.spark.sql.SparkSession
   * (Bench/Verify/Main/tools/specs).
   *
   * - UTC session timezone: the oracle comparison depends on it.
-  * - `nanosAsLong`: the testdata's events.ts is parquet
-  *   TIMESTAMP(NANOS), which Spark 4 reads only as raw nanos via this
-  *   legacy conf. Declared once here so operator functions stay free of
-  *   session-conf side effects (a query must never mutate a shared
-  *   SparkSession).
+  * - `nanosAsLong`: kept for corpora whose events.ts is parquet
+  *   TIMESTAMP(NANOS) (Spark 4 reads those only as raw nanos under
+  *   this legacy conf; the current testdata ships TIMESTAMP(MICROS),
+  *   where the conf is a no-op and `Tables.load` normalizes the
+  *   column to epoch nanos instead). Declared once here so operator
+  *   functions stay free of session-conf side effects (a query must
+  *   never mutate a shared SparkSession).
   */
 object Sessions {
   def defaults(b: SparkSession.Builder): SparkSession.Builder =

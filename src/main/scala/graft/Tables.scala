@@ -15,8 +15,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Load one table; `events.ts` is normalized to epoch-NANOS BIGINT
+    * regardless of the parquet physical type. The corpus has shipped
+    * both TIMESTAMP(NANOS) (read as raw nanos via the legacy conf)
+    * and TIMESTAMP(MICROS) (read as timestamp_ntz); every downstream
+    * operator and every DuckDB oracle (`epoch_ns(ts)`) works in
+    * integer nanos, so the type seam is closed HERE and nowhere
+    * else. The cast is per-row codegen'd arithmetic under the UTC
+    * session timezone — no data-scale cost, pushdown-neutral. */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" &&
+        df.schema("ts").dataType != org.apache.spark.sql.types.LongType)
+      df.withColumn("ts",
+        org.apache.spark.sql.functions
+          .expr("unix_micros(cast(ts as timestamp)) * 1000"))
+    else df
+  }
 
   /** Spread a narrow scan across the session's cores before heavy
     * per-row work (hash kernels, shingling, explode, partial
@@ -38,9 +53,8 @@ object Tables {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
-  /** Register every table as a temp view (for spark.sql entry points).
-    * events.ts is parquet TIMESTAMP(NANOS), which Spark 4 only reads
-    * via the raw-nanos legacy conf. */
+  /** Register every table as a temp view (for spark.sql entry
+    * points); events.ts arrives already normalized by [[load]]. */
   def registerAll(spark: SparkSession, sfDir: String): Unit = {
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
   }

@@ -160,7 +160,7 @@ object Relational {
     * and value sums. */
   def q11EventsWindow(s: SparkSession, dir: String): DataFrame = {
     // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    // read as a timestamp; read it as raw nanos (legacy conf) and
+    // read as a timestamp; Tables.load surfaces it as raw nanos and
     // bucket with integer arithmetic — output is epoch seconds
     // (bigint), which also sidesteps any ns-vs-µs comparison issue
     // with the DuckDB oracle.

@@ -23,7 +23,7 @@ object Relational2 {
     Tables.load(s, dir, n)
 
   /** events.ts is parquet TIMESTAMP(NANOS); readable because every
-    * graft session sets the raw-nanos legacy conf at build time
+    * Tables.load normalizes events.ts to raw epoch nanos
     * ([[graft.Sessions.defaults]]). */
   private def events(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")

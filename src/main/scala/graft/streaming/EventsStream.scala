@@ -17,23 +17,38 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** events.parquet physical schema — ts arrives as raw nanos (Spark 4
-    * refuses TIMESTAMP(NANOS) as a timestamp type). */
+  /** events.parquet read schema — ts is TIMESTAMP(MICROS) in the
+    * current corpus, surfaced as timestamp_ntz. Consumers never see
+    * this type: [[normalize]] rewrites ts to epoch-NANOS BIGINT (the
+    * unit all graft operators and oracles compute in), mirroring
+    * `Tables.load`'s batch-side seam. */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** ts → epoch-nanos BIGINT (UTC session tz makes the ntz cast
+    * instant-preserving; per-row codegen arithmetic, no shuffle). */
+  private def normalize(df: DataFrame): DataFrame =
+    df.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000"))
+
+  /** The events file stream with ts in epoch nanos. */
+  def readStream(spark: SparkSession, dir: String): DataFrame =
+    normalize(spark.readStream.schema(eventsSchema).parquet(dir))
+
+  /** Batch twin of [[readStream]] (spec cross-checks read through
+    * this so stream and batch agree on the ts unit). */
+  def readBatch(spark: SparkSession, path: String): DataFrame =
+    normalize(spark.read.schema(eventsSchema).parquet(path))
+
   /** Tumbling-window per-type counts/sums with a 1-hour watermark for
     * late data. Streaming twin of `Relational.q11EventsWindow`. */
   def windowedCounts(spark: SparkSession, dir: String,
       window_ : String = "1 hour", watermark: String = "1 hour"): DataFrame = {
-    spark.readStream
-      .schema(eventsSchema)
-      .parquet(dir)
+    readStream(spark, dir)
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_time", watermark)
       .groupBy(window(col("event_time"), window_), col("event_type"))
@@ -51,7 +66,7 @@ object EventsStream {
     * "A followed by B" pattern. */
   def clickToPurchase(spark: SparkSession, dir: String): DataFrame = {
     def side(kind: String, tag: String): DataFrame =
-      spark.readStream.schema(eventsSchema).parquet(dir)
+      readStream(spark, dir)
         .filter(col("event_type") === kind)
         .select(col("user_id").as(s"user_$tag"),
           col("event_id").as(s"${tag}_id"),
@@ -74,9 +89,7 @@ object EventsStream {
     * only state contract that survives at ingest scale). */
   def dedupedEvents(spark: SparkSession, dir: String,
       watermark: String = "1 hour"): DataFrame = {
-    spark.readStream
-      .schema(eventsSchema)
-      .parquet(dir)
+    readStream(spark, dir)
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .withColumn("h",
         md5(concat_ws(":", col("user_id"), col("event_type"),
@@ -88,9 +101,7 @@ object EventsStream {
 
   /** Sliding-window variant (overlapping windows, same watermark). */
   def slidingCounts(spark: SparkSession, dir: String): DataFrame = {
-    spark.readStream
-      .schema(eventsSchema)
-      .parquet(dir)
+    readStream(spark, dir)
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_time", "1 hour")
       .groupBy(window(col("event_time"), "1 hour", "30 minutes"),

@@ -28,9 +28,7 @@ object Sessionize {
       : DataFrame = {
     import spark.implicits._
     val gapMs = gapMinutes * 60000L
-    val events = spark.readStream
-      .schema(EventsStream.eventsSchema)
-      .parquet(dir)
+    val events = EventsStream.readStream(spark, dir)
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_time", "1 hour")
       .select(col("user_id"), (expr("ts div 1000000")).as("ts_ms"),

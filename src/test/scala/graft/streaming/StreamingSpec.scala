@@ -30,9 +30,7 @@ class StreamingSpec extends AnyFunSuite {
 
     val streamed = spark.table("ev_counts")
       .agg(sum("n_events"), sum("value_cents")).head
-    val batch = spark.read
-      .schema(EventsStream.eventsSchema)
-      .parquet(s"$sfDir/events.parquet")
+    val batch = EventsStream.readBatch(spark, s"$sfDir/events.parquet")
       .agg(count(lit(1)), sum(round(col("value") * 100).cast("long"))).head
     assert(streamed.getLong(0) == batch.getLong(0), "event counts agree")
     assert(streamed.getLong(1) == batch.getLong(1), "value sums agree")
@@ -56,8 +54,7 @@ class StreamingSpec extends AnyFunSuite {
       dt >= 0 && dt <= 30 * 60000L
     }, "purchases within 30min after the click")
     // batch cross-check: same join as a plain query
-    val ev = spark.read.schema(EventsStream.eventsSchema)
-      .parquet(streamDir.toString)
+    val ev = EventsStream.readBatch(spark, streamDir.toString)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("cu"), col("ts").as("cts"))
     val purchases = ev.filter(col("event_type") === "purchase")
@@ -82,9 +79,8 @@ class StreamingSpec extends AnyFunSuite {
     q.awaitTermination(120000)
 
     val streamed = spark.table("ev_dedup")
-    val batchDistinct = spark.read
-      .schema(EventsStream.eventsSchema)
-      .parquet(s"$sfDir/events.parquet")
+    val batchDistinct = EventsStream
+      .readBatch(spark, s"$sfDir/events.parquet")
       .select(md5(concat_ws(":", col("user_id"), col("event_type"),
         round(col("value") * 100).cast("long"))).as("h"))
       .distinct().count()
