@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Behavior, Bpe, Budget, Clustering, Dedup, Ivfpq, Multimodal, Overlap, Pipeline, Pipeline2, Pipeline3, Pq, Redact, Relational, Relational2, Retrieval, Similarity, Sketch, TextAnalysis, Threshold}
+import graft.operators.{Behavior, Bpe, Budget, Clustering, Dedup, Ivfpq, Layout, Lm, Multimodal, Overlap, Pipeline, Pipeline2, Pipeline3, Pq, Redact, Relational, Relational2, Retrieval, Similarity, Sketch, TextAnalysis, Threshold}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -106,6 +106,13 @@ object SparkEntry {
     "q91_cms_calibration" -> Sketch.q91CmsCalibration,
     "q92_diversity_sample" -> Clustering.q92DiversitySample,
     "q93_label_affinity" -> Overlap.q93LabelAffinity,
+    "q94_hll_calibration" -> Sketch.q94HllCalibration,
+    "q95_bloom_prune" -> Sketch.q95BloomPrune,
+    "q96_zorder_layout" -> Layout.q96ZorderLayout,
+    "q97_compaction_plan" -> Layout.q97CompactionPlan,
+    "q98_kn_bigram" -> Lm.q98KnBigram,
+    "q99_ngram_novelty" -> Lm.q99NgramNovelty,
+    "q100_quantile_sketch" -> Threshold.q100QuantileSketch,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -414,6 +421,13 @@ object SparkEntry {
     "q91_cms_calibration" -> Sketch.q91CmsCalibrationOracle,
     "q92_diversity_sample" -> Clustering.q92DiversitySampleOracle,
     "q93_label_affinity" -> Overlap.q93LabelAffinityOracle,
+    "q94_hll_calibration" -> Sketch.q94HllCalibrationOracle,
+    "q95_bloom_prune" -> Sketch.q95BloomPruneOracle,
+    "q96_zorder_layout" -> Layout.q96ZorderLayoutOracle,
+    "q97_compaction_plan" -> Layout.q97CompactionPlanOracle,
+    "q98_kn_bigram" -> Lm.q98KnBigramOracle,
+    "q99_ngram_novelty" -> Lm.q99NgramNoveltyOracle,
+    "q100_quantile_sketch" -> Threshold.q100QuantileSketchOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,

@@ -90,13 +90,246 @@ object Sketch {
       .orderBy(col("n_exact").desc, col("token"))
   }
 
-  /** 6-hex-char decode as DuckDB SQL (the q81 strpos chain). */
-  private def hex6Sql(hx: String): String =
-    (0 until 6).map { i =>
-      val mult = math.pow(16, 5 - i).toLong
+  /** n-hex-char decode as DuckDB SQL (the q81 strpos chain). */
+  private[operators] def hexSql(hx: String, n: Int): String =
+    (0 until n).map { i =>
+      val mult = math.pow(16, n - 1 - i).toLong
       s"(strpos('0123456789abcdef', substring($hx, ${i + 1}, 1)) - 1)" +
         (if (mult == 1) "" else s" * $mult")
     }.mkString("\n      + ")
+
+  private def hex6Sql(hx: String): String = hexSql(hx, 6)
+
+  // ---- q94: HyperLogLog distinct-count calibration -----------------
+
+  /** HLL register-index bits (m = 2^RegBits registers). */
+  val RegBits = 8
+  val Regs: Int = 1 << RegBits          // 256 registers
+  /** Bits of hash material the rank (leading-zero count) reads. */
+  val SubBits = 24
+  /** α_m × 10⁶ for m = 256: 0.7213 / (1 + 1.079/m) (Flajolet et al.
+    * 2007, HyperLogLog) — fixed to an integer constant so both
+    * engines compute the identical estimate. */
+  val AlphaE6 = 718272L
+  /** Scaled estimator numerator: α_e6 · m² · 2^SubBits (≈7.9e17,
+    * inside BIGINT); estimate = HllNum div (denom · 10⁶). */
+  val HllNum: Long = AlphaE6 * Regs.toLong * Regs.toLong * (1L << SubBits)
+
+  /** The [[Regs]]-register HLL of a document set, built straight
+    * from the token OCCURRENCE stream — ONE declarative aggregation
+    * that runs over a batch DataFrame *and* a streaming one
+    * unchanged (a streaming aggregation whose state is the ≤ m
+    * register rows; register maxes merge by max, the HLL
+    * mergeability contract). Duplicate tokens are free by insert
+    * idempotence (max over equal ranks), so this equals q94's
+    * post-distinct build; [[graft.streaming.StreamSketch]] runs it
+    * continuously and SketchStreamSpec pins all routes equal. */
+  def tokenHll(docs: DataFrame): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .withColumn("hx", md5(col("w")))
+      .withColumn("reg", conv(substring(col("hx"), 1, 2), 16, 10)
+        .cast("long"))
+      .withColumn("v", conv(substring(col("hx"), 3, 6), 16, 10)
+        .cast("long"))
+      .withColumn("rho", when(col("v") === 0, lit(SubBits + 1))
+        .otherwise(lit(SubBits + 1) - length(bin(col("v")))))
+      .groupBy(col("reg")).agg(max(col("rho")).as("mr"))
+
+  /** q94: per-source distinct-token cardinality — EXACT count next to
+    * the HyperLogLog estimate from 256 one-byte registers; returns
+    * (source, n_exact, hll_est, err_e4).
+    *
+    * The sketch: md5(w) supplies 8 register-index bits + 24 rank
+    * bits; register value = max over tokens of (leading zeros of the
+    * 24 rank bits) + 1; estimate = α·m²/Σ 2^(-M_j), computed in pure
+    * integer arithmetic (Σ 2^(SubBits-M_j) ≤ 2^32, one integer
+    * division at the end) so the engine and the DuckDB oracle agree
+    * bit for bit. No small-range linear-counting correction: the
+    * per-source vocabularies here sit far above the 5/2·m crossover,
+    * and the raw estimator is the regime a corpus-scale distinct
+    * count runs in anyway — err_e4 against the exact arm IS the
+    * calibration evidence.
+    *
+    * 100 TB posture: the exact arm needs a full distinct shuffle of
+    * (source, token) — that is the cost being escaped; the sketch arm
+    * collapses map-side to ≤ m rows per source (register maxes are
+    * associative, so partials merge like any algebraic aggregate —
+    * the HLL mergeability contract as a Spark plan), and at scale you
+    * keep ONLY that arm: one map-side-combined groupBy to S·m rows
+    * regardless of corpus size, the same shape `approx_count_distinct`
+    * plans internally (used here in open-coded form because the
+    * estimate must be reproducible in the oracle engine). */
+  def q94HllCalibration(s: SparkSession, dir: String): DataFrame = {
+    // ONE distinct (source, token) pass feeds both arms (the exact
+    // arm requires it; the sketch reads hash material post-distinct
+    // so md5 runs once per distinct token, not per occurrence).
+    val dw = Tables.spread(Tables.load(s, dir, "documents"))
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .distinct()
+      .localCheckpoint(false)
+    val exact = dw.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+    val regs = dw
+      .withColumn("hx", md5(col("w")))
+      .withColumn("reg", conv(substring(col("hx"), 1, 2), 16, 10)
+        .cast("long"))
+      .withColumn("v", conv(substring(col("hx"), 3, 6), 16, 10)
+        .cast("long"))
+      // rank = leading zeros of the 24-bit window + 1 = 25 - bitlen(v)
+      .withColumn("rho", when(col("v") === 0, lit(SubBits + 1))
+        .otherwise(lit(SubBits + 1) - length(bin(col("v")))))
+      .groupBy(col("source"), col("reg")).agg(max(col("rho")).as("mr"))
+    val est = regs.groupBy(col("source"))
+      .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $SubBits - mr)"))
+        .as("dp"), count(lit(1)).as("np"))
+      // absent registers hold M=0 and contribute 2^SubBits each
+      .withColumn("denom",
+        col("dp") + (lit(Regs.toLong) - col("np")) * lit(1L << SubBits))
+      .withColumn("hll_est", expr(s"$HllNum div (denom * 1000000)"))
+    exact.join(est, "source")
+      .select(col("source"), col("n_exact"), col("hll_est"),
+        expr("(hll_est - n_exact) * 10000 div n_exact").as("err_e4"))
+      .orderBy(col("source"))
+  }
+
+  val q94HllCalibrationOracle: String =
+    s"""WITH dw AS (
+       |  SELECT DISTINCT source, w FROM (
+       |    SELECT source, unnest($tokensSql) AS w FROM documents)),
+       |h AS (
+       |  SELECT source, substring(md5(w), 1, 2) AS hx2,
+       |    substring(md5(w), 3, 6) AS hx6
+       |  FROM dw),
+       |b AS (
+       |  SELECT source,
+       |    (${hexSql("hx2", 2)}) AS reg,
+       |    (${hexSql("hx6", 6)}) AS v
+       |  FROM h),
+       |r AS (
+       |  SELECT source, reg,
+       |    max(CASE WHEN v = 0 THEN ${SubBits + 1}
+       |        ELSE ${SubBits + 1} - length(bin(v)) END) AS mr
+       |  FROM b GROUP BY source, reg),
+       |d AS (
+       |  SELECT source,
+       |    CAST(sum(CAST(1 AS BIGINT) << ($SubBits - mr)) AS BIGINT)
+       |      + ($Regs - count(*)) * ${1L << SubBits} AS denom
+       |  FROM r GROUP BY source),
+       |e AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_exact
+       |  FROM dw GROUP BY source)
+       |SELECT e.source AS source, n_exact,
+       |  CAST($HllNum // (denom * 1000000) AS BIGINT) AS hll_est,
+       |  CAST(($HllNum // (denom * 1000000) - n_exact) * 10000
+       |    // n_exact AS BIGINT) AS err_e4
+       |FROM e JOIN d ON e.source = d.source
+       |ORDER BY source""".stripMargin
+
+  // ---- q95: Bloom-filter join pruning ------------------------------
+
+  /** Bloom bitmap size in bits (2^12 → positions are one 3-hex-char
+    * md5 window) and hash-function count. */
+  val BloomBits = 4096
+  val BloomK = 3
+
+  /** q95: Bloom-filter semi-join pruning, calibrated — build a
+    * [[BloomBits]]-bit, [[BloomK]]-hash Bloom filter over the
+    * BUILDING-segment customer keys, probe every order through it,
+    * and report the filter's verdict AGAINST the exact semi-join per
+    * order status: (o_orderstatus, n_orders, n_pass_bloom, n_member,
+    * n_false_pos, fpr_e6).
+    *
+    * This is the declarative twin of the runtime join-filter every
+    * warehouse engine ships (Spark's InjectRuntimeFilter /
+    * bloom_filter_agg): the filter is a ≤2^12-row relation of set bit
+    * positions, BROADCAST to the fact side, which probes it with
+    * [[BloomK]] map-side equi-joins and never shuffles. The no-false-
+    * negative guarantee is structural (a member's k positions are all
+    * set by construction); the query MEASURES the false-positive rate
+    * next to ground truth, which is the number a deployment tunes
+    * m/k against before trusting the filter to cut a 100 TB shuffle.
+    *
+    * 100 TB posture: build side is one groupBy-free distinct over
+    * k·|keys| ints collapsing to ≤ m rows; the fact side is map-only
+    * (explode ×k, two broadcast hash joins, partial count-agg) — no
+    * data-scale shuffle anywhere. At cluster scale the same relation
+    * feeds a scan-level IN-filter (DPP-style) so pruned row groups
+    * are never read at all. */
+  def q95BloomPrune(s: SparkSession, dir: String): DataFrame = {
+    val js = explode(sequence(lit(0), lit(BloomK - 1))).as("j")
+    def pos(key: Column, j: Column): Column =
+      conv(substring(md5(concat(j.cast("string"), lit(":"),
+        key.cast("string"))), 1, 3), 16, 10).cast("long")
+
+    val keys = Tables.load(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"))
+    // THE Bloom filter, as a relation: the distinct set bit positions
+    val bits = keys.select(col("k"), js)
+      .select(pos(col("k"), col("j")).as("pos")).distinct()
+      .withColumn("hit", lit(1L))
+
+    val probed = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), js)
+      .withColumn("pos", pos(col("o_custkey"), col("j")))
+      .join(broadcast(bits), Seq("pos"), "left")
+      .groupBy(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      .agg((sum(coalesce(col("hit"), lit(0L))) === BloomK)
+        .cast("long").as("bloom_pass"))
+
+    probed
+      .join(broadcast(keys.withColumn("m", lit(1L))
+        .withColumnRenamed("k", "o_custkey")), Seq("o_custkey"), "left")
+      .withColumn("is_member", coalesce(col("m"), lit(0L)))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("bloom_pass")).as("n_pass_bloom"),
+        sum(col("is_member")).as("n_member"),
+        sum(when(col("bloom_pass") === 1L && col("is_member") === 0L, 1L)
+          .otherwise(0L)).as("n_false_pos"))
+      .withColumn("fpr_e6",
+        expr("n_false_pos * 1000000 div (n_orders - n_member)"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q95BloomPruneOracle: String =
+    s"""WITH keys AS (
+       |  SELECT c_custkey AS k FROM customer
+       |  WHERE c_mktsegment = 'BUILDING'),
+       |bits AS (
+       |  SELECT DISTINCT (${hexSql("hx3", 3)}) AS pos FROM (
+       |    SELECT substring(md5(CAST(j AS VARCHAR) || ':'
+       |      || CAST(k AS VARCHAR)), 1, 3) AS hx3
+       |    FROM (SELECT k, unnest([${(0 until BloomK).mkString(", ")}])
+       |          AS j FROM keys))),
+       |pp AS (
+       |  SELECT o_orderkey, o_custkey, o_orderstatus,
+       |    (${hexSql("hx3", 3)}) AS pos FROM (
+       |    SELECT o_orderkey, o_custkey, o_orderstatus,
+       |      substring(md5(CAST(j AS VARCHAR) || ':'
+       |        || CAST(o_custkey AS VARCHAR)), 1, 3) AS hx3
+       |    FROM (SELECT o_orderkey, o_custkey, o_orderstatus,
+       |          unnest([${(0 until BloomK).mkString(", ")}]) AS j
+       |          FROM orders))),
+       |pb AS (
+       |  SELECT o_orderkey, min(o_custkey) AS o_custkey,
+       |    min(o_orderstatus) AS o_orderstatus,
+       |    CASE WHEN count(b.pos) = $BloomK THEN 1 ELSE 0 END
+       |      AS bloom_pass
+       |  FROM pp LEFT JOIN bits b ON pp.pos = b.pos
+       |  GROUP BY o_orderkey),
+       |ex AS (
+       |  SELECT pb.*,
+       |    CASE WHEN k IS NULL THEN 0 ELSE 1 END AS is_member
+       |  FROM pb LEFT JOIN keys ON pb.o_custkey = keys.k)
+       |SELECT o_orderstatus, count(*) AS n_orders,
+       |  CAST(sum(bloom_pass) AS BIGINT) AS n_pass_bloom,
+       |  CAST(sum(is_member) AS BIGINT) AS n_member,
+       |  CAST(sum(CASE WHEN bloom_pass = 1 AND is_member = 0
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+       |  CAST(sum(CASE WHEN bloom_pass = 1 AND is_member = 0
+       |    THEN 1 ELSE 0 END) * 1000000
+       |    // (count(*) - sum(is_member)) AS BIGINT) AS fpr_e6
+       |FROM ex GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   val q91CmsCalibrationOracle: String =
     s"""WITH toks AS (

@@ -136,4 +136,109 @@ object Threshold {
        |FROM curve c, best b
        |ORDER BY c.thr""".stripMargin
   }
+
+  // ---- q100: mergeable log₂-histogram quantile sketch --------------
+
+  /** Percentiles q100 reports (as integer percents). */
+  val QuantQs = Seq(50, 90, 99)
+
+  /** q100: quantile estimation from a MERGEABLE power-of-two
+    * histogram, calibrated against the exact percentile — per order
+    * priority and per q ∈ {50, 90, 99}: (priority, q_pct, n,
+    * exact_cents, b, lo_cents, hi_cents).
+    *
+    * The sketch is the DDSketch idea (Masson et al. 2019) at γ = 2:
+    * bucket = bit-length of the value, so any stream collapses
+    * map-side to ≤64 counters that merge by addition — the quantile
+    * summary that survives 100 TB, where the exact arm (a full sort
+    * or an all-values percentile buffer per group) does not. The
+    * estimated quantile is the bucket [2^(b−1), 2^b−1] whose
+    * cumulative count first reaches ⌈q·n/100⌉ — a guaranteed
+    * relative-error-≤2 enclosure reported as (lo, hi) NEXT TO the
+    * exact value, which is the calibration a deployment reads before
+    * dropping the exact arm.
+    *
+    * Exactness: buckets/cumulative counts/rank thresholds are pure
+    * integers; the exact arm is Spark `percentile` vs DuckDB
+    * `quantile_cont` — the same (n−1)·q linear interpolation over
+    * identical BIGINT cents, floored to a BIGINT, so both engines
+    * produce the identical double and the identical floor.
+    *
+    * 100 TB posture: one orders scan → groupBy onto ≤ (priorities ×
+    * 64) buckets with map-side combine; the cumulative scan is a
+    * window PARTITIONED by priority over ≤64 rows per partition; the
+    * rank lookup joins the 15-row exact frame to the bucket table.
+    * The exact arm is the only non-mergeable piece and exists to BE
+    * the ground truth here. */
+  def q100QuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qsSql = QuantQs.map(q => q / 100.0).mkString(", ")
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderpriority").as("priority"),
+        Relational.cents(col("o_totalprice")).as("cents"))
+    val exact = o.groupBy(col("priority"))
+      .agg(count(lit(1)).as("n"),
+        expr(s"percentile(cents, array($qsSql))").as("exv"))
+      .select(col("priority"), col("n"),
+        posexplode(col("exv")).as(Seq("qi", "ex")))
+      .select(col("priority"), col("n"),
+        element_at(lit(QuantQs.map(_.toLong).toArray), col("qi") + 1)
+          .as("q_pct"),
+        floor(col("ex")).cast("long").as("exact_cents"))
+    val hist = o
+      .groupBy(col("priority"), length(bin(col("cents"))).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy(col("priority"))
+        .orderBy(col("b"))))
+    exact.join(cum, "priority")
+      .filter(col("cum") >= expr("(n * q_pct + 99) div 100"))
+      .groupBy(col("priority"), col("q_pct"), col("n"),
+        col("exact_cents"))
+      .agg(min(col("b")).cast("long").as("b"))
+      .withColumn("lo_cents",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT) - 1)"))
+      .withColumn("hi_cents",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) - 1"))
+      .select(col("priority"), col("q_pct"), col("n"),
+        col("exact_cents"), col("b"), col("lo_cents"), col("hi_cents"))
+      .orderBy(col("priority"), col("q_pct"))
+  }
+
+  val q100QuantileSketchOracle: String = {
+    val qList = QuantQs.map(q => q / 100.0).mkString(", ")
+    val idx = QuantQs.zipWithIndex
+      .map { case (q, i) => s"(${i + 1}, $q)" }.mkString(", ")
+    s"""WITH o AS (
+       |  SELECT o_orderpriority AS priority,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+       |  FROM orders),
+       |ex AS (
+       |  SELECT priority, count(*) AS n,
+       |    quantile_cont(cents, [$qList]) AS exv
+       |  FROM o GROUP BY priority),
+       |exq AS (
+       |  SELECT priority, n, CAST(t.q_pct AS BIGINT) AS q_pct,
+       |    CAST(floor(exv[t.i]) AS BIGINT) AS exact_cents
+       |  FROM ex, (VALUES $idx) t(i, q_pct)),
+       |hb AS (
+       |  SELECT priority, length(bin(cents)) AS b, count(*) AS cnt
+       |  FROM o GROUP BY priority, length(bin(cents))),
+       |cumt AS (
+       |  SELECT priority, b,
+       |    sum(cnt) OVER (PARTITION BY priority ORDER BY b) AS cum
+       |  FROM hb),
+       |est AS (
+       |  SELECT e.priority, e.q_pct, e.n, e.exact_cents,
+       |    CAST(min(c.b) AS BIGINT) AS b
+       |  FROM exq e JOIN cumt c ON c.priority = e.priority
+       |    AND c.cum >= (e.n * e.q_pct + 99) // 100
+       |  GROUP BY e.priority, e.q_pct, e.n, e.exact_cents)
+       |SELECT priority, q_pct, n, exact_cents, b,
+       |  CAST(CAST(1 AS BIGINT) << (CAST(b AS INT) - 1) AS BIGINT)
+       |    AS lo_cents,
+       |  CAST((CAST(1 AS BIGINT) << CAST(b AS INT)) - 1 AS BIGINT)
+       |    AS hi_cents
+       |FROM est ORDER BY priority, q_pct""".stripMargin
+  }
 }

@@ -29,4 +29,14 @@ object StreamSketch {
   def cmsStream(spark: SparkSession, landingDir: String): DataFrame =
     Sketch.tokenSketch(
       spark.readStream.schema(DocIngest.docSchema).parquet(landingDir))
+
+  /** The streaming HyperLogLog over the same landing directory — the
+    * q94 register table as a continuous query: ≤ 256 rows of state
+    * (register maxes merge by max across micro-batches), `complete`
+    * output is the whole sketch, and the distinct-count estimate of
+    * everything ingested so far is one [[Sketch]]-arithmetic fold
+    * over the emitted table. */
+  def hllStream(spark: SparkSession, landingDir: String): DataFrame =
+    Sketch.tokenHll(
+      spark.readStream.schema(DocIngest.docSchema).parquet(landingDir))
 }

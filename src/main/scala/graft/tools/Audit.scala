@@ -100,5 +100,12 @@ object PlanAudit {
       "q92_diversity_sample",
       // q77 joins its gram counts to a 1-row cohort-totals broadcast —
       // the q36/q55 totals shape.
-      "q77_corpus_drift")
+      "q77_corpus_drift",
+      // q96 broadcasts ONE bounds row (grid maxima / date span) to
+      // quantize the fact scan — the q36 constant-side shape; the
+      // fact side never shuffles.
+      "q96_zorder_layout",
+      // q98 broadcasts its 1-row bigram-type total (Nb) — the
+      // q36/q55 totals shape.
+      "q98_kn_bigram")
 }

@@ -63,4 +63,42 @@ class ThresholdSpec extends AnyFunSuite {
       Threshold.q86OtsuThreshold(s, "/root/testdata/sf0.001"))
     assert(!a.cartesian && !a.bnlj && !a.globalWindow)
   }
+
+  test("q100: the sketch bucket encloses the discrete order " +
+      "statistic it targets; bounds are consistent") {
+    val rows = Threshold
+      .q100QuantileSketch(s, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.length ===
+      Threshold.QuantQs.length * rows.map(_._1).distinct.length)
+    // ground truth: the per-priority sorted cents, computed directly
+    val byPrio = graft.Tables
+      .load(s, "/root/testdata/sf0.001", "orders")
+      .select(org.apache.spark.sql.functions.col("o_orderpriority"),
+        Relational.cents(org.apache.spark.sql.functions
+          .col("o_totalprice")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    rows.foreach { case (prio, q, n, exact, b, lo, hi) =>
+      val sorted = byPrio(prio)
+      assert(n === sorted.length.toLong, prio)
+      assert(lo === (1L << (b - 1)) && hi === (1L << b) - 1, prio)
+      // the bucket's defining guarantee: the ⌈q·n/100⌉-th order
+      // statistic falls inside [lo, hi]
+      val rank = ((n * q + 99) / 100).toInt
+      val x = sorted(rank - 1)
+      assert(x >= lo && x <= hi, s"$prio q$q: x=$x not in [$lo,$hi]")
+      // and the interpolated exact value sits within one bucket of it
+      assert(exact >= lo / 2 && exact <= hi * 2,
+        s"$prio q$q: exact=$exact vs [$lo,$hi]")
+    }
+  }
+
+  test("q100 plans map-side bucket merges and a partitioned window " +
+      "only: no cartesian, no BNLJ, no global window") {
+    val a = graft.tools.PlanAudit.of(
+      Threshold.q100QuantileSketch(s, "/root/testdata/sf0.001"))
+    assert(!a.cartesian && !a.bnlj && !a.globalWindow)
+  }
 }

@@ -59,4 +59,46 @@ class SketchStreamSpec extends AnyFunSuite {
       assert(batch.collect { case ((`r`, _), c) => c }.sum === occ)
     }
   }
+
+  test("streaming HLL registers equal the batch sketch of the union " +
+      "and the elementwise max of the halves") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val half = docs.count() / 2
+    val a = docs.filter($"doc_id" < half)
+    val b = docs.filter($"doc_id" >= half)
+
+    val stage = Files.createTempDirectory("hll-stage")
+    a.coalesce(1).write.parquet(stage.resolve("s0").toString)
+    b.coalesce(1).write.parquet(stage.resolve("s1").toString)
+    val landing = Files.createTempDirectory("hll-landing")
+    var n = 0
+    for (sub <- Seq("s0", "s1");
+         f <- new java.io.File(stage.resolve(sub).toString).listFiles()
+        if f.getName.endsWith(".parquet")) {
+      Files.copy(f.toPath, landing.resolve(s"batch$n.parquet")); n += 1
+    }
+
+    val q = StreamSketch.hllStream(spark, landing.toString)
+      .writeStream.format("memory").queryName("hll_stream")
+      .option("maxFilesPerTrigger", "1")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    def regs(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val streamed = regs(spark.table("hll_stream"))
+    val batch = regs(Sketch.tokenHll(docs))
+    assert(streamed === batch)
+    assert(batch.size <= Sketch.Regs, "bounded state")
+    // mergeability: union registers are the elementwise max of the
+    // halves' registers — the property that lets per-shard HLLs
+    // combine without rescanning anything
+    val merged = (regs(Sketch.tokenHll(a)).toSeq ++
+      regs(Sketch.tokenHll(b)).toSeq)
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).max }
+    assert(merged === batch)
+  }
 }
