@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Behavior, Bpe, Budget, Clustering, Dedup, Ivfpq, Layout, Lm, Multimodal, Overlap, Pipeline, Pipeline2, Pipeline3, Pq, Redact, Relational, Relational2, Retrieval, Similarity, Sketch, TextAnalysis, Threshold}
+import graft.operators.{Behavior, Bpe, Budget, Clustering, Dedup, EntityRes, Ivfpq, Layout, Lm, Multimodal, Overlap, Pipeline, Pipeline2, Pipeline3, Pq, Redact, Relational, Relational2, Retrieval, Similarity, Sketch, TextAnalysis, Threshold}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -113,6 +113,7 @@ object SparkEntry {
     "q98_kn_bigram" -> Lm.q98KnBigram,
     "q99_ngram_novelty" -> Lm.q99NgramNovelty,
     "q100_quantile_sketch" -> Threshold.q100QuantileSketch,
+    "q101_er_blocking" -> EntityRes.q101ErBlocking,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -428,6 +429,7 @@ object SparkEntry {
     "q98_kn_bigram" -> Lm.q98KnBigramOracle,
     "q99_ngram_novelty" -> Lm.q99NgramNoveltyOracle,
     "q100_quantile_sketch" -> Threshold.q100QuantileSketchOracle,
+    "q101_er_blocking" -> EntityRes.q101ErBlockingOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,
