@@ -16,6 +16,32 @@ import org.apache.spark.sql.SparkSession
   * sink — `count()` would let Spark skip computing projected columns.
   */
 object Bench {
+  private[graft] def fmt(v: Double): String = {
+    val s = f"$v%.3f"
+    if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
+  }
+  private[graft] def jmap(xs: Seq[(String, Double)]): String =
+    xs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+  private[graft] def shortName(n: String): String =
+    if (n == "q49_skew_naive") "q49n"
+    else if (n.matches("q\\d+_.*")) n.takeWhile(_ != '_')
+    else n
+
+  /** The ONE stdout JSON line the driver tails. Must stay inside the
+    * driver's ~2000-char capture window at ANY query count: the
+    * short-name per-query map is kept while the line fits under 1500
+    * chars, otherwise dropped in favor of total + a pointer to the
+    * full-detail BENCH_FULL.json — so the printed line is bounded
+    * whether the suite has 117 or 300 entries (BenchLineSpec pins
+    * both regimes). */
+  private[graft] def stdoutLine(total: Double,
+      warm: Seq[(String, Double)], outPath: String, sfDir: String): String = {
+    val withMap =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(warm.map { case (k, v) => shortName(k) -> v })},"sf":"$sfDir"}"""
+    if (withMap.length <= 1500) withMap
+    else s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${warm.size},"bench_full":"$outPath","sf":"$sfDir"}"""
+  }
+
   private def gcMillis(): Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -75,27 +101,8 @@ object Bench {
       val warm = runOnce(name, fn, printMetrics = false)
       (name, cold, warm, (gcMillis() - gc0) / 1e3)
     }
-    def fmt(v: Double): String = {
-      val s = f"$v%.3f"
-      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
-    }
-    def jmap(xs: Seq[(String, Double)]): String =
-      xs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val all = results ++ extras
     val total = results.map(_._3).sum
-    // The driver captures only the LAST ~2000 characters of stdout and
-    // parses the JSON line out of that tail. With 100+ queries the full
-    // long-name map (let alone cold/GC breakdowns) no longer fits, so:
-    //  - stdout gets ONE compact line: total + warm seconds keyed by
-    //    SHORT names ("q65" for "q65_pagerank_fixpoint"; non-qNN names
-    //    kept verbatim; the bench-only q49 twin becomes "q49n");
-    //  - the full detail (long names, cold pass, per-query GC) goes to
-    //    BENCH_FULL.json next to the repo for humans and the judge.
-    def shortName(n: String): String =
-      if (n == "q49_skew_naive") "q49n"
-      else if (n.matches("q\\d+_.*")) n.takeWhile(_ != '_')
-      else n
-    val qs = jmap(all.map(r => shortName(r._1) -> r._3))
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",
          |"queries":${jmap(all.map(r => r._1 -> r._3))},
@@ -106,10 +113,7 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Exception => System.err.println(s"[bench] full-detail write failed: $e") }
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    if (line.length > 1800) System.err.println(
-      s"[bench] WARNING stdout line ${line.length} chars — nearing the driver's 2000-char tail window")
-    println(line)
+    println(stdoutLine(total, all.map(r => r._1 -> r._3), outPath, sfDir))
     spark.stop()
   }
 }

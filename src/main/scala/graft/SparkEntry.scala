@@ -114,6 +114,7 @@ object SparkEntry {
     "q99_ngram_novelty" -> Lm.q99NgramNovelty,
     "q100_quantile_sketch" -> Threshold.q100QuantileSketch,
     "q101_er_blocking" -> EntityRes.q101ErBlocking,
+    "q102_entity_clusters" -> EntityRes.q102EntityClusters,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -430,6 +431,7 @@ object SparkEntry {
     "q99_ngram_novelty" -> Lm.q99NgramNoveltyOracle,
     "q100_quantile_sketch" -> Threshold.q100QuantileSketchOracle,
     "q101_er_blocking" -> EntityRes.q101ErBlockingOracle,
+    "q102_entity_clusters" -> EntityRes.q102EntityClustersOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,

@@ -178,8 +178,17 @@ object Sketch {
       .withColumn("rho", when(col("v") === 0, lit(SubBits + 1))
         .otherwise(lit(SubBits + 1) - length(bin(col("v")))))
       .groupBy(col("source"), col("reg")).agg(max(col("rho")).as("mr"))
+    // rho = SubBits+1 (the all-zero rank window, p ≈ 16^-6 per
+    // distinct token) would make the exponent NEGATIVE: Spark's Java
+    // shift masking turns shiftleft(1, -1) into 1<<63 (huge negative,
+    // silently corrupting the denominator) while DuckDB raises on a
+    // negative shift — so BOTH engines clamp the exponent at 0,
+    // truncating that register's true 2^-1 term to 2^0. The estimate
+    // stays bit-for-bit identical across engines (the documented
+    // contract); the truncation overstates the denominator by at most
+    // 2^-1 out of ≥ 2^SubBits — below the estimator's own noise.
     val est = regs.groupBy(col("source"))
-      .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $SubBits - mr)"))
+      .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), greatest($SubBits - mr, 0))"))
         .as("dp"), count(lit(1)).as("np"))
       // absent registers hold M=0 and contribute 2^SubBits each
       .withColumn("denom",
@@ -211,7 +220,7 @@ object Sketch {
        |  FROM b GROUP BY source, reg),
        |d AS (
        |  SELECT source,
-       |    CAST(sum(CAST(1 AS BIGINT) << ($SubBits - mr)) AS BIGINT)
+       |    CAST(sum(CAST(1 AS BIGINT) << greatest($SubBits - mr, 0)) AS BIGINT)
        |      + ($Regs - count(*)) * ${1L << SubBits} AS denom
        |  FROM r GROUP BY source),
        |e AS (
@@ -240,22 +249,27 @@ object Sketch {
     *
     * This is the declarative twin of the runtime join-filter every
     * warehouse engine ships (Spark's InjectRuntimeFilter /
-    * bloom_filter_agg): the filter is a ≤2^12-row relation of set bit
-    * positions, BROADCAST to the fact side, which probes it with
-    * [[BloomK]] map-side equi-joins and never shuffles. The no-false-
-    * negative guarantee is structural (a member's k positions are all
-    * set by construction); the query MEASURES the false-positive rate
-    * next to ground truth, which is the number a deployment tunes
-    * m/k against before trusting the filter to cut a 100 TB shuffle.
+    * bloom_filter_agg): the filter is [[BloomBits]] bits = 64 BIGINT
+    * words (512 bytes), built by one tiny dim-side job, collected to
+    * the driver, and inlined as a LITERAL array the fact side probes
+    * per row. The no-false-negative guarantee is structural (a
+    * member's k positions are all set by construction); the query
+    * MEASURES the false-positive rate next to ground truth, which is
+    * the number a deployment tunes m/k against before trusting the
+    * filter to cut a 100 TB shuffle.
     *
-    * 100 TB posture: build side is one groupBy-free distinct over
-    * k·|keys| ints collapsing to ≤ m rows; the fact side is map-only
-    * (explode ×k, two broadcast hash joins, partial count-agg) — no
-    * data-scale shuffle anywhere. At cluster scale the same relation
-    * feeds a scan-level IN-filter (DPP-style) so pruned row groups
-    * are never read at all. */
+    * 100 TB posture: the build side is one distinct over k·|keys|
+    * ints collapsing to ≤ m rows before the 512-byte collect (dim
+    * side only — the collect never sees fact data). The fact side is
+    * genuinely MAP-ONLY: per-row, [[BloomK]] md5 positions tested
+    * against the literal bitmap inside whole-stage codegen — no row
+    * expansion, no join for the probe, and the only shuffles ride on
+    * ≤ |order statuses| partial-aggregate rows (the exact-arm
+    * membership check is a broadcast hash join, also shuffle-free).
+    * No data-scale shuffle anywhere. At cluster scale the same
+    * bitmap feeds a scan-level IN-filter (DPP-style) so pruned row
+    * groups are never read at all. */
   def q95BloomPrune(s: SparkSession, dir: String): DataFrame = {
-    val js = explode(sequence(lit(0), lit(BloomK - 1))).as("j")
     def pos(key: Column, j: Column): Column =
       conv(substring(md5(concat(j.cast("string"), lit(":"),
         key.cast("string"))), 1, 3), 16, 10).cast("long")
@@ -263,20 +277,28 @@ object Sketch {
     val keys = Tables.load(s, dir, "customer")
       .filter(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey").as("k"))
-    // THE Bloom filter, as a relation: the distinct set bit positions
-    val bits = keys.select(col("k"), js)
+    // THE Bloom filter: distinct set bit positions, folded into 64
+    // BIGINT words on the driver (the one eager job here, dim-side)
+    val setPos = keys
+      .select(col("k"), explode(sequence(lit(0), lit(BloomK - 1))).as("j"))
       .select(pos(col("k"), col("j")).as("pos")).distinct()
-      .withColumn("hit", lit(1L))
+      .collect().map(_.getLong(0))
+    val words = new Array[Long](BloomBits / 64)
+    setPos.foreach(p => words(p.toInt >> 6) |= (1L << (p.toInt & 63)))
+    val bm = typedLit(words.toSeq)
 
-    val probed = Tables.load(s, dir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), js)
-      .withColumn("pos", pos(col("o_custkey"), col("j")))
-      .join(broadcast(bits), Seq("pos"), "left")
-      .groupBy(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
-      .agg((sum(coalesce(col("hit"), lit(0L))) === BloomK)
-        .cast("long").as("bloom_pass"))
+    // bit test, all inside codegen: word = bm[pos div 64], then
+    // (word >> (pos mod 64)) & 1
+    def bitSet(p: Column): Column =
+      call_function("shiftright",
+        element_at(bm, (p - p.mod(lit(64L))).divide(lit(64L)).cast("int") + lit(1)),
+        p.mod(lit(64L)).cast("int")).bitwiseAND(lit(1L)) === lit(1L)
 
-    probed
+    Tables.load(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderstatus"))
+      .withColumn("bloom_pass",
+        (0 until BloomK).map(j => bitSet(pos(col("o_custkey"), lit(j))))
+          .reduce(_ && _).cast("long"))
       .join(broadcast(keys.withColumn("m", lit(1L))
         .withColumnRenamed("k", "o_custkey")), Seq("o_custkey"), "left")
       .withColumn("is_member", coalesce(col("m"), lit(0L)))

@@ -19,7 +19,18 @@ import graft.crud.Records.Record
   * reference stubs out (`graphql.rs:193,251-253,353`): a changelog
   * topic per store, consumed with `readStream`.
   */
-final class ChangeLog(spark: SparkSession, dir: String) {
+object ChangeLog {
+  /** Auto-compact once the log exceeds this multiple of live keys. */
+  val DefaultAutoCompactRatio = 4L
+  /** …and at least this many rows landed since the last compaction
+    * (anti-stampede floor: folded logs retain tombstones, so a
+    * delete-heavy log can legitimately sit above the ratio). */
+  val DefaultAutoCompactMinAppends = 256L
+}
+
+final class ChangeLog(spark: SparkSession, dir: String,
+    autoCompactRatio: Long = ChangeLog.DefaultAutoCompactRatio,
+    autoCompactMinAppends: Long = ChangeLog.DefaultAutoCompactMinAppends) {
 
   private val schema = StructType(Seq(
     StructField("model", StringType, nullable = false),
@@ -31,14 +42,40 @@ final class ChangeLog(spark: SparkSession, dir: String) {
   repairInterruptedCompaction()
   Files.createDirectories(Paths.get(dir))
 
+  // ---- auto-compaction policy state --------------------------------
+  // The trigger is size/ratio-based: once the log holds more than
+  // `autoCompactRatio` × live keys (and at least `autoCompactMinAppends`
+  // rows landed since the last compaction — the anti-stampede floor,
+  // since compaction RETAINS one folded row per key incl. delete
+  // tombstones and so never shrinks the log below key count), the
+  // append path folds history down via [[compact]]. Counters are
+  // in-memory, seeded from the persisted log at construction; appends
+  // maintain them exactly (create/update mark the key live, delete
+  // kills it), so deciding "should we compact" costs two longs — no
+  // Spark job runs until the trigger actually fires.
+  private val liveKeys =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+  private val logRows = new java.util.concurrent.atomic.AtomicLong(0L)
+  @volatile private var rowsAtLastCompact = 0L
+  private val compacting = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   // Resume the sequence from what a previous process persisted — a
   // fresh AtomicLong(0) would REUSE seq numbers after a restart, so a
   // client reconnecting with Last-Event-ID = n would silently skip
   // every post-restart event numbered ≤ n (ServerSpec pins the
-  // restart/resume cycle).
+  // restart/resume cycle). The same pass seeds the auto-compaction
+  // counters (log rows + live keys from each key's LATEST op).
   private val seq = new java.util.concurrent.atomic.AtomicLong({
-    val m = all().agg(org.apache.spark.sql.functions.max(col("seq"))).head.get(0)
-    if (m == null) 0L else m.asInstanceOf[Long]
+    val rows = all().select(col("model"), col("pk"), col("op"), col("seq"))
+      .collect().sortBy(_.getAs[Long]("seq"))
+    logRows.set(rows.length.toLong)
+    rowsAtLastCompact = 0L
+    rows.foreach { r =>
+      val key = (r.getAs[String]("model"), r.getAs[String]("pk"))
+      if (r.getAs[String]("op") == "delete") liveKeys.remove(key)
+      else liveKeys.add(key)
+    }
+    if (rows.isEmpty) 0L else rows.last.getAs[Long]("seq")
   })
 
   // append/compact coordination: appends (any model, concurrently) hold
@@ -48,7 +85,8 @@ final class ChangeLog(spark: SparkSession, dir: String) {
   private val rw = new java.util.concurrent.locks.ReentrantReadWriteLock()
 
   /** Append one change event (called under the engine's per-model
-    * write lock, so appends are ordered per model). */
+    * write lock, so appends are ordered per model), then give the
+    * auto-compaction policy a chance to fold history. */
   def append(m: ModelDefinition, op: String, rec: Record): Unit = {
     rw.readLock().lock()
     try {
@@ -57,8 +95,37 @@ final class ChangeLog(spark: SparkSession, dir: String) {
         Records.toJson(rec, m), seq.incrementAndGet())
       spark.createDataFrame(java.util.List.of(row), schema)
         .write.mode(SaveMode.Append).parquet(dir)
+      val key = (m.modelName.pluralCamel, pkJson)
+      if (op == "delete") liveKeys.remove(key) else liveKeys.add(key)
+      logRows.incrementAndGet()
     } finally rw.readLock().unlock()
+    // outside the read lock: compact() takes the WRITE half, and a
+    // read→write upgrade would deadlock against ourselves
+    maybeAutoCompact()
   }
+
+  /** Fire [[compact]] when the policy says the log is worth folding.
+    * `compacting` keeps concurrent appends from stampeding into
+    * redundant compactions (the write lock would serialize them, but
+    * each would still rewrite the directory); the min-appends floor
+    * keeps a delete-heavy log — whose folded form legitimately holds
+    * more rows than live keys (tombstones) — from re-triggering on
+    * every append. */
+  private def maybeAutoCompact(): Unit = {
+    val rows = logRows.get()
+    if (rows - rowsAtLastCompact >= autoCompactMinAppends &&
+        rows > autoCompactRatio * math.max(liveKeys.size.toLong, 1L) &&
+        compacting.compareAndSet(false, true)) {
+      try compact(seq.get())
+      finally compacting.set(false)
+    }
+  }
+
+  /** Live (non-deleted) key count as tracked by the policy state —
+    * exposed for specs. */
+  private[streaming] def liveKeyCount: Int = liveKeys.size
+  /** Current in-memory log row count — exposed for specs. */
+  private[streaming] def logRowCount: Long = logRows.get()
 
   /** Compact the log: fold every event with seq ≤ `upToSeq` down to
     * the LATEST event per (model, pk) — delete tombstones retained —
@@ -107,6 +174,12 @@ final class ChangeLog(spark: SparkSession, dir: String) {
       Files.move(tmp, Paths.get(dir))
       deleteTree(old)
       synchronized { cachedRows = Array.empty; cachedSeq = -1L }
+      // reseed the auto-compaction floor from the folded log's true
+      // size (base keys + tombstones + tail) so the policy measures
+      // growth SINCE this compaction, not against the old history
+      val n = all().count()
+      logRows.set(n)
+      rowsAtLastCompact = n
     } finally rw.writeLock().unlock()
   }
 

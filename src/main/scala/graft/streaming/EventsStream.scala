@@ -17,32 +17,52 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** events.parquet read schema — ts is TIMESTAMP(MICROS) in the
-    * current corpus, surfaced as timestamp_ntz. Consumers never see
-    * this type: [[normalize]] rewrites ts to epoch-NANOS BIGINT (the
-    * unit all graft operators and oracles compute in), mirroring
-    * `Tables.load`'s batch-side seam. */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", TimestampNTZType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** events.parquet read schema with `ts` as `tsType` — the corpus
+    * has shipped both TIMESTAMP(NANOS) (surfacing as raw-nanos
+    * BIGINT under the legacy conf) and TIMESTAMP(MICROS) (surfacing
+    * as timestamp_ntz), so the physical type is DETECTED per landing
+    * directory, mirroring `Tables.load`'s batch-side seam. Consumers
+    * never see either type: [[readStream]]/[[readBatch]] always emit
+    * ts as epoch-NANOS BIGINT (the unit all graft operators and
+    * oracles compute in). */
+  def eventsSchema(tsType: DataType = TimestampNTZType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
 
   /** ts → epoch-nanos BIGINT (UTC session tz makes the ntz cast
     * instant-preserving; per-row codegen arithmetic, no shuffle). */
   private def normalize(df: DataFrame): DataFrame =
     df.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000"))
 
+  /** The physical type of `ts` in the landing files, read from one
+    * parquet footer (a streaming source needs a declared schema, so
+    * the batch-side inference closes the NANOS/MICROS seam here the
+    * same way `Tables.load` does). An empty/absent landing dir falls
+    * back to the MICROS shape — files landing later with a NANOS
+    * physical type would then fail the scan loudly rather than
+    * misread. */
+  private def tsPhysicalType(spark: SparkSession, dir: String): DataType =
+    try spark.read.parquet(dir).schema("ts").dataType
+    catch { case _: Exception => TimestampNTZType }
+
+  private def toNanos(df: DataFrame): DataFrame =
+    if (df.schema("ts").dataType == LongType) df else normalize(df)
+
   /** The events file stream with ts in epoch nanos. */
   def readStream(spark: SparkSession, dir: String): DataFrame =
-    normalize(spark.readStream.schema(eventsSchema).parquet(dir))
+    toNanos(spark.readStream
+      .schema(eventsSchema(tsPhysicalType(spark, dir))).parquet(dir))
 
   /** Batch twin of [[readStream]] (spec cross-checks read through
     * this so stream and batch agree on the ts unit). */
   def readBatch(spark: SparkSession, path: String): DataFrame =
-    normalize(spark.read.schema(eventsSchema).parquet(path))
+    toNanos(spark.read
+      .schema(eventsSchema(tsPhysicalType(spark, path))).parquet(path))
 
   /** Tumbling-window per-type counts/sums with a 1-hour watermark for
     * late data. Streaming twin of `Relational.q11EventsWindow`. */

@@ -25,10 +25,15 @@ object StreamSketch {
   /** The streaming sketch over doc batches landing in `landingDir`
     * (schema = documents.parquet). Returns the unstarted streaming
     * DataFrame of (r, b, c); callers pick sink/trigger/output mode
-    * (`complete` — the result IS the ≤ d×W-row sketch). */
-  def cmsStream(spark: SparkSession, landingDir: String): DataFrame =
-    Sketch.tokenSketch(
-      spark.readStream.schema(DocIngest.docSchema).parquet(landingDir))
+    * (`complete` — the result IS the ≤ d×W-row sketch).
+    * `maxFilesPerTrigger` bounds each micro-batch's file count — a
+    * READER option (it is ignored on writeStream, which is why the
+    * spec threads it here: cross-micro-batch state merging is only
+    * exercised when the files genuinely arrive in separate
+    * triggers). */
+  def cmsStream(spark: SparkSession, landingDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    Sketch.tokenSketch(landingStream(spark, landingDir, maxFilesPerTrigger))
 
   /** The streaming HyperLogLog over the same landing directory — the
     * q94 register table as a continuous query: ≤ 256 rows of state
@@ -36,7 +41,14 @@ object StreamSketch {
     * output is the whole sketch, and the distinct-count estimate of
     * everything ingested so far is one [[Sketch]]-arithmetic fold
     * over the emitted table. */
-  def hllStream(spark: SparkSession, landingDir: String): DataFrame =
-    Sketch.tokenHll(
-      spark.readStream.schema(DocIngest.docSchema).parquet(landingDir))
+  def hllStream(spark: SparkSession, landingDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    Sketch.tokenHll(landingStream(spark, landingDir, maxFilesPerTrigger))
+
+  private def landingStream(spark: SparkSession, landingDir: String,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
+    val r0 = spark.readStream.schema(DocIngest.docSchema)
+    maxFilesPerTrigger.fold(r0)(n =>
+      r0.option("maxFilesPerTrigger", n.toString)).parquet(landingDir)
+  }
 }

@@ -6,8 +6,9 @@ import graft.SparkSpec
 
 /** Entity-resolution semantics on planted fixtures (the synthetic
   * corpus has no true duplicate entities, so the real behavior —
-  * duplicates matched, distinct entities not, blocking respected —
-  * is pinned here; exact corpus output is oracle-gated). */
+  * duplicates matched, distinct entities not, blocking respected,
+  * the oversized-block sorted-neighborhood fallback — is pinned
+  * here; exact corpus output is oracle-gated). */
 class EntityResSpec extends AnyFunSuite {
   private lazy val s = SparkSpec.spark
 
@@ -50,6 +51,73 @@ class EntityResSpec extends AnyFunSuite {
       .map(r => (r.getLong(2), r.getLong(3), r.getLong(4),
         r.getLong(5), r.getLong(6), r.getLong(7)))
     assert(rows.toSeq === Seq((1L, 3L, 3L, 3L, 3L, 1000000L)))
+  }
+
+  test("q101: small blocks are exact all-pairs even across the name " +
+      "sort distance") {
+    // 3 members sorted as (aaaa…, mmmm…, zzzz…): the aaaa/zzzz pair is
+    // maximally far apart in sort order yet still compared (n ≤ cap)
+    val dir = customersDir(Seq(
+      (1L, "aaaaaa", 1, 0.0), (2L, "zzzzzz", 1, 0.0),
+      (3L, "aaaaaa", 1, 0.0), (4L, "zzzzzz", 1, 0.0)))
+    val got = EntityRes.q101ErBlocking(s, dir).collect()
+      .map(r => (r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set((1L, 3L), (2L, 4L)))
+  }
+
+  test("q101: oversized blocks fall back to the sorted-neighborhood " +
+      "window — adjacent duplicates matched, far pairs capped, " +
+      "cap surfaced as an observed metric") {
+    // ONE block of 72 members (> BlockCap=64): 58 distinct fillers
+    // ("nameNNN" — adjacent fillers score 4/6 = 666666 < τ, no
+    // match), 2 planted adjacent duplicates, and 12 IDENTICAL names
+    // whose C(12,2)=66 all-pairs are truncated by the W=8
+    // neighborhood to Σ_{d=1..8}(12−d) = 60 pairs.
+    val fillers = (1 to 58).map(i => (100L + i, f"name$i%03d", 1, 0.0))
+    val adjacentDups = Seq(
+      (900L, "name001", 1, 0.0),  // identical → sorts next to ck 101
+      (901L, "name050", 1, 0.0))  // identical → sorts next to ck 150
+    val dupGroup = (1 to 12).map(j => (800L + j, "dup corp holdings", 1, 0.0))
+    val dir = customersDir(fillers ++ adjacentDups ++ dupGroup)
+    val df = EntityRes.q101ErBlocking(s, dir)
+    val got = df.collect().map(r => (r.getLong(2), r.getLong(3))).toSet
+    assert(got.contains((101L, 900L)))
+    assert(got.contains((150L, 901L)))
+    val dupPairs = got.filter(p =>
+      p._1 >= 801L && p._1 <= 812L && p._2 >= 801L && p._2 <= 812L)
+    assert(dupPairs.size === 60, s"got ${dupPairs.size} in-group pairs")
+    assert(!got.contains((801L, 810L)),
+      "rank distance 9 > W must be outside the neighborhood")
+    assert(got.contains((801L, 809L)), "rank distance 8 = W is in")
+    // every record emits ≤ W candidates in a capped block
+    assert(got.size <= 72L * EntityRes.NeighborW)
+    // the coverage cap is never silent: observed metric rides the run
+    val m = df.queryExecution.observedMetrics("q101_er_block_cap")
+    assert(m.getAs[Long]("max_block_rows") === 72L)
+    assert(m.getAs[Long]("max_capped_block_rows") === 72L)
+  }
+
+  test("q102: matched pairs cluster into entities (transitive chain " +
+      "collapses to one cluster keyed by min custkey)") {
+    // chain: 1–2 and 2–3 match (near-identical names) but 1–3 alone
+    // may also match; either way CC must put {1,2,3} in ONE cluster;
+    // {8,9} a second; 5 unmatched → not emitted
+    val dir = customersDir(Seq(
+      (1L, "Initech LLC", 1, 0.0),
+      (2L, "Initech LLCx", 1, 0.0),
+      (3L, "Initech LLCxy", 1, 0.0),
+      (5L, "Wayne Enterprises", 1, 0.0),
+      (8L, "Stark Industries", 1, 0.0),
+      (9L, "Stark Industries2", 1, 0.0)))
+    val rows = EntityRes.q102EntityClusters(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byCluster = rows.groupBy(_._2).view
+      .mapValues(_.map(_._1).toSet).toMap
+    assert(byCluster(1L) === Set(1L, 2L, 3L))
+    assert(byCluster(8L) === Set(8L, 9L))
+    assert(!rows.exists(_._1 == 5L), "singletons are not emitted")
+    assert(rows.filter(_._2 == 1L).forall(_._3 == 3L))
+    assert(rows.filter(_._2 == 8L).forall(_._3 == 2L))
   }
 
   test("q101 plans block-local pair expansion only: no cartesian, " +

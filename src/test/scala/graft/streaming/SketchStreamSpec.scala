@@ -34,13 +34,17 @@ class SketchStreamSpec extends AnyFunSuite {
       Files.copy(f.toPath, stage.resolve(s"batch$n.parquet")); n += 1
     }
 
-    val q = StreamSketch.cmsStream(spark, stage.toString)
+    val q = StreamSketch.cmsStream(spark, stage.toString,
+        maxFilesPerTrigger = Some(1))
       .writeStream.format("memory").queryName("cms_stream")
-      .option("maxFilesPerTrigger", "1")
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination(120000)
+    // the reader option really split the files into separate triggers
+    // — otherwise the state-merge path is never exercised
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "expected >= 2 non-empty micro-batches")
 
     val streamed = spark.table("cms_stream")
       .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2)))
@@ -79,13 +83,15 @@ class SketchStreamSpec extends AnyFunSuite {
       Files.copy(f.toPath, landing.resolve(s"batch$n.parquet")); n += 1
     }
 
-    val q = StreamSketch.hllStream(spark, landing.toString)
+    val q = StreamSketch.hllStream(spark, landing.toString,
+        maxFilesPerTrigger = Some(1))
       .writeStream.format("memory").queryName("hll_stream")
-      .option("maxFilesPerTrigger", "1")
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination(120000)
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "expected >= 2 non-empty micro-batches")
 
     def regs(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
       df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap

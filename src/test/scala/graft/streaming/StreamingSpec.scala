@@ -216,4 +216,59 @@ class StreamingSpec extends AnyFunSuite {
       .map(_.getAs[Long]("seq")).toSeq
     assert(seqs == Seq(1L, 2L, 3L), s"seq resumed without reuse: $seqs")
   }
+
+  test("changelog auto-compacts on the append path once history " +
+      "outgrows live keys, preserving latest state, tombstones and seq") {
+    val modelsDir = Files.createTempDirectory("ac-models")
+    Files.writeString(modelsDir.resolve("movie.json"),
+      """{"model_name":"movie","storage_type":"json",
+        |"attributes":{"id":"Integer","name":"String"},
+        |"primary_key":"id","required":["id"]}"""
+        .stripMargin.replace("\n", ""))
+    val movie = Registry.load(modelsDir).toOption.get
+      .lookup("movie").toOption.get
+    val logDir = Files.createTempDirectory("ac-log")
+      .resolve("log").toString
+    // tight policy so the trigger is reachable in-spec: fold when the
+    // log holds > 2× live keys AND ≥ 4 rows landed since last fold
+    val log = new ChangeLog(spark, logDir,
+      autoCompactRatio = 2L, autoCompactMinAppends = 4L)
+    val engine = new CrudEngine(spark,
+      new ParquetBackend(spark,
+        Files.createTempDirectory("ac-store").toString, 4), Some(log))
+
+    engine.createOne(movie, """{"id":1,"name":"v0"}""")
+    (1 to 7).foreach(i =>
+      engine.updateOne(movie, "1", s"""{"name":"v$i"}"""))
+
+    // 8 events against 1 live key: compaction must have folded —
+    // the on-disk log is smaller than the history...
+    val rows = log.all().orderBy("seq").collect()
+    assert(rows.length < 8, s"auto-compaction never fired: ${rows.length}")
+    // ...while the surviving row is the key's LATEST state with its
+    // ORIGINAL seq (Last-Event-ID resume stays exact)
+    val last = rows.last
+    assert(last.getAs[Long]("seq") == 8L)
+    assert(last.getAs[String]("record").contains("\"name\":\"v7\""))
+    assert(log.liveKeyCount == 1)
+
+    // a post-compaction client catch-up sees exactly the folded rows
+    assert(log.eventsSince(0L).map(_.getAs[Long]("seq")).toSeq ==
+      rows.map(_.getAs[Long]("seq")).toSeq)
+
+    // deletes fold to retained tombstones and drop the live key
+    engine.createOne(movie, """{"id":2,"name":"b"}""")
+    engine.deleteOne(movie, "2")
+    (1 to 4).foreach(i =>
+      engine.updateOne(movie, "1", s"""{"name":"w$i"}"""))
+    val ops = log.all().orderBy("seq").collect()
+      .map(r => (r.getAs[String]("pk"), r.getAs[String]("op")))
+    assert(ops.contains(("2", "delete")), s"tombstone retained: ${ops.toSeq}")
+    assert(log.liveKeyCount == 1)
+
+    // seq keeps advancing without reuse across folds
+    val maxSeq = log.all().agg(
+      org.apache.spark.sql.functions.max(col("seq"))).head.getLong(0)
+    assert(maxSeq == 14L, s"got $maxSeq")
+  }
 }
