@@ -80,34 +80,57 @@ object EntityRes {
       .withColumn("ng", size(col("g")).cast("long"))
     val block = Window.partitionBy(col("nation"), col("bal_bucket"))
     val ord = block.orderBy(col("nm"), col("ck"))
-    val withNbrs = base
-      .withColumn("bn", count(lit(1)).over(block))
-      .withColumn("nbrs", collect_list(struct(col("ck"), col("ng"), col("g")))
-        .over(ord.rowsBetween(1, BlockCap)))
+    val withBn = base.withColumn("bn", count(lit(1)).over(block))
+    // Both pair arms read the SAME block-keyed exchange (ReuseExchange
+    // dedups it, so the trigram kernel runs once per scan); each arm
+    // re-derives the cheap bn window above the shared shuffle.
+    // small blocks (≤ cap): ONE collect per block — bounded at
+    // BlockCap structs per produced row BY the cap (the r8 shape's
+    // flaw was exactly that this bound did not exist) — then in-list
+    // ordered pairs. Building each block's array once is O(n) array
+    // work total, where a sliding frame would rebuild an O(cap)
+    // buffer per row.
+    val small = withBn.filter(col("bn") <= BlockCap)
+      .groupBy(col("nation"), col("bal_bucket"), col("bn"))
+      .agg(sort_array(collect_list(
+        struct(col("nm"), col("ck"), col("ng"), col("g")))).as("ms"))
+      .select(col("nation"), col("bal_bucket"), col("bn"),
+        explode(Overlap.orderedPairs(col("ms"), (a, b) =>
+          struct(a.getField("ck").as("cka"), b.getField("ck").as("ckb"),
+            a.getField("ng").as("nga"), b.getField("ng").as("ngb"),
+            size(array_intersect(a.getField("g"), b.getField("g")))
+              .cast("long").as("ni")))).as("p"))
+    // oversized blocks: the W-neighborhood sliding frame — an O(W)
+    // buffer per row, rebuilt per row, total O(n·W)
+    val large = withBn.filter(col("bn") > BlockCap)
+      .withColumn("nbrs", collect_list(struct(col("nm"), col("ck"),
+        col("ng"), col("g"))).over(ord.rowsBetween(1, NeighborW)))
+      .select(col("nation"), col("bal_bucket"), col("bn"),
+        explode(transform(col("nbrs"), b =>
+          struct(col("ck").as("cka"), b.getField("ck").as("ckb"),
+            col("ng").as("nga"), b.getField("ng").as("ngb"),
+            size(array_intersect(col("g"), b.getField("g")))
+              .cast("long").as("ni")))).as("p"))
+    small.unionByName(large)
       // the coverage decision, surfaced (never silent): which blocks
-      // fell back from exact all-pairs to the W-neighborhood. Both
-      // metrics are MAX-based: q101's final global sort runs a
-      // range-partitioner SAMPLING pass over this node before the
-      // real pass, so a sum-based metric would double-count (max is
-      // idempotent under re-execution).
+      // fell back from exact all-pairs to the W-neighborhood.
+      // Observed over the candidate-pair stream (pre-threshold: every
+      // ≥2-member block contributes candidates, so every cappable
+      // block is seen); MAX-based metrics because q101's final global
+      // sort runs a range-partitioner SAMPLING pass over this node
+      // before the real pass, and a sum would double-count.
       .observe("q101_er_block_cap",
         coalesce(max(col("bn")), lit(0L)).as("max_block_rows"),
         coalesce(max(when(col("bn") > BlockCap, col("bn")).otherwise(0L)),
           lit(0L)).as("max_capped_block_rows"))
-    withNbrs
-      .withColumn("cand", when(col("bn") <= BlockCap, col("nbrs"))
-        .otherwise(slice(col("nbrs"), lit(1), lit(NeighborW))))
-      .select(col("nation"), col("bal_bucket"), col("ck"), col("ng"),
-        col("g"), explode(col("cand")).as("b"))
       .select(col("nation"), col("bal_bucket"),
-        least(col("ck"), col("b.ck")).as("cust_a"),
-        greatest(col("ck"), col("b.ck")).as("cust_b"),
-        when(col("ck") < col("b.ck"), col("ng")).otherwise(col("b.ng"))
-          .as("n_a"),
-        when(col("ck") < col("b.ck"), col("b.ng")).otherwise(col("ng"))
-          .as("n_b"),
-        size(array_intersect(col("g"), col("b.g"))).cast("long")
-          .as("n_inter"))
+        least(col("p.cka"), col("p.ckb")).as("cust_a"),
+        greatest(col("p.cka"), col("p.ckb")).as("cust_b"),
+        when(col("p.cka") < col("p.ckb"), col("p.nga"))
+          .otherwise(col("p.ngb")).as("n_a"),
+        when(col("p.cka") < col("p.ckb"), col("p.ngb"))
+          .otherwise(col("p.nga")).as("n_b"),
+        col("p.ni").as("n_inter"))
       // two-empty-trigram-set pairs have union 0: undefined Jaccard,
       // excluded on BOTH engines (DuckDB's // would raise; Spark's
       // div would return null)
@@ -185,38 +208,95 @@ object EntityRes {
        |FROM matched
        |ORDER BY nation, bal_bucket, cust_a, cust_b""".stripMargin
 
-  /** Propagation rounds pinned in the q102 oracle. The engine runs to
-    * FIXPOINT and asserts it landed within this bound (the q45
-    * treatment), so a corpus whose match graph outgrows the constant
-    * fails loudly instead of hash-mismatching. Probe cadence is
-    * [[Pipeline.FixpointProbeEvery]], so the asserted bound carries
-    * (cadence−1) rounds of slack. */
-  val ErCcOracleRounds = 6
+  /** Round cap for the pointer-jumping CC loop — a backstop, not a
+    * tuning knob: rounds grow O(log component-diameter) (each round
+    * is one propagate + one shortcut, so covered pointer distance
+    * roughly doubles), and 2^40 exceeds any physical graph. */
+  val ErCcMaxRounds = 40
+
+  /** Connected components by min-label propagation WITH pointer
+    * jumping (Shiloach–Vishkin shortcutting): each round first takes
+    * the min label over graph neighbors (the q45 step), then
+    * replaces every node's label by its LABEL'S label. Propagation
+    * alone needs O(component diameter) rounds — and a record-linkage
+    * match graph can be chain-shaped (near-identical names sort
+    * adjacent and match pairwise: A≈B≈C≈… links a path), where
+    * diameter grows with the data and a fixed round budget fails at
+    * scale (measured: the sf10 bench corpus produces name-chain
+    * components that 50 propagation rounds cannot close). The
+    * shortcut roughly doubles covered distance per round, so
+    * convergence is O(log n) at any diameter.
+    *
+    * Both steps only ever DECREASE labels, and every label is itself
+    * a member node id (min over node ids), so the shortcut self-join
+    * always finds its row and the q45 monotone label-sum convergence
+    * probe stays exact (DECIMAL(38,0) — wrap-proof). Each round is
+    * two shuffles on the node id (neighbor min + shortcut join) with
+    * an eager checkpoint to keep lineage flat. */
+  private[operators] def ccPointerJump(labels0: DataFrame,
+      bidir: DataFrame, maxRounds: Int = ErCcMaxRounds): DataFrame = {
+    val edges = bidir.localCheckpoint(true)
+    var labels = labels0.localCheckpoint(true)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val v = df.agg(sum(col("label").cast("decimal(38,0)"))).head.get(0)
+      if (v == null) java.math.BigDecimal.ZERO
+      else v.asInstanceOf[java.math.BigDecimal]
+    }
+    var sum0 = labelSum(labels)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val prop = labels.unionByName(
+        labels.join(edges, labels("doc_id") === edges("u"))
+          .select(col("v").as("doc_id"), col("label")))
+        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+      val byId = prop.select(col("doc_id").as("ld"), col("label").as("ll"))
+      labels = prop.join(byId, prop("label") === byId("ld"))
+        .select(prop("doc_id"), least(prop("label"), col("ll")).as("label"))
+        .localCheckpoint(true)
+      val sum1 = labelSum(labels)
+      rounds += 1
+      if (sum1.compareTo(sum0) == 0) converged = true
+      sum0 = sum1
+    }
+    require(converged,
+      s"CC pointer-jumping did not converge within $maxRounds rounds — " +
+        "log-round convergence should make this unreachable; investigate")
+    labels
+  }
 
   /** q102: entity clustering — the OUTPUT of a record-linkage system:
     * q101's matched pairs as an undirected graph, connected
-    * components by min-label propagation run to fixpoint (the q45
-    * engine loop: eager per-round checkpoint, monotone label-sum
-    * convergence probe), one row per clustered record:
+    * components via [[ccPointerJump]], one row per clustered record:
     * (member, entity_cluster, n_members), member = custkey,
     * entity_cluster = smallest custkey in the component. Records in
     * no matched pair are singleton entities and are not emitted.
     *
-    * 100 TB posture: the edge set is already bounded by q101's
-    * capped pair generation (O(rows·W) edges, not O(rows²)); each
-    * propagation round is one shuffle on the node id; component
-    * diameter in a record-linkage graph is small (near-dup name
-    * chains), so rounds stay O(log n) with the oracle-bound assert
-    * as the tripwire. */
+    * The oracle is a DuckDB RECURSIVE CTE computing reachability to
+    * TRUE fixpoint — no pinned round count to outgrow (the q45
+    * pinned-round + assert pattern is the right guard for a
+    * fixed-diameter near-dup graph; a record-linkage graph's
+    * diameter grows with the corpus, so here BOTH engines must
+    * genuinely converge). The closure's row count is Σ component
+    * size² — bounded at oracle scales because q101's blocking caps
+    * component membership per block.
+    *
+    * 100 TB posture: the edge set is bounded by q101's capped pair
+    * generation (O(rows·W) edges, not O(rows²)); rounds are
+    * O(log n) by shortcutting; each round is two node-keyed
+    * shuffles. */
   def q102EntityClusters(s: SparkSession, dir: String): DataFrame = {
+    // materialize the pair job ONCE: bidir references edges twice
+    // (forward + swapped) and labels0 reads it again — without the
+    // barrier the whole blocking+comparison pipeline runs 3×
     val edges = matchedPairs(s, dir)
       .select(col("cust_a").as("u"), col("cust_b").as("v"))
+      .localCheckpoint(true)
     val bidir = edges.unionByName(
       edges.select(col("v").as("u"), col("u").as("v")))
     val nodes = bidir.select(col("u").as("doc_id")).distinct()
     val labels0 = nodes.select(col("doc_id"), col("doc_id").as("label"))
-    Pipeline.fixpointLabels(labels0, bidir,
-      oracleRoundBound = Some(ErCcOracleRounds))
+    ccPointerJump(labels0, bidir)
       .withColumn("n_members",
         count(lit(1)).over(Window.partitionBy(col("label"))))
       .select(col("doc_id").as("member"),
@@ -224,24 +304,16 @@ object EntityRes {
       .orderBy(col("member"))
   }
 
-  val q102EntityClustersOracle: String = {
-    def round(prev: String, cur: String): String =
-      s"""$cur AS (
-         |  SELECT node, min(label) AS label FROM (
-         |    SELECT node, label FROM $prev
-         |    UNION ALL
-         |    SELECT b.v AS node, l.label FROM $prev l
-         |    JOIN bidir b ON l.node = b.u)
-         |  GROUP BY node)""".stripMargin
-    val rounds = (1 to ErCcOracleRounds)
-      .map(i => round(s"l${i - 1}", s"l$i")).mkString(",\n")
-    s"""WITH $pairsSql,
+  val q102EntityClustersOracle: String =
+    s"""WITH RECURSIVE $pairsSql,
        |edges AS (SELECT cust_a AS u, cust_b AS v FROM matched),
        |bidir AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
-       |l0 AS (SELECT DISTINCT u AS node, u AS label FROM bidir),
-       |$rounds
-       |SELECT node AS member, label AS entity_cluster,
-       |  count(*) OVER (PARTITION BY label) AS n_members
-       |FROM l$ErCcOracleRounds ORDER BY member""".stripMargin
-  }
+       |reach AS (
+       |  SELECT u AS node, u AS lab FROM bidir
+       |  UNION
+       |  SELECT b.v AS node, r.lab AS lab
+       |  FROM reach r JOIN bidir b ON b.u = r.node)
+       |SELECT node AS member, min(lab) AS entity_cluster,
+       |  count(*) OVER (PARTITION BY min(lab)) AS n_members
+       |FROM reach GROUP BY node ORDER BY member""".stripMargin
 }
