@@ -59,6 +59,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Sessions.printObservedMetrics(spark)
 
     // warm-up: session init, parquet footer reads, codegen paths
     SparkEntry.queries("q1_agg")(spark, sfDir).write
@@ -69,12 +70,11 @@ object Bench {
       val t0 = System.nanoTime()
       try {
         val df = fn(spark, sfDir)
+        // operator coverage caps (ngram/q101/q107 block caps) surface
+        // as observed metrics via Sessions.printObservedMetrics — the
+        // listener reads the EXECUTED QueryExecution (reading
+        // df.queryExecution here reported the never-run clone's [0,0])
         df.write.format("noop").mode("overwrite").save()
-        // operators declare coverage caps (e.g. the ngram-dedup block
-        // cap) as observed metrics — print them so no cap is silent
-        val om = df.queryExecution.observedMetrics
-        if (printMetrics && om.nonEmpty) System.err.println(s"[metrics] $name: " +
-          om.map { case (k, v) => s"$k=$v" }.mkString(", "))
       }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")

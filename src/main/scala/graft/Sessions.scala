@@ -53,6 +53,31 @@ object Sessions {
     * late in the sf10 suite, with warm > cold inversions from spill).
     * Callers invoke this OUTSIDE the timed region, so the GC pause is
     * suite wall-clock, not per-query time. */
+  /** Print every query's observed metrics (operator coverage caps —
+    * the ngram/q101/q107 block-cap declarations) from the
+    * QueryExecution that actually RAN. Reading
+    * `df.queryExecution.observedMetrics` after `df.write` reports the
+    * never-executed logical copy — the action executes a CLONE of the
+    * QueryExecution — so every metric printed as its [0,0] initial
+    * state (silently, defeating the caps' never-silent contract).
+    * Metric names embed their query, so the line needs no
+    * caller-side context and the listener's async dispatch cannot
+    * mislabel it. */
+  def printObservedMetrics(spark: SparkSession): Unit =
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = {
+          val om = qe.observedMetrics
+          if (om.nonEmpty) System.err.println("[metrics] " +
+            om.map { case (k, v) => s"$k=$v" }.mkString(", "))
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
+
   def releaseBlocks(spark: SparkSession): Unit = {
     spark.sharedState.cacheManager.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
