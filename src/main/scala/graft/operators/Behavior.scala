@@ -251,4 +251,324 @@ object Behavior {
        |FROM hourly h JOIN means m USING (event_type)
        |ORDER BY dev_pm DESC, h.event_type ASC, h.hour ASC
        |LIMIT $AnomalyTopK""".stripMargin
+
+  /** Open-interval sentinel for the current SCD2 version: avoids a
+    * nullable valid_to (NULL would round-trip as NaN through the
+    * driver's pandas compare) and makes the point-in-time BETWEEN
+    * test branch-free. */
+  val Scd2OpenEnd: Long = Long.MaxValue
+
+  /** q104: slowly-changing-dimension (Type 2) build from a change
+    * stream + point-in-time verification — the gaps-and-islands
+    * treatment of `events`: each user's event_type sequence is
+    * collapsed into maximal runs of the same state (islands), each
+    * island becomes one dimension VERSION row [valid_from, valid_to)
+    * with valid_to = the next version's valid_from ([[Scd2OpenEnd]]
+    * for the current one), and the raw events are then joined back
+    * point-in-time as the fact side — pit_n per version, which must
+    * equal the island's own n_events (the audit a warehouse runs
+    * before trusting an SCD2 dimension for as-of enrichment).
+    * Returns (user_id, version, state, valid_from, valid_to,
+    * n_events, pit_n).
+    *
+    * Island detection is the two-row_number difference (grp = rn −
+    * rn_per_state, constant exactly within a run); both engines
+    * order by (ts, event_id) — a total order, so runs are identical.
+    *
+    * 100 TB posture: both window passes and the version agg ride ONE
+    * hash shuffle on user_id (per-task state = one user's timeline,
+    * any user count scales out); the PIT join is user-keyed equi +
+    * interval filter, and per-user fan-out is bounded by that user's
+    * own timeline (versions × events of ONE user — corpus growth
+    * adds users, not timeline length; a year-long hot user is
+    * bounded by the q58 sessionizer's same argument). No data-scale
+    * non-keyed shuffle anywhere. */
+  def q104Scd2Islands(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val byUserState = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      // one user-keyed exchange feeds islands, versions AND the PIT
+      // fact side (three consumers of the same event scan)
+      .repartition(col("user_id"))
+      .localCheckpoint(false)
+    val versions = ev
+      .withColumn("grp",
+        row_number().over(byUser) - row_number().over(byUserState))
+      .groupBy(col("user_id"), col("event_type").as("state"), col("grp"))
+      .agg(min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+      .withColumn("version", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("valid_from"))))
+      .withColumn("valid_to", coalesce(
+        lead(col("valid_from"), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("valid_from"))),
+        lit(Scd2OpenEnd)))
+    val pit = ev.select(col("user_id"), col("ts").as("fts"))
+      .join(versions.select(col("user_id"), col("version"),
+        col("valid_from"), col("valid_to")), Seq("user_id"))
+      .filter(col("fts") >= col("valid_from") && col("fts") < col("valid_to"))
+      .groupBy(col("user_id"), col("version"))
+      .agg(count(lit(1)).as("pit_n"))
+    versions.join(pit, Seq("user_id", "version"))
+      .select(col("user_id"), col("version"), col("state"),
+        col("valid_from"), col("valid_to"), col("n_events"), col("pit_n"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val q104Scd2IslandsOracle: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, event_type,
+       |    CAST(epoch_ns(ts) AS BIGINT) AS ts
+       |  FROM events),
+       |isl AS (
+       |  SELECT user_id, event_type, ts,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id)
+       |    - row_number() OVER (PARTITION BY user_id, event_type
+       |      ORDER BY ts, event_id) AS grp
+       |  FROM ev),
+       |ver AS (
+       |  SELECT user_id, event_type AS state, grp,
+       |    min(ts) AS valid_from, count(*) AS n_events
+       |  FROM isl GROUP BY user_id, event_type, grp),
+       |dim AS (
+       |  SELECT user_id, state, valid_from, n_events,
+       |    CAST(row_number() OVER w AS INT) AS version,
+       |    coalesce(lead(valid_from) OVER w, ${Scd2OpenEnd}) AS valid_to
+       |  FROM ver WINDOW w AS (PARTITION BY user_id ORDER BY valid_from)),
+       |pit AS (
+       |  SELECT d.user_id, d.version, count(*) AS pit_n
+       |  FROM ev f JOIN dim d ON f.user_id = d.user_id
+       |    AND f.ts >= d.valid_from AND f.ts < d.valid_to
+       |  GROUP BY d.user_id, d.version)
+       |SELECT d.user_id, d.version, d.state, d.valid_from, d.valid_to,
+       |  CAST(d.n_events AS BIGINT) AS n_events,
+       |  CAST(p.pit_n AS BIGINT) AS pit_n
+       |FROM dim d JOIN pit p
+       |  ON d.user_id = p.user_id AND d.version = p.version
+       |ORDER BY d.user_id, d.version""".stripMargin
+
+  /** q106: A/B experiment readout with CUPED variance reduction
+    * (Deng et al. 2013) — deterministic hash assignment, a pre/post
+    * cutover split, and the covariate-adjusted lift, all in exact
+    * integer arithmetic. Returns ONE row: (n_c, n_t, mean_y_c_e4,
+    * mean_y_t_e4, raw_lift_e4, theta_e6, cuped_lift_e4).
+    *
+    * Assignment: variant = md5('exp:'‖user_id) mod 2 — the
+    * deterministic bucketing every experimentation platform uses (a
+    * user hashes identically on every engine and every rerun).
+    * Cutover = midpoint of the observed ts range (computed in-query,
+    * one 1-row broadcast); x = a user's pre-cutover spend (cents),
+    * y = post-cutover spend. CUPED: θ = cov(x,y)/var(x) pooled over
+    * all users — as the integer ratio θ_e6 = (n·Σxy − Σx·Σy)·10⁶
+    * div (n·Σx² − (Σx)²) in DECIMAL(38,0)/HUGEINT (the q55/q98
+    * overflow treatment; n·Σxy ≈ 2·10²³ at ×100 scale) — and
+    * cuped_lift = raw_lift − θ·(mean_x_t − mean_x_c), the adjusted
+    * estimator whose variance drops by the x–y correlation². Zero
+    * denominators (a variance-free covariate or an empty arm) yield
+    * 0 by explicit CASE on BOTH engines, not an engine-dependent
+    * null/error.
+    *
+    * 100 TB posture: one user-keyed shuffle to per-user (x, y) rows;
+    * everything above is a 5-number algebraic aggregate (map-side
+    * combined to ONE row) — the same mergeable-moments contract as
+    * q94's sketch arm, so the readout never materializes anything
+    * wider than a partial-moment row per partition. */
+  def q106AbCuped(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val bounds = ev.agg(min(col("ts")).as("tmin"), max(col("ts")).as("tmax"))
+    val per = ev.crossJoin(broadcast(bounds))
+      .withColumn("cut", expr("(tmin + tmax) div 2"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("ts") < col("cut"), col("cents")).otherwise(0L))
+        .as("x"),
+        sum(when(col("ts") >= col("cut"), col("cents")).otherwise(0L))
+          .as("y"))
+      .withColumn("variant",
+        conv(substring(md5(concat(lit("exp:"),
+          col("user_id").cast("string"))), 1, 6), 16, 10)
+          .cast("long") % 2)
+    per.agg(
+        sum(lit(1L)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(when(col("variant") === 0L, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("variant") === 1L, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("variant") === 0L, col("x")).otherwise(0L)).as("sx_c"),
+        sum(when(col("variant") === 1L, col("x")).otherwise(0L)).as("sx_t"),
+        sum(when(col("variant") === 0L, col("y")).otherwise(0L)).as("sy_c"),
+        sum(when(col("variant") === 1L, col("y")).otherwise(0L)).as("sy_t"))
+      .withColumn("theta_e6", expr(
+        """CASE WHEN n * sxx - CAST(sx AS DECIMAL(38,0)) * sx = 0 THEN CAST(0 AS BIGINT)
+          |ELSE CAST((n * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * 1000000
+          |  div (n * sxx - CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT) END""".stripMargin))
+      .withColumn("mean_y_c_e4", expr(
+        "CASE WHEN n_c = 0 THEN CAST(0 AS BIGINT) ELSE sy_c * 10000 div n_c END"))
+      .withColumn("mean_y_t_e4", expr(
+        "CASE WHEN n_t = 0 THEN CAST(0 AS BIGINT) ELSE sy_t * 10000 div n_t END"))
+      .withColumn("raw_lift_e4", expr("mean_y_t_e4 - mean_y_c_e4"))
+      .withColumn("mean_x_c_e4", expr(
+        "CASE WHEN n_c = 0 THEN CAST(0 AS BIGINT) ELSE sx_c * 10000 div n_c END"))
+      .withColumn("mean_x_t_e4", expr(
+        "CASE WHEN n_t = 0 THEN CAST(0 AS BIGINT) ELSE sx_t * 10000 div n_t END"))
+      .withColumn("cuped_lift_e4", expr(
+        "raw_lift_e4 - theta_e6 * (mean_x_t_e4 - mean_x_c_e4) div 1000000"))
+      .select(col("n_c"), col("n_t"), col("mean_y_c_e4"),
+        col("mean_y_t_e4"), col("raw_lift_e4"), col("theta_e6"),
+        col("cuped_lift_e4"))
+  }
+
+  val q106AbCupedOracle: String = {
+    val hex6 =
+      """(strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 1048576
+        |    + (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) * 65536
+        |    + (strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 4096
+        |    + (strpos('0123456789abcdef', substring(hx, 4, 1)) - 1) * 256
+        |    + (strpos('0123456789abcdef', substring(hx, 5, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substring(hx, 6, 1)) - 1)""".stripMargin
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(epoch_ns(ts) AS BIGINT) AS ts,
+       |    CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events),
+       |bounds AS (
+       |  SELECT (min(ts) + max(ts)) // 2 AS cut FROM ev),
+       |per AS (
+       |  SELECT user_id,
+       |    CAST(sum(CASE WHEN ts < cut THEN cents ELSE 0 END) AS BIGINT) AS x,
+       |    CAST(sum(CASE WHEN ts >= cut THEN cents ELSE 0 END) AS BIGINT) AS y
+       |  FROM ev CROSS JOIN bounds GROUP BY user_id),
+       |pv AS (
+       |  SELECT x, y, ($hex6) % 2 AS variant FROM (
+       |    SELECT x, y,
+       |      substring(md5('exp:' || CAST(user_id AS VARCHAR)), 1, 6) AS hx
+       |    FROM per)),
+       |m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * y) AS HUGEINT) AS sxy,
+       |    CAST(sum(x * x) AS HUGEINT) AS sxx,
+       |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+       |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+       |    CAST(sum(CASE WHEN variant = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_c,
+       |    CAST(sum(CASE WHEN variant = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_t,
+       |    CAST(sum(CASE WHEN variant = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_c,
+       |    CAST(sum(CASE WHEN variant = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_t
+       |  FROM pv),
+       |calc AS (
+       |  SELECT n_c, n_t,
+       |    CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0 THEN CAST(0 AS BIGINT)
+       |      ELSE CAST((n * sxy - CAST(sx AS HUGEINT) * sy) * 1000000
+       |        // (n * sxx - CAST(sx AS HUGEINT) * sx) AS BIGINT) END AS theta_e6,
+       |    CASE WHEN n_c = 0 THEN 0 ELSE sy_c * 10000 // n_c END AS mean_y_c_e4,
+       |    CASE WHEN n_t = 0 THEN 0 ELSE sy_t * 10000 // n_t END AS mean_y_t_e4,
+       |    CASE WHEN n_c = 0 THEN 0 ELSE sx_c * 10000 // n_c END AS mean_x_c_e4,
+       |    CASE WHEN n_t = 0 THEN 0 ELSE sx_t * 10000 // n_t END AS mean_x_t_e4
+       |  FROM m)
+       |SELECT n_c, n_t,
+       |  CAST(mean_y_c_e4 AS BIGINT) AS mean_y_c_e4,
+       |  CAST(mean_y_t_e4 AS BIGINT) AS mean_y_t_e4,
+       |  CAST(mean_y_t_e4 - mean_y_c_e4 AS BIGINT) AS raw_lift_e4,
+       |  theta_e6,
+       |  CAST(mean_y_t_e4 - mean_y_c_e4
+       |    - theta_e6 * (mean_x_t_e4 - mean_x_c_e4) // 1000000 AS BIGINT)
+       |    AS cuped_lift_e4
+       |FROM calc""".stripMargin
+  }
+
+  /** The conversion event type for q110. */
+  val ConvType = "purchase"
+
+  /** q110: multi-touch attribution — per touch channel (event_type),
+    * credit under the three standard models: (channel, n_touches,
+    * n_first, n_last, linear_e6).
+    *
+    * A JOURNEY is one user's touch events (non-purchase) between
+    * consecutive purchases, attributed to the NEXT purchase: touch
+    * event → journey j = (purchases seen so far) + 1, valid while
+    * j ≤ that user's purchase count (touches after the last purchase
+    * have no conversion and are dropped — the standard open-journey
+    * rule; conversions with zero touches earn no channel credit).
+    * First/last-touch award the whole conversion to the journey's
+    * first/last channel by (ts, event_id); linear splits it evenly —
+    * each touch earns 10⁶ div n_touches(journey), truncating
+    * integer arithmetic both engines reproduce.
+    *
+    * 100 TB posture: one user-keyed shuffle carries the running
+    * purchase count AND the journey window ranks (three window
+    * functions over the same exchange); everything after is a
+    * journey-then-channel aggregate chain, ≤ |event types| output
+    * rows with map-side combine. */
+  def q110Attribution(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"))
+      .withColumn("is_conv",
+        (col("event_type") === ConvType).cast("long"))
+      .withColumn("pc", sum(col("is_conv")).over(byUser))
+      .localCheckpoint(false) // touches + per-user conversion totals
+    val convTotals = ev.groupBy(col("user_id"))
+      .agg(sum(col("is_conv")).as("n_conv"))
+    val byJourney = Window.partitionBy(col("user_id"), col("j"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val touches = ev.filter(col("is_conv") === 0L)
+      .withColumn("j", col("pc") + 1L)
+      .join(convTotals, "user_id")
+      .filter(col("j") <= col("n_conv"))
+      .withColumn("rk", row_number().over(byJourney))
+      .withColumn("rrk", row_number().over(
+        Window.partitionBy(col("user_id"), col("j"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .withColumn("jn", count(lit(1)).over(
+        Window.partitionBy(col("user_id"), col("j"))))
+    touches.groupBy(col("event_type").as("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_first"),
+        sum(when(col("rrk") === 1, 1L).otherwise(0L)).as("n_last"),
+        sum(expr("1000000 div jn")).as("linear_e6"))
+      .orderBy(col("channel"))
+  }
+
+  val q110AttributionOracle: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, event_type,
+       |    CAST(epoch_ns(ts) AS BIGINT) AS ts,
+       |    CASE WHEN event_type = '$ConvType' THEN 1 ELSE 0 END
+       |      AS is_conv
+       |  FROM events),
+       |pcd AS (
+       |  SELECT *, CAST(sum(is_conv) OVER (PARTITION BY user_id
+       |    ORDER BY ts, event_id) AS BIGINT) AS pc
+       |  FROM ev),
+       |ct AS (
+       |  SELECT user_id, CAST(sum(is_conv) AS BIGINT) AS n_conv
+       |  FROM ev GROUP BY user_id),
+       |touches AS (
+       |  SELECT p.user_id, p.event_id, p.ts, p.event_type,
+       |    p.pc + 1 AS j
+       |  FROM pcd p JOIN ct ON p.user_id = ct.user_id
+       |  WHERE p.is_conv = 0 AND p.pc + 1 <= ct.n_conv),
+       |ranked AS (
+       |  SELECT event_type,
+       |    row_number() OVER w AS rk,
+       |    row_number() OVER (PARTITION BY user_id, j
+       |      ORDER BY ts DESC, event_id DESC) AS rrk,
+       |    count(*) OVER (PARTITION BY user_id, j) AS jn
+       |  FROM touches
+       |  WINDOW w AS (PARTITION BY user_id, j ORDER BY ts, event_id))
+       |SELECT event_type AS channel,
+       |  CAST(count(*) AS BIGINT) AS n_touches,
+       |  CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_first,
+       |  CAST(sum(CASE WHEN rrk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_last,
+       |  CAST(sum(1000000 // jn) AS BIGINT) AS linear_e6
+       |FROM ranked GROUP BY event_type ORDER BY channel""".stripMargin
 }

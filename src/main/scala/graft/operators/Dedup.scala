@@ -76,10 +76,12 @@ object Dedup {
        |  CAST(count(*) > 1 AS INT) AS has_dups
        |FROM documents GROUP BY 1 ORDER BY survivor_id""".stripMargin
 
-  /** dedup_minhash_lsh: MinHash signatures → LSH band buckets →
-    * candidate pairs → exact Jaccard verify (integer form:
-    * 2*|∩| ≥ |∪| ⇔ J ≥ 0.5). Returns verified near-dup pairs. */
-  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+  /** The verified MinHash-LSH near-dup pair stream (unordered):
+    * signatures → LSH band buckets → candidate pairs → exact Jaccard
+    * verify (integer form: 2·|∩| ≥ |∪| ⇔ J ≥ 0.5). Shared by
+    * dedup_minhash_lsh (ordered pair report) and q108 (dup-cluster-
+    * aware split assignment over these pairs as edges). */
+  private[operators] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     // Exchange barrier after computing the shingle set: without it,
     // CollapseProject inlines `shingles(text)` into all 8 signature
     // expressions (HOFs are interpreted, so no subexpression
@@ -131,19 +133,27 @@ object Dedup {
       .withColumn("n_union", col("n_both") - col("n_inter"))
       .filter(col("n_inter") * 2 >= col("n_union"))
       .withColumn("jaccard_pct", expr("n_inter * 100 div n_union"))
+  }
+
+  /** dedup_minhash_lsh: the [[minhashPairs]] stream as the ordered
+    * pair report. */
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(s, dir)
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
         col("jaccard_pct"))
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
-  val dedupMinhashLshOracle: String = {
+  /** The minhash pair CTE chain (`base…verified`), shared by the
+    * dedup_minhash_lsh and q108 oracles — `verified` holds every
+    * band-candidate pair with exact n_inter/n_union, pre-threshold. */
+  private[operators] val minhashPairsSqlCtes: String = {
     val sigList = (0 until NumHashes)
       .map(k => s"${minhashSigSql("hashes", k)} AS sig_$k").mkString(",\n    ")
     val bandList = (0 until NumHashes / BandSize).map { bd =>
       val parts = (0 until BandSize).map(r => s"sig_${bd * BandSize + r}")
       s"md5(${parts.mkString(" || '|' || ")})"
     }.mkString(", ")
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT doc_id, $shinglesSql AS sh FROM documents),
        |hashed AS (
        |  SELECT doc_id, sh, $shingleHashesSql AS hashes FROM base),
@@ -163,12 +173,15 @@ object Dedup {
        |    CAST(len(list_distinct(sa.sh || sb.sh)) AS BIGINT) AS n_union
        |  FROM cand
        |  JOIN base sa ON sa.doc_id = doc_a
-       |  JOIN base sb ON sb.doc_id = doc_b)
+       |  JOIN base sb ON sb.doc_id = doc_b)""".stripMargin
+  }
+
+  val dedupMinhashLshOracle: String =
+    s"""WITH $minhashPairsSqlCtes
        |SELECT doc_a, doc_b, n_inter, n_union,
        |  CAST(n_inter * 100 // n_union AS BIGINT) AS jaccard_pct
        |FROM verified WHERE n_inter * 2 >= n_union
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   val JaccardSketch = 4 // minhash window components used as a pair prefilter
 
@@ -645,4 +658,115 @@ object Dedup {
        |FROM base b LEFT JOIN matched m ON m.new_id = b.doc_id
        |WHERE b.is_new ORDER BY doc_id""".stripMargin
   }
+
+  // ---- q107: asymmetric containment (subset) detection -------------
+
+  /** Posting-list cap for the q107 inverted index: a shingle shared
+    * by more docs is corpus boilerplate, dropped as a join key (the
+    * dedup_ngram cap argument; surfaced via observe). */
+  val ContainDfCap = 50
+  /** Containment threshold: |A∩B| ≥ 4/5 of the SMALLER set. */
+  val ContainNum = 4
+  val ContainDen = 5
+
+  /** q107: containment near-duplicate pairs — the ASYMMETRIC measure
+    * C(A,B) = |A∩B|/min(|A|,|B|) ≥ 80% over word-3-shingle sets,
+    * catching a small document contained in a larger one (quoted
+    * posts, boilerplate-wrapped articles, partial crawls) that
+    * symmetric Jaccard dedup (J = |∩|/|∪| shrinks as the size gap
+    * grows) structurally misses (Broder 1997 distinguishes exactly
+    * these two resemblance/containment estimators). Returns
+    * (inner_id, outer_id, n_inner, n_outer, n_inter,
+    * containment_pct): inner = the smaller shingle set (tie → the
+    * lower doc_id), containment_pct = |∩|·100 div |inner|.
+    *
+    * Plan shape: ONE shingle pass (the minhash kernel), an inverted
+    * index exploded to (shingle, doc) postings, document-frequency
+    * gating 2 ≤ df ≤ [[ContainDfCap]] BEFORE the posting self-join —
+    * pair work is Σ df² ≤ cap·Σ df, linear in postings with the cap
+    * a constant — then one exact set-intersection verify per
+    * candidate (payload re-fetched by id, the dedup_minhash shape:
+    * heavy arrays never ride the candidate shuffle). Dropped
+    * boilerplate shingles are surfaced by an observed metric, never
+    * silent. 100 TB: identical shape, df cap doing the bounding. */
+  def q107Containment(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.spread(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .repartition(col("doc_id"))
+      .localCheckpoint(false)
+    val inv = base.select(col("doc_id"), explode(col("sh")).as("s"))
+    // df gate FIRST (counts only — no list is ever built for an
+    // over-cap shingle), then the posting list per surviving shingle
+    // is an array of ≤ [[ContainDfCap]] ids BY construction, pairs
+    // expanded in-row: no posting self-join. The df table rides the
+    // BROADCAST side of the gate join, and a broadcast-stage observe
+    // never reaches queryExecution.observedMetrics under AQE — so the
+    // cap metrics are computed on the join OUTPUT (the corpus-scale
+    // probe stream, q101-style max-based so the final sort's range-
+    // partitioner sampling pass cannot double-count).
+    val dfAll = inv.groupBy(col("s")).agg(count(lit(1)).as("c"))
+    val cand = inv.join(dfAll, "s")
+      .observe("q107_containment_df_cap",
+        coalesce(max(col("c")), lit(0L)).as("max_df"),
+        coalesce(max(when(col("c") > ContainDfCap, col("c"))
+          .otherwise(0L)), lit(0L)).as("max_dropped_df"))
+      .filter(col("c").between(2, ContainDfCap))
+      .groupBy(col("s"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .select(explode(Overlap.orderedPairs(col("ds"), (a, b) =>
+        struct(a.as("da"), b.as("db")))).as("p"))
+      .select(col("p.da").as("da"), col("p.db").as("db"))
+      .distinct()
+    val sa = base.select(col("doc_id").as("da"), col("sh").as("sha"))
+    val sb = base.select(col("doc_id").as("db"), col("sh").as("shb"))
+    cand.join(sa, "da").join(sb, "db")
+      .select(col("da"), col("db"),
+        graft.functions.TextStatFunctions
+          .intersectCount(col("sha"), col("shb")).as("n_inter"),
+        size(col("sha")).cast("long").as("na"),
+        size(col("shb")).cast("long").as("nb"))
+      .filter(col("n_inter") * ContainDen >=
+        least(col("na"), col("nb")) * ContainNum)
+      .select(
+        when(col("nb") < col("na"), col("db")).otherwise(col("da"))
+          .as("inner_id"),
+        when(col("nb") < col("na"), col("da")).otherwise(col("db"))
+          .as("outer_id"),
+        least(col("na"), col("nb")).as("n_inner"),
+        greatest(col("na"), col("nb")).as("n_outer"),
+        col("n_inter"))
+      .withColumn("containment_pct",
+        expr("n_inter * 100 div n_inner"))
+      .orderBy(col("inner_id"), col("outer_id"))
+  }
+
+  val q107ContainmentOracle: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, $shinglesSql AS sh FROM documents),
+       |inv AS (
+       |  SELECT doc_id, unnest(sh) AS s FROM base),
+       |df AS (
+       |  SELECT s FROM (SELECT s, count(*) AS c FROM inv GROUP BY s)
+       |  WHERE c BETWEEN 2 AND $ContainDfCap),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  JOIN df ON df.s = a.s),
+       |ver AS (
+       |  SELECT da, db,
+       |    CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS n_inter,
+       |    CAST(len(x.sh) AS BIGINT) AS na,
+       |    CAST(len(y.sh) AS BIGINT) AS nb
+       |  FROM cand
+       |  JOIN base x ON x.doc_id = da
+       |  JOIN base y ON y.doc_id = db)
+       |SELECT CASE WHEN nb < na THEN db ELSE da END AS inner_id,
+       |  CASE WHEN nb < na THEN da ELSE db END AS outer_id,
+       |  least(na, nb) AS n_inner, greatest(na, nb) AS n_outer,
+       |  n_inter,
+       |  CAST(n_inter * 100 // least(na, nb) AS BIGINT)
+       |    AS containment_pct
+       |FROM ver
+       |WHERE n_inter * $ContainDen >= least(na, nb) * $ContainNum
+       |ORDER BY inner_id, outer_id""".stripMargin
 }

@@ -316,4 +316,97 @@ object EntityRes {
        |SELECT node AS member, min(lab) AS entity_cluster,
        |  count(*) OVER (PARTITION BY min(lab)) AS n_members
        |FROM reach GROUP BY node ORDER BY member""".stripMargin
+
+  /** q109: triangle census of the ER match graph — ONE row:
+    * (n_nodes, n_edges, n_wedges, n_triangles, transitivity_e6).
+    *
+    * Matching is supposed to be near-transitive (A≈B and B≈C should
+    * imply A≈C); global transitivity = 3·triangles/wedges measures
+    * exactly that, the record-linkage QA number that says whether
+    * q102's clusters are cliques (clean duplicates) or fragile
+    * chains (threshold too loose) — Wasserman & Faust's γ statistic
+    * over Fellegi–Sunter output.
+    *
+    * Counting is DEGREE-ORIENTED (Chiba & Nishizeki; the MapReduce
+    * form in Suri & Vassilvitskii 2011): orient every edge from the
+    * lower (degree, id) endpoint to the higher, enumerate wedges
+    * only at each node's OUT-neighbors (out-degree is bounded by
+    * O(√|E|) under orientation — a hub with a million matches
+    * generates wedges at its spokes, never at the hub), and close
+    * each wedge with one hash probe of the oriented edge set. The
+    * oracle counts the same triangles by id-ordered 3-way join
+    * (a < b < c) — orientation changes the WORK, never the count.
+    *
+    * 100 TB posture: |E| is already capped by q101's bounded pair
+    * generation (O(rows·W)); the wedge join is the only
+    * super-linear stage and orientation bounds it by arboricity —
+    * the standard scalable triangle plan. Everything else is a
+    * 1-row algebraic aggregate. */
+  def q109ErTriangles(s: SparkSession, dir: String): DataFrame = {
+    val edges = matchedPairs(s, dir)
+      .select(col("cust_a").as("a"), col("cust_b").as("b"))
+      .localCheckpoint(false) // one pair job; 4 consumers below
+    val bidir = edges.unionByName(
+      edges.select(col("b").as("a"), col("a").as("b")))
+      .toDF("u", "v")
+    val deg = bidir.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    // oriented edge u→v iff (d_u, u) < (d_v, v)
+    val oriented = bidir
+      .join(deg.select(col("u"), col("d").as("du")), "u")
+      .join(deg.select(col("u").as("v"), col("d").as("dv")), "v")
+      .filter(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")))
+      .select(col("u"), col("v"))
+      .localCheckpoint(false) // wedge pivot ×2 + closing probe
+    val wedgePairs = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.v").as("x"), col("e2.v").as("y"))
+    // a wedge (x, y) closes iff the oriented edge x→y or y→x exists;
+    // both orientations must be probed because (d, id) order between
+    // x and y is unrelated to their order around the pivot
+    val closing = oriented.select(
+      least(col("u"), col("v")).as("x"),
+      greatest(col("u"), col("v")).as("y"))
+    val tri = wedgePairs
+      .select(least(col("x"), col("y")).as("x"),
+        greatest(col("x"), col("y")).as("y"))
+      .join(closing, Seq("x", "y"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val sizes = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    val ecount = edges.agg(count(lit(1)).as("n_edges"))
+    sizes.crossJoin(broadcast(ecount)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"),
+        coalesce(col("n_wedges"), lit(0L)).as("n_wedges"),
+        col("n_triangles"))
+      .withColumn("transitivity_e6", expr(
+        "CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE 3 * n_triangles * 1000000 div n_wedges END"))
+  }
+
+  val q109ErTrianglesOracle: String =
+    s"""WITH $pairsSql,
+       |edges AS (SELECT cust_a AS a, cust_b AS b FROM matched),
+       |bidir AS (
+       |  SELECT a AS u, b AS v FROM edges
+       |  UNION ALL SELECT b AS u, a AS v FROM edges),
+       |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d
+       |        FROM bidir GROUP BY u),
+       |tri AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+       |  FROM edges ab
+       |  JOIN edges bc ON bc.a = ab.b
+       |  JOIN edges ac ON ac.a = ab.a AND ac.b = bc.b),
+       |sizes AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(coalesce(sum(d * (d - 1) // 2), 0) AS BIGINT)
+       |      AS n_wedges
+       |  FROM deg),
+       |ec AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges)
+       |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       |  CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE CAST(3 * n_triangles * 1000000 // n_wedges AS BIGINT)
+       |  END AS transitivity_e6
+       |FROM sizes CROSS JOIN ec CROSS JOIN tri""".stripMargin
 }

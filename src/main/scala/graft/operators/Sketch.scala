@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -381,4 +382,150 @@ object Sketch {
        |SELECT w AS token, n AS n_exact, CAST(e AS BIGINT) AS cms_est,
        |  CAST(e - n AS BIGINT) AS overshoot
        |FROM est ORDER BY n_exact DESC, token""".stripMargin
+
+  // ---- q103: KMV (k-minimum-values) set-operation sketch -----------
+
+  /** Sketch size: the k smallest hash values are kept per set. */
+  val KmvK = 128
+  /** Hex chars of md5 a KMV hash reads (48 bits — collision odds over
+    * a corpus vocabulary are ~|V|²/2⁴⁹, and a collision is CONSISTENT
+    * across engines anyway because both read the same digest). */
+  val KmvHex = 12
+  /** The hash space size 2^48 the k-th-minimum normalizes against. */
+  val KmvSpace: Long = 1L << (4 * KmvHex)
+  /** Scaled estimator numerator (k−1)·2^48 ≈ 3.6e16, inside BIGINT. */
+  val KmvNum: Long = (KmvK - 1).toLong * KmvSpace
+
+  /** q103: KMV distinct-count sketches with UNION/INTERSECTION
+    * algebra, calibrated against exact set operations — per source
+    * pair: (src_a, src_b, n_a, n_b, exact_inter, exact_union,
+    * est_union, est_inter, err_union_e4).
+    *
+    * The k-minimum-values sketch (Bar-Yossef et al. 2002; the
+    * Theta-sketch family, Dasgupta et al. 2016) keeps the [[KmvK]]
+    * smallest 48-bit hash values of each set. Where MinHash (q89)
+    * estimates only the Jaccard RATIO, KMV supports set-operation
+    * CARDINALITIES: the union sketch of two sets is the k smallest
+    * of the merged value lists with D̂(∪) = (k−1)·2⁴⁸/h₍k₎, and the
+    * intersection estimate is ρ/k · D̂(∪) where ρ counts union-sketch
+    * members present in both input sketches — the algebra behind
+    * "distinct users in segment A ∩ B" questions answered from
+    * per-segment sketches without rescanning 100 TB. A sketch
+    * holding fewer than k values IS its set (small-set exact path,
+    * both engines branch identically).
+    *
+    * 100 TB posture: ONE distinct (source, token) shuffle feeds both
+    * arms (the exact arm — the cost being escaped — needs it
+    * anyway); k-min selection runs on the distinct-HASH table
+    * (vocabulary-scale, sublinear in corpus) via a per-source
+    * window; everything pairwise operates on S sketch rows of ≤ k
+    * longs each — S·(S−1)/2 constant-size array ops, a broadcast
+    * BNLJ over ~500-byte rows (allow-listed; at deployment scale the
+    * sketch table IS the artifact you persist, and pair queries
+    * never touch the corpus). Exactness: pure integer arithmetic
+    * (48-bit hash decode, one `div` per estimate) — bit-identical in
+    * DuckDB. */
+  def q103KmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    // distinct (source, token) → distinct (source, 48-bit hash):
+    // vocabulary-scale after the one corpus-scale distinct
+    val hh = Tables.spread(Tables.load(s, dir, "documents"))
+      .select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .distinct()
+      .select(col("source"),
+        conv(substring(md5(col("w")), 1, KmvHex), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+      .localCheckpoint(false)
+    val kmin = hh
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("h"))))
+      .filter(col("rn") <= KmvK)
+      .groupBy(col("source"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"))
+    val counts = hh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = hh.as("a")
+      .join(hh.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    val sk = kmin.join(counts, "source")
+    sk.select(col("source").as("src_a"), col("hs").as("ha"),
+        col("n").as("n_a"))
+      .join(broadcast(sk.select(col("source").as("src_b"),
+        col("hs").as("hb"), col("n").as("n_b"))),
+        col("src_a") < col("src_b"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+      .withColumn("exact_union",
+        col("n_a") + col("n_b") - col("exact_inter"))
+      .withColumn("u", array_sort(array_distinct(
+        concat(col("ha"), col("hb")))))
+      .withColumn("est_union",
+        when(size(col("u")) <= KmvK, size(col("u")).cast("long"))
+          .otherwise(expr(s"$KmvNum div element_at(u, $KmvK)")))
+      .withColumn("rho",
+        size(array_intersect(slice(col("u"), 1, KmvK),
+          array_intersect(col("ha"), col("hb")))).cast("long"))
+      .withColumn("est_inter",
+        when(size(col("u")) <= KmvK,
+          size(array_intersect(col("ha"), col("hb"))).cast("long"))
+          .otherwise(expr(s"rho * est_union div $KmvK")))
+      .withColumn("err_union_e4",
+        expr("(est_union - exact_union) * 10000 div exact_union"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("exact_inter"), col("exact_union"), col("est_union"),
+        col("est_inter"), col("err_union_e4"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val q103KmvOverlapOracle: String =
+    s"""WITH dw AS (
+       |  SELECT DISTINCT source, w FROM (
+       |    SELECT source, unnest($tokensSql) AS w FROM documents)),
+       |hh AS (
+       |  SELECT DISTINCT source, (${hexSql("hx", KmvHex)}) AS h FROM (
+       |    SELECT source, substring(md5(w), 1, $KmvHex) AS hx FROM dw)),
+       |kmin AS (
+       |  SELECT source, list_sort(list(h)) AS hs FROM (
+       |    SELECT source, h, row_number() OVER (
+       |      PARTITION BY source ORDER BY h) AS rn FROM hh)
+       |  WHERE rn <= $KmvK GROUP BY source),
+       |cnt AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n
+       |  FROM hh GROUP BY source),
+       |inter AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    CAST(count(*) AS BIGINT) AS exact_inter
+       |  FROM hh a JOIN hh b ON a.h = b.h AND a.source < b.source
+       |  GROUP BY 1, 2),
+       |sk AS (
+       |  SELECT kmin.source AS source, hs, n
+       |  FROM kmin JOIN cnt ON kmin.source = cnt.source),
+       |calc AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    a.n AS n_a, b.n AS n_b,
+       |    coalesce(exact_inter, 0) AS exact_inter,
+       |    a.n + b.n - coalesce(exact_inter, 0) AS exact_union,
+       |    list_sort(list_distinct(a.hs || b.hs)) AS u,
+       |    a.hs AS ha, b.hs AS hb
+       |  FROM sk a JOIN sk b ON a.source < b.source
+       |  LEFT JOIN inter
+       |    ON inter.src_a = a.source AND inter.src_b = b.source),
+       |est AS (
+       |  SELECT src_a, src_b, n_a, n_b, exact_inter, exact_union,
+       |    CASE WHEN len(u) <= $KmvK THEN CAST(len(u) AS BIGINT)
+       |         ELSE CAST($KmvNum // u[$KmvK] AS BIGINT) END AS est_union,
+       |    u, ha, hb
+       |  FROM calc)
+       |SELECT src_a, src_b, n_a, n_b, exact_inter, exact_union,
+       |  est_union,
+       |  CASE WHEN len(u) <= $KmvK
+       |       THEN CAST(len(list_intersect(ha, hb)) AS BIGINT)
+       |       ELSE CAST(CAST(len(list_intersect(u[1:$KmvK],
+       |         list_intersect(ha, hb))) AS BIGINT)
+       |         * est_union // $KmvK AS BIGINT) END AS est_inter,
+       |  CAST((est_union - exact_union) * 10000 // exact_union
+       |    AS BIGINT) AS err_union_e4
+       |FROM est ORDER BY src_a, src_b""".stripMargin
 }

@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Optimizer-grade statistics and ranking operators: join-size
+  * estimation from collected column statistics (the ANALYZE TABLE
+  * machinery every cost-based optimizer runs, calibrated against the
+  * exact answer), and time-decayed popularity ranking.
+  */
+object Stats {
+
+  /** Heavy-hitter histogram size for q111's end-biased estimate. */
+  val HistK = 100
+
+  /** q111: join-cardinality estimation, calibrated — for two joins
+    * (the orders⋈lineitem PK/FK join and the skewed lineitem
+    * partkey self-join) compute the EXACT join output size next to
+    * the two estimates an optimizer would derive from collected
+    * stats, one row per join: (join_name, n_a, n_b, ndv_a, ndv_b,
+    * exact_rows, est_indep, est_hist, err_indep_e4, err_hist_e4).
+    *
+    * est_indep = n_a·n_b div max(ndv_a, ndv_b) — the textbook
+    * attribute-independence/containment assumption (Selinger 1979),
+    * the formula Spark's own CBO and every System-R descendant use
+    * when only (rowcount, NDV) exist. est_hist — the end-biased
+    * histogram (Ioannidis & Poosala): the [[HistK]] most frequent
+    * keys of side A contribute their EXACT product (their B counts
+    * are joined in), the tails fall back to independence:
+    * tail_a·tail_b div max(tail-NDVs). The calibration columns are
+    * the evidence for when cheap stats suffice and when the
+    * heavy-hitter histogram pays (the skew case).
+    *
+    * 100 TB posture: everything runs on per-KEY count tables
+    * (key-type scale, the q98 argument — one map-side-combined
+    * groupBy per side is the only corpus-scale work); the histogram
+    * is TakeOrderedAndProject(k); every estimate is a 1-row
+    * algebraic aggregate. Exact integer arithmetic throughout
+    * (DECIMAL(38,0) for the row products — n_a·n_b overflows BIGINT
+    * at warehouse scale). */
+  def q111JoinCard(s: SparkSession, dir: String): DataFrame = {
+    def stats(counts: DataFrame): DataFrame =
+      counts.agg(sum(col("c")).as("n"), count(lit(1)).as("ndv"))
+
+    def estimate(name: String, ca: DataFrame, cb: DataFrame): DataFrame = {
+      val a = ca.localCheckpoint(false)
+      val b = cb.localCheckpoint(false)
+      val top = a.orderBy(col("c").desc, col("k")).limit(HistK)
+        .select(col("k"), col("c").as("ca_top"))
+      // exact product over the histogram keys (B counts joined in);
+      // 1-row aggregates everywhere after
+      val hh = top.join(b.select(col("k"), col("c").as("cb_top")), Seq("k"), "left")
+        .agg(coalesce(sum(expr(
+          "CAST(ca_top AS DECIMAL(38,0)) * coalesce(cb_top, 0)")),
+          lit(0).cast("decimal(38,0)")).as("hh_rows"),
+          coalesce(sum(col("ca_top")), lit(0L)).as("na_top"),
+          coalesce(sum(col("cb_top")), lit(0L)).as("nb_top"),
+          coalesce(sum(when(col("cb_top").isNotNull, 1L).otherwise(0L)),
+            lit(0L)).as("ndv_b_top"),
+          count(lit(1)).as("ndv_a_top"))
+      val exact = a.join(b.select(col("k"), col("c").as("cb")), "k")
+        .agg(coalesce(sum(expr("CAST(c AS DECIMAL(38,0)) * cb")),
+          lit(0).cast("decimal(38,0)")).as("exact_rows"))
+      stats(a).crossJoin(broadcast(
+          stats(b).select(col("n").as("n_b"), col("ndv").as("ndv_b"))))
+        .select(col("n").as("n_a"), col("ndv").as("ndv_a"),
+          col("n_b"), col("ndv_b"))
+        .crossJoin(broadcast(hh))
+        .crossJoin(broadcast(exact))
+        .select(lit(name).as("join_name"), col("n_a"), col("n_b"),
+          col("ndv_a"), col("ndv_b"),
+          expr("CAST(exact_rows AS BIGINT)").as("exact_rows"),
+          expr("CAST(CAST(n_a AS DECIMAL(38,0)) * n_b" +
+            " div greatest(ndv_a, ndv_b) AS BIGINT)").as("est_indep"),
+          expr("CAST(hh_rows + CAST(n_a - na_top AS DECIMAL(38,0))" +
+            " * (n_b - nb_top)" +
+            " div greatest(ndv_a - ndv_a_top, ndv_b - ndv_b_top, 1)" +
+            " AS BIGINT)").as("est_hist"))
+        .withColumn("err_indep_e4", expr(
+          "CASE WHEN exact_rows = 0 THEN CAST(0 AS BIGINT)" +
+            " ELSE (est_indep - exact_rows) * 10000 div exact_rows END"))
+        .withColumn("err_hist_e4", expr(
+          "CASE WHEN exact_rows = 0 THEN CAST(0 AS BIGINT)" +
+            " ELSE (est_hist - exact_rows) * 10000 div exact_rows END"))
+    }
+
+    val ordersK = Tables.load(s, dir, "orders")
+      .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("c"))
+    val liOrderK = Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("c"))
+    val liPartK = Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("c"))
+    estimate("orders_lineitem_orderkey", ordersK, liOrderK)
+      .unionByName(estimate("lineitem_partkey_selfjoin", liPartK, liPartK))
+      .orderBy(col("join_name"))
+  }
+
+  val q111JoinCardOracle: String = {
+    def block(name: String, aSql: String, bSql: String): String =
+      s"""SELECT '$name' AS join_name, n_a, n_b, ndv_a, ndv_b,
+         |  CAST(exact_rows AS BIGINT) AS exact_rows,
+         |  CAST(CAST(n_a AS HUGEINT) * n_b
+         |    // greatest(ndv_a, ndv_b) AS BIGINT) AS est_indep,
+         |  CAST(hh_rows + CAST(n_a - na_top AS HUGEINT) * (n_b - nb_top)
+         |    // greatest(ndv_a - ndv_a_top, ndv_b - ndv_b_top, 1)
+         |    AS BIGINT) AS est_hist,
+         |  CASE WHEN exact_rows = 0 THEN 0
+         |    ELSE CAST((CAST(CAST(n_a AS HUGEINT) * n_b
+         |      // greatest(ndv_a, ndv_b) AS BIGINT) - exact_rows)
+         |      * 10000 // exact_rows AS BIGINT) END AS err_indep_e4,
+         |  CASE WHEN exact_rows = 0 THEN 0
+         |    ELSE CAST((CAST(hh_rows
+         |      + CAST(n_a - na_top AS HUGEINT) * (n_b - nb_top)
+         |      // greatest(ndv_a - ndv_a_top, ndv_b - ndv_b_top, 1)
+         |      AS BIGINT) - exact_rows)
+         |      * 10000 // exact_rows AS BIGINT) END AS err_hist_e4
+         |FROM (
+         |  SELECT
+         |    (SELECT CAST(sum(c) AS BIGINT) FROM ($aSql)) AS n_a,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM ($aSql)) AS ndv_a,
+         |    (SELECT CAST(sum(c) AS BIGINT) FROM ($bSql)) AS n_b,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM ($bSql)) AS ndv_b,
+         |    (SELECT CAST(coalesce(sum(CAST(a.c AS HUGEINT) * b.c), 0)
+         |       AS HUGEINT)
+         |     FROM ($aSql) a JOIN ($bSql) b ON a.k = b.k) AS exact_rows,
+         |    (SELECT CAST(coalesce(sum(CAST(t.c AS HUGEINT)
+         |       * coalesce(b.c, 0)), 0) AS HUGEINT)
+         |     FROM (SELECT * FROM ($aSql) ORDER BY c DESC, k
+         |           LIMIT $HistK) t
+         |     LEFT JOIN ($bSql) b ON t.k = b.k) AS hh_rows,
+         |    (SELECT CAST(coalesce(sum(c), 0) AS BIGINT)
+         |     FROM (SELECT * FROM ($aSql) ORDER BY c DESC, k
+         |           LIMIT $HistK)) AS na_top,
+         |    (SELECT CAST(count(*) AS BIGINT)
+         |     FROM (SELECT * FROM ($aSql) ORDER BY c DESC, k
+         |           LIMIT $HistK)) AS ndv_a_top,
+         |    (SELECT CAST(coalesce(sum(b.c), 0) AS BIGINT)
+         |     FROM (SELECT * FROM ($aSql) ORDER BY c DESC, k
+         |           LIMIT $HistK) t JOIN ($bSql) b ON t.k = b.k)
+         |      AS nb_top,
+         |    (SELECT CAST(count(*) AS BIGINT)
+         |     FROM (SELECT * FROM ($aSql) ORDER BY c DESC, k
+         |           LIMIT $HistK) t JOIN ($bSql) b ON t.k = b.k)
+         |      AS ndv_b_top)""".stripMargin
+    val ok = "SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS c" +
+      " FROM orders GROUP BY 1"
+    val lok = "SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c" +
+      " FROM lineitem GROUP BY 1"
+    val lpk = "SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c" +
+      " FROM lineitem GROUP BY 1"
+    s"""SELECT * FROM (
+       |${block("orders_lineitem_orderkey", ok, lok)}
+       |UNION ALL
+       |${block("lineitem_partkey_selfjoin", lpk, lpk)}
+       |) ORDER BY join_name""".stripMargin
+  }
+
+  /** q112 decay schedule: weight = 1024 >> (age_weeks div 13) — a
+    * quarterly half-life in pure bit-shift integers, zero after ~10
+    * quarters (shift clamped at 62). */
+  val DecayBase = 1024L
+  val DecayHalfLifeWeeks = 13L
+  val DecayTopK = 25
+
+  /** q112: time-decayed popularity ranking — the freshness-weighted
+    * leaderboard every feed/recommender pipeline maintains, in exact
+    * integer arithmetic: per part, decayed_score = Σ over its order
+    * lines of l_quantity · (1024 >> quarters_of_age), next to the
+    * undecayed all-time total; top [[DecayTopK]] parts by decayed
+    * score: (p_partkey, decayed_score, total_qty, n_orders).
+    *
+    * Age anchors to the corpus max(o_orderdate) computed in-query (a
+    * 1-row broadcast, the q36/q55 totals shape) so the result is a
+    * pure function of the data. The exponential decay is a power of
+    * two per [[DecayHalfLifeWeeks]]-week step: bit-exact on both
+    * engines, no floating point.
+    *
+    * 100 TB posture: ONE orderkey-keyed join (lineitem⋈orders, the
+    * unavoidable fact-to-fact shuffle), map-side weight arithmetic,
+    * one partkey-keyed map-side-combined aggregate, and a
+    * TakeOrderedAndProject(25) cut — decayed scores are plain sums,
+    * so the aggregate merges like any algebraic one (and would
+    * maintain incrementally under q57's MV treatment: yesterday's
+    * scores halve on schedule, today's rows add in). */
+  def q112DecayedPopularity(s: SparkSession, dir: String): DataFrame = {
+    val anchor = Tables.load(s, dir, "orders")
+      .agg(max(col("o_orderdate")).as("maxd"))
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+      .crossJoin(broadcast(anchor))
+      .select(col("o_orderkey"),
+        expr("datediff(maxd, o_orderdate) div 7").as("age_weeks"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("l_partkey"),
+        expr(s"shiftright($DecayBase, CAST(least(age_weeks" +
+          s" div $DecayHalfLifeWeeks, 62) AS INT))").as("w"),
+        col("l_quantity").cast("long").as("qty"))
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(sum(expr("qty * w")).as("decayed_score"),
+        sum(col("qty")).as("total_qty"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("decayed_score").desc, col("p_partkey").asc)
+      .limit(DecayTopK)
+  }
+
+  val q112DecayedPopularityOracle: String =
+    s"""WITH anchor AS (SELECT max(o_orderdate) AS maxd FROM orders),
+       |aged AS (
+       |  SELECT o_orderkey,
+       |    datediff('day', o_orderdate, maxd) // 7 AS age_weeks
+       |  FROM orders CROSS JOIN anchor),
+       |weighted AS (
+       |  SELECT l_partkey AS p_partkey,
+       |    $DecayBase >> least(age_weeks // $DecayHalfLifeWeeks, 62)
+       |      AS w,
+       |    CAST(l_quantity AS BIGINT) AS qty
+       |  FROM aged JOIN lineitem ON o_orderkey = l_orderkey)
+       |SELECT p_partkey,
+       |  CAST(sum(qty * w) AS BIGINT) AS decayed_score,
+       |  CAST(sum(qty) AS BIGINT) AS total_qty,
+       |  count(*) AS n_orders
+       |FROM weighted GROUP BY p_partkey
+       |ORDER BY decayed_score DESC, p_partkey ASC
+       |LIMIT $DecayTopK""".stripMargin
+}

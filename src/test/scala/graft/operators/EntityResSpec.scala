@@ -142,4 +142,32 @@ class EntityResSpec extends AnyFunSuite {
       EntityRes.q101ErBlocking(s, "/root/testdata/sf0.001"))
     assert(!a.cartesian && !a.bnlj && !a.globalWindow)
   }
+
+  test("q109: a match clique is one triangle at transitivity 1; a " +
+      "lone matched pair adds an edge but no wedge") {
+    // nation 1: three identical names → 3 pairwise matches (clique);
+    // nation 2: two identical names → one edge, degree-1 endpoints
+    val dir = customersDir(Seq(
+      (1L, "acme corp", 1, 0.0), (2L, "acme corp", 1, 0.0),
+      (3L, "acme corp", 1, 0.0),
+      (4L, "zen corp", 2, 0.0), (5L, "zen corp", 2, 0.0)))
+    val r = EntityRes.q109ErTriangles(s, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((5L, 4L, 3L, 1L, 1000000L)))
+  }
+
+  test("q109: an open chain has a wedge but no triangle — " +
+      "transitivity 0") {
+    // One block, three names X≈Y≈Z with X≉Z. Trigram sets: Y
+    // ("abcdefghij") has 8, X = Y with a "zab" head → 9
+    // (J(X,Y)=8/9=888888 ≥ τ), Z = Y plus "ijk","jkl" tail → 10
+    // (J(Y,Z)=8/10=800000 ≥ τ), while J(X,Z)=8/11=727272 < τ.
+    val dir = customersDir(Seq(
+      (1L, "zabcdefghij", 1, 0.0),
+      (2L, "abcdefghij", 1, 0.0),
+      (3L, "abcdefghijkl", 1, 0.0)))
+    val r = EntityRes.q109ErTriangles(s, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((3L, 2L, 1L, 0L, 0L)))
+  }
 }
