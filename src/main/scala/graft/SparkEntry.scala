@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Behavior, Bpe, Budget, Clustering, Dedup, EntityRes, Ivfpq, Layout, Lm, Multimodal, Overlap, Pipeline, Pipeline2, Pipeline3, Pq, Redact, Relational, Relational2, Retrieval, Similarity, Sketch, TextAnalysis, Threshold}
+import graft.operators.{Behavior, Bpe, Budget, Clustering, Dedup, EntityRes, Ivfpq, Keywords, Layout, Lm, Multimodal, OrderStats, Overlap, Pipeline, Pipeline2, Pipeline3, Pq, Quality, Redact, Relational, Relational2, Retrieval, Similarity, Sketch, Splits, Stats, TextAnalysis, Threshold}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -115,6 +115,26 @@ object SparkEntry {
     "q100_quantile_sketch" -> Threshold.q100QuantileSketch,
     "q101_er_blocking" -> EntityRes.q101ErBlocking,
     "q102_entity_clusters" -> EntityRes.q102EntityClusters,
+    "q103_kmv_overlap" -> Sketch.q103KmvOverlap,
+    "q104_scd2_islands" -> Behavior.q104Scd2Islands,
+    "q105_rake_keywords" -> Keywords.q105RakeKeywords,
+    "q106_ab_cuped" -> Behavior.q106AbCuped,
+    "q107_containment" -> Dedup.q107Containment,
+    "q108_split_leakage" -> Splits.q108SplitLeakage,
+    "q109_er_triangles" -> EntityRes.q109ErTriangles,
+    "q110_attribution" -> Behavior.q110Attribution,
+    "q111_join_card" -> Stats.q111JoinCard,
+    "q112_decayed_pop" -> Stats.q112DecayedPopularity,
+    "q113_profile" -> Quality.q113Profile,
+    "q114_basket_lift" -> Quality.q114BasketLift,
+    "q115_benford" -> Quality.q115Benford,
+    "q116_markov_transitions" -> Quality.q116MarkovTransitions,
+    "q117_ref_integrity" -> Quality.q117RefIntegrity,
+    "q118_rtbf_cascade" -> Quality.q118RtbfCascade,
+    "q119_ks_drift" -> OrderStats.q119KsDrift,
+    "q120_skyline" -> OrderStats.q120Skyline,
+    "q121_cohort_ltv" -> Behavior.q121CohortLtv,
+    "q122_mad_anomaly" -> Behavior.q122MadAnomaly,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -432,6 +452,26 @@ object SparkEntry {
     "q100_quantile_sketch" -> Threshold.q100QuantileSketchOracle,
     "q101_er_blocking" -> EntityRes.q101ErBlockingOracle,
     "q102_entity_clusters" -> EntityRes.q102EntityClustersOracle,
+    "q103_kmv_overlap" -> Sketch.q103KmvOverlapOracle,
+    "q104_scd2_islands" -> Behavior.q104Scd2IslandsOracle,
+    "q105_rake_keywords" -> Keywords.q105RakeKeywordsOracle,
+    "q106_ab_cuped" -> Behavior.q106AbCupedOracle,
+    "q107_containment" -> Dedup.q107ContainmentOracle,
+    "q108_split_leakage" -> Splits.q108SplitLeakageOracle,
+    "q109_er_triangles" -> EntityRes.q109ErTrianglesOracle,
+    "q110_attribution" -> Behavior.q110AttributionOracle,
+    "q111_join_card" -> Stats.q111JoinCardOracle,
+    "q112_decayed_pop" -> Stats.q112DecayedPopularityOracle,
+    "q113_profile" -> Quality.q113ProfileOracle,
+    "q114_basket_lift" -> Quality.q114BasketLiftOracle,
+    "q115_benford" -> Quality.q115BenfordOracle,
+    "q116_markov_transitions" -> Quality.q116MarkovTransitionsOracle,
+    "q117_ref_integrity" -> Quality.q117RefIntegrityOracle,
+    "q118_rtbf_cascade" -> Quality.q118RtbfCascadeOracle,
+    "q119_ks_drift" -> OrderStats.q119KsDriftOracle,
+    "q120_skyline" -> OrderStats.q120SkylineOracle,
+    "q121_cohort_ltv" -> Behavior.q121CohortLtvOracle,
+    "q122_mad_anomaly" -> Behavior.q122MadAnomalyOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,

@@ -571,4 +571,168 @@ object Behavior {
        |    AS n_last,
        |  CAST(sum(1000000 // jn) AS BIGINT) AS linear_e6
        |FROM ranked GROUP BY event_type ORDER BY channel""".stripMargin
+
+  /** q121: cohort lifetime-value matrix — the subscription-economics
+    * triangle: customers grouped by FIRST-order month (the cohort),
+    * revenue tracked by months-since-first (the age), cumulative
+    * within each cohort. Per (cohort, age) cell: (cohort_ym, age,
+    * n_cohort, n_active, rev_cents, cum_rev_cents,
+    * cum_rev_per_cust_cents).
+    *
+    * 100 TB posture: one customer-keyed aggregation for cohort
+    * assignment, one orders-side join back on the same key (both
+    * sides already hash-partitioned by custkey — AQE reuses the
+    * exchange), one (cohort × age) aggregation — months × months
+    * cells, constant-size — and the cumulative Window partitions BY
+    * COHORT (bounded rows per task). Cohort sizes re-join as a
+    * months-row broadcast. Integer cents everywhere. */
+  def q121CohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_custkey"),
+        expr("year(o_orderdate) * 12 + month(o_orderdate) - 1").as("m"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val cohort = o.groupBy(col("o_custkey")).agg(min(col("m")).as("cm"))
+      .localCheckpoint(false) // cells join + cohort sizes read it
+    val cell = o.join(cohort, "o_custkey")
+      .groupBy(col("cm"), (col("m") - col("cm")).as("age"))
+      .agg(sum(col("cents")).as("rev_cents"),
+        countDistinct(col("o_custkey")).as("n_active"))
+    val csize = cohort.groupBy(col("cm"))
+      .agg(count(lit(1)).as("n_cohort"))
+    val w = Window.partitionBy(col("cm")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cell.join(broadcast(csize), "cm")
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+      .withColumn("cum_rev_per_cust_cents",
+        expr("cum_rev_cents div n_cohort"))
+      .select(
+        expr("CAST((cm div 12) * 100 + (cm % 12) + 1 AS BIGINT)")
+          .as("cohort_ym"),
+        col("age").cast("long").as("age"), col("n_cohort"),
+        col("n_active"), col("rev_cents"), col("cum_rev_cents"),
+        col("cum_rev_per_cust_cents"))
+      .orderBy(col("cohort_ym"), col("age"))
+  }
+
+  val q121CohortLtvOracle: String =
+    """WITH o AS (
+      |  SELECT o_custkey,
+      |    year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |cohort AS (
+      |  SELECT o_custkey, min(m) AS cm FROM o GROUP BY 1),
+      |cell AS (
+      |  SELECT cm, o.m - cm AS age,
+      |    CAST(sum(cents) AS BIGINT) AS rev_cents,
+      |    CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active
+      |  FROM o JOIN cohort ON o.o_custkey = cohort.o_custkey
+      |  GROUP BY 1, 2),
+      |csize AS (
+      |  SELECT cm, CAST(count(*) AS BIGINT) AS n_cohort
+      |  FROM cohort GROUP BY 1)
+      |SELECT CAST((cm // 12) * 100 + (cm % 12) + 1 AS BIGINT)
+      |    AS cohort_ym,
+      |  CAST(age AS BIGINT) AS age, n_cohort, n_active, rev_cents,
+      |  CAST(sum(rev_cents) OVER (PARTITION BY cm ORDER BY age)
+      |    AS BIGINT) AS cum_rev_cents,
+      |  CAST(sum(rev_cents) OVER (PARTITION BY cm ORDER BY age)
+      |    AS BIGINT) // n_cohort AS cum_rev_per_cust_cents
+      |FROM cell JOIN csize USING (cm)
+      |ORDER BY cohort_ym, age""".stripMargin
+
+  /** q122: robust daily-rate anomaly report — q79's mean-based
+    * deviation breaks when the anomaly itself inflates the mean (the
+    * masking problem); this is the median/MAD version (Hampel's
+    * robust z): per event type over its daily counts — days
+    * observed, 2×median, 4×MAD, the max robust z (millis), days
+    * with z ≥ 3 MAD, and the (earliest) peak day. (event_type,
+    * n_days, med2, mad4, max_z_e3, n_anomalies, peak_day).
+    *
+    * Exactness: medians of integer counts land on halves — carried
+    * as med2 = 2·median and mad4 = 2·median(2|x−med|), both exactly
+    * integer, so z_e3 = 4|x−med|·1000 div 4·MAD is pure integer
+    * division. Both engines interpolate the even-count median
+    * identically (linear midpoint).
+    *
+    * 100 TB posture: one corpus shuffle to (type, day) counts with
+    * map-side combine; everything after runs on the daily table
+    * (types × days rows). The exact in-group median is a
+    * sort-based aggregate over ONE TYPE's days per task — bounded by
+    * the calendar, not the corpus; at a 1000-type deployment the
+    * same plan fans out 1000 tasks. */
+  def q122MadAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "events")
+      .groupBy(col("event_type"),
+        (expr("ts div 86400000000000") * 86400L).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(false) // median pass + deviation pass read it
+    val med = daily.groupBy(col("event_type"))
+      .agg(expr("CAST(round(percentile(n, 0.5) * 2) AS BIGINT)")
+        .as("med2"))
+    val dev = daily.join(broadcast(med), "event_type")
+      .withColumn("dev2", expr("abs(2 * n - med2)"))
+      .localCheckpoint(false) // MAD pass + z pass read it
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("CAST(round(percentile(dev2, 0.5) * 2) AS BIGINT)")
+        .as("mad4"))
+    val z = dev.join(broadcast(mad), "event_type")
+      .withColumn("z_e3",
+        expr("(dev2 * 2 * 1000) div greatest(mad4, 1)"))
+      .localCheckpoint(false) // stats + argmax read it
+    val stats = z.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), max(col("med2")).as("med2"),
+        max(col("mad4")).as("mad4"), max(col("z_e3")).as("max_z_e3"),
+        sum(when(col("z_e3") >= 3000L, 1L).otherwise(0L))
+          .as("n_anomalies"))
+      .localCheckpoint(false) // argmax probe + report read it
+    val peak = z
+      .join(broadcast(stats.select(col("event_type"),
+        col("max_z_e3"))), "event_type")
+      .filter(col("z_e3") === col("max_z_e3"))
+      .groupBy(col("event_type")).agg(min(col("day")).as("peak_day"))
+    stats.join(broadcast(peak), "event_type")
+      .select(col("event_type"), col("n_days"), col("med2"),
+        col("mad4"), col("max_z_e3"), col("n_anomalies"),
+        col("peak_day"))
+      .orderBy(col("event_type"))
+  }
+
+  val q122MadAnomalyOracle: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |med AS (
+      |  SELECT event_type,
+      |    CAST(round(quantile_cont(n, 0.5) * 2) AS BIGINT) AS med2
+      |  FROM daily GROUP BY 1),
+      |dev AS (
+      |  SELECT daily.event_type, day, n, med2,
+      |    abs(2 * n - med2) AS dev2
+      |  FROM daily JOIN med ON daily.event_type = med.event_type),
+      |mad AS (
+      |  SELECT event_type,
+      |    CAST(round(quantile_cont(dev2, 0.5) * 2) AS BIGINT) AS mad4
+      |  FROM dev GROUP BY 1),
+      |z AS (
+      |  SELECT dev.event_type, day, med2, mad4,
+      |    (dev2 * 2 * 1000) // greatest(mad4, 1) AS z_e3
+      |  FROM dev JOIN mad ON dev.event_type = mad.event_type),
+      |stats AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |    max(med2) AS med2, max(mad4) AS mad4,
+      |    max(z_e3) AS max_z_e3,
+      |    CAST(sum(CASE WHEN z_e3 >= 3000 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_anomalies
+      |  FROM z GROUP BY 1),
+      |peak AS (
+      |  SELECT z.event_type, min(day) AS peak_day
+      |  FROM z JOIN stats ON z.event_type = stats.event_type
+      |  WHERE z_e3 = max_z_e3 GROUP BY 1)
+      |SELECT stats.event_type, n_days, med2, mad4, max_z_e3,
+      |  n_anomalies, peak_day
+      |FROM stats JOIN peak ON stats.event_type = peak.event_type
+      |ORDER BY stats.event_type""".stripMargin
 }

@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Order-statistics operators that need a running scan over a global
+  * value order — exact two-sample Kolmogorov–Smirnov drift and the
+  * Pareto skyline — WITHOUT the one plan shape that cannot scale out
+  * (an unpartitioned Window = a single-partition sort of the whole
+  * input, banned by `graft.tools.Audit`).
+  *
+  * Both use the same two-phase distributed prefix scan (the classic
+  * parallel scan decomposition, Blelloch 1990): quantize the key
+  * space into [[PrefixBuckets]] range buckets from a 1-row bounds
+  * broadcast, aggregate one row per bucket, compute EXCLUSIVE
+  * per-bucket offsets inside one collected ≤[[PrefixBuckets]]-element
+  * array with the `aggregate` higher-order function (codegen'd
+  * Catalyst, no UDF, no join), then finish with a Window partitioned
+  * BY BUCKET — every task sees one bucket's rows, the global order is
+  * bucket-offset + in-bucket scan, and no executor ever holds more
+  * than one bucket range. The result is exact for any bucket
+  * boundaries, so the quantization needs no tuning beyond
+  * parallelism.
+  */
+object OrderStats {
+
+  /** Range buckets for the distributed prefix scan — bounds per-task
+    * state at |keys|/256 and the offset array at 256 entries. */
+  val PrefixBuckets = 256
+
+  /** q119: exact two-sample Kolmogorov–Smirnov drift test between
+    * the even- and odd-orderkey halves of the order-value
+    * distribution (the deploy-gate check a feature pipeline runs
+    * between yesterday's and today's corpus): D = sup |F₁(x) −
+    * F₂(x)|, reported scaled — one row: (at_cents, n1, n2, cum1,
+    * cum2, ks_e6) at the supremum (ties → smallest value).
+    *
+    * Exactness: the statistic is computed as max |cum1·n2 − cum2·n1|
+    * over distinct values — pure integers (DECIMAL(38,0)/HUGEINT:
+    * cum·n overflows BIGINT at warehouse scale), no division until
+    * the final ks_e6. The supremum row is TakeOrderedAndProject(1),
+    * never a full sort.
+    *
+    * 100 TB posture: ONE corpus-scale shuffle (per-value counts,
+    * map-side combined); the prefix scan runs on the distinct-value
+    * table — value-type scale, sublinear in corpus — partitioned by
+    * range bucket as described in the object doc. */
+  def q119KsDrift(s: SparkSession, dir: String): DataFrame = {
+    val perv = Tables.load(s, dir, "orders")
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        .as("cents"), (col("o_orderkey") % 2).as("grp"))
+      .groupBy(col("cents"))
+      .agg(sum(when(col("grp") === 0, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("c2"))
+      .localCheckpoint(false) // bounds + bucket totals + scan read it
+    val bounds = perv.agg(min(col("cents")).as("minc"),
+      max(col("cents")).as("maxc"),
+      sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val bucketed = perv.crossJoin(broadcast(bounds))
+      .withColumn("bucket", expr(
+        s"CAST((cents - minc) * $PrefixBuckets" +
+          " div (maxc - minc + 1) AS INT)"))
+    val offsets = bucketed.groupBy(col("bucket"))
+      .agg(sum(col("c1")).as("b1"), sum(col("c2")).as("b2"))
+      .agg(sort_array(collect_list(
+        struct(col("bucket"), col("b1"), col("b2")))).as("arr"))
+      .select(explode(expr(
+        """aggregate(arr,
+          |  named_struct('a1', CAST(0 AS BIGINT), 'a2', CAST(0 AS BIGINT),
+          |    'out', CAST(array() AS array<struct<bucket:int,o1:bigint,o2:bigint>>)),
+          |  (s, x) -> named_struct('a1', s.a1 + x.b1, 'a2', s.a2 + x.b2,
+          |    'out', array_append(s.out,
+          |      named_struct('bucket', x.bucket, 'o1', s.a1, 'o2', s.a2))),
+          |  s -> s.out)""".stripMargin)).as("o"))
+      .select(col("o.bucket").as("bucket"), col("o.o1").as("o1"),
+        col("o.o2").as("o2"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.join(broadcast(offsets), "bucket")
+      .withColumn("cum1", col("o1") + sum(col("c1")).over(w))
+      .withColumn("cum2", col("o2") + sum(col("c2")).over(w))
+      .withColumn("d", expr(
+        "abs(CAST(cum1 AS DECIMAL(38,0)) * n2" +
+          " - CAST(cum2 AS DECIMAL(38,0)) * n1)"))
+      .orderBy(col("d").desc, col("cents").asc)
+      .limit(1)
+      .select(col("cents").as("at_cents"), col("n1"), col("n2"),
+        col("cum1"), col("cum2"),
+        expr("CASE WHEN n1 * n2 = 0 THEN CAST(0 AS BIGINT)" +
+          " ELSE CAST(d * 1000000" +
+          " div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT) END")
+          .as("ks_e6"))
+  }
+
+  val q119KsDriftOracle: String =
+    """WITH o AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    o_orderkey % 2 AS grp FROM orders),
+      |perv AS (
+      |  SELECT cents,
+      |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      |  FROM o GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(c1) AS BIGINT) AS n1,
+      |    CAST(sum(c2) AS BIGINT) AS n2 FROM perv),
+      |cum AS (
+      |  SELECT cents,
+      |    CAST(sum(c1) OVER (ORDER BY cents) AS BIGINT) AS cum1,
+      |    CAST(sum(c2) OVER (ORDER BY cents) AS BIGINT) AS cum2
+      |  FROM perv)
+      |SELECT cents AS at_cents, n1, n2, cum1, cum2,
+      |  CASE WHEN n1 * n2 = 0 THEN 0
+      |    ELSE CAST(abs(CAST(cum1 AS HUGEINT) * n2
+      |      - CAST(cum2 AS HUGEINT) * n1) * 1000000
+      |      // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) END AS ks_e6
+      |FROM cum CROSS JOIN tot
+      |ORDER BY abs(CAST(cum1 AS HUGEINT) * n2
+      |  - CAST(cum2 AS HUGEINT) * n1) DESC, cents
+      |LIMIT 1""".stripMargin
+
+  /** q120: Pareto skyline (Börzsönyi/Kossmann/Stocker 2001's skyline
+    * operator, which Spark has no native plan for) over parts —
+    * cheapest-for-the-size frontier: a part survives iff no other
+    * part has price ≤ AND size ≥ with at least one strict. Returns
+    * (p_partkey, price_cents, p_size) for every frontier part,
+    * price-ascending.
+    *
+    * The 2-D skyline reduces to a strict prefix-max: collapse to one
+    * row per distinct price (its max size), then a part is on the
+    * frontier iff its size equals its price's max AND that max
+    * strictly exceeds the running max over all cheaper prices — the
+    * same bucket-offset + in-bucket Window scan as q119, exclusive
+    * frame in both phases. The DuckDB oracle is the DEFINITIONAL
+    * NOT-EXISTS dominance query, so the prefix-scan rewrite is
+    * verified against the semantics, not against itself.
+    *
+    * 100 TB posture: one shuffle to per-price maxima (price-type
+    * scale), the scan as in q119; the frontier re-join is an
+    * equi-join on price against the (typically tiny) frontier-price
+    * set. */
+  def q120Skyline(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.load(s, dir, "part")
+      .select(col("p_partkey"),
+        expr("CAST(round(p_retailprice * 100) AS BIGINT)")
+          .as("price_cents"),
+        col("p_size").cast("long").as("p_size"))
+      .localCheckpoint(false) // per-price maxima + frontier re-join
+    val perv = p.groupBy(col("price_cents"))
+      .agg(max(col("p_size")).as("msize"))
+      .localCheckpoint(false) // bounds + bucket maxima + scan read it
+    val bounds = perv.agg(min(col("price_cents")).as("minc"),
+      max(col("price_cents")).as("maxc"))
+    val bucketed = perv.crossJoin(broadcast(bounds))
+      .withColumn("bucket", expr(
+        s"CAST((price_cents - minc) * $PrefixBuckets" +
+          " div (maxc - minc + 1) AS INT)"))
+    val offsets = bucketed.groupBy(col("bucket"))
+      .agg(max(col("msize")).as("bm"))
+      .agg(sort_array(collect_list(struct(col("bucket"), col("bm"))))
+        .as("arr"))
+      .select(explode(expr(
+        """aggregate(arr,
+          |  named_struct('m', CAST(-1 AS BIGINT),
+          |    'out', CAST(array() AS array<struct<bucket:int,om:bigint>>)),
+          |  (s, x) -> named_struct('m', greatest(s.m, x.bm),
+          |    'out', array_append(s.out,
+          |      named_struct('bucket', x.bucket, 'om', s.m))),
+          |  s -> s.out)""".stripMargin)).as("o"))
+      .select(col("o.bucket").as("bucket"), col("o.om").as("om"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("price_cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = bucketed.join(broadcast(offsets), "bucket")
+      .withColumn("spm", greatest(col("om"),
+        coalesce(max(col("msize")).over(w), lit(-1L))))
+      .filter(col("msize") > col("spm"))
+      .select(col("price_cents"), col("msize"))
+    p.join(frontier, Seq("price_cents"))
+      .filter(col("p_size") === col("msize"))
+      .select(col("p_partkey"), col("price_cents"), col("p_size"))
+      .orderBy(col("price_cents"), col("p_partkey"))
+  }
+
+  val q120SkylineOracle: String =
+    """WITH p AS (
+      |  SELECT p_partkey,
+      |    CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+      |    CAST(p_size AS BIGINT) AS p_size
+      |  FROM part)
+      |SELECT p_partkey, price_cents, p_size FROM p a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM p b
+      |  WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+      |    AND (b.price_cents < a.price_cents OR b.p_size > a.p_size))
+      |ORDER BY price_cents, p_partkey""".stripMargin
+}

@@ -1,0 +1,428 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Data-quality and dataset-governance operators — the audit surface a
+  * production 100 TB pipeline runs before (and after) every training
+  * snapshot: single-pass column profiling, Benford first-digit anomaly
+  * screening, referential-integrity/uniqueness audits, market-basket
+  * association mining, event-transition (Markov) matrices, and a
+  * right-to-be-forgotten cascade audit.
+  *
+  * Everything is exact integer arithmetic (ppm fixed-point, HUGEINT /
+  * DECIMAL(38,0) for row products) so the DuckDB oracles match
+  * bit-for-bit, and every operator collapses to key-type-scale or
+  * constant-size state after one (or zero) corpus-scale shuffles.
+  */
+object Quality {
+
+  /** q114: minimum pair support before a rule is reported — below
+    * this, lift estimates are noise (and the report unbounded). */
+  val BasketMinSupport = 20L
+
+  /** q118: a customer key is in the deletion-request set iff
+    * key % RtbfMod == 0 (a deterministic ~1% sample standing in for
+    * an erasure-request table). */
+  val RtbfMod = 97L
+
+  /** q113: single-pass column profiler (the ANALYZE / Deequ-style
+    * snapshot audit): per profiled column — row count, null count,
+    * exact NDV, lexicographic min/max of the canonical string form.
+    * One row per column: (col_name, n_rows, n_null, ndv, min_v,
+    * max_v).
+    *
+    * 100 TB posture: ONE pass — each row explodes into k=5
+    * (col_name, value) pairs map-side (the stack IS the work; there
+    * is no per-column rescan), then a single aggregation keyed by
+    * col_name. The exact-NDV rewrite shuffles distinct
+    * (col_name, value) pairs — bounded by k × per-column NDV, and the
+    * only corpus-scale exchange in the plan. Monetary/date columns
+    * are canonicalized to integer strings (cents, epoch seconds) so
+    * both engines order and dedup identical byte sequences. */
+  def q113Profile(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    li.select(explode(array(
+        struct(lit("l_partkey").as("col_name"),
+          col("l_partkey").cast("string").as("v")),
+        struct(lit("l_qty_cents").as("col_name"),
+          expr("CAST(CAST(round(l_quantity * 100) AS BIGINT) AS STRING)")
+            .as("v")),
+        struct(lit("l_returnflag").as("col_name"),
+          col("l_returnflag").as("v")),
+        struct(lit("l_shipdate_epoch").as("col_name"),
+          expr("CAST(unix_timestamp(l_shipdate) AS STRING)").as("v")),
+        struct(lit("l_discount_cents").as("col_name"),
+          expr("CAST(CAST(round(l_discount * 100) AS BIGINT) AS STRING)")
+            .as("v")))).as("kv"))
+      .select(col("kv.col_name").as("col_name"), col("kv.v").as("v"))
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col("v")).as("ndv"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+      .orderBy(col("col_name"))
+  }
+
+  val q113ProfileOracle: String =
+    """WITH st AS (
+      |  SELECT 'l_partkey' AS col_name,
+      |    CAST(l_partkey AS VARCHAR) AS v FROM lineitem
+      |  UNION ALL SELECT 'l_qty_cents',
+      |    CAST(CAST(round(l_quantity * 100) AS BIGINT) AS VARCHAR)
+      |    FROM lineitem
+      |  UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem
+      |  UNION ALL SELECT 'l_shipdate_epoch',
+      |    CAST(CAST(floor(epoch(l_shipdate)) AS BIGINT) AS VARCHAR)
+      |    FROM lineitem
+      |  UNION ALL SELECT 'l_discount_cents',
+      |    CAST(CAST(round(l_discount * 100) AS BIGINT) AS VARCHAR)
+      |    FROM lineitem)
+      |SELECT col_name, count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_null,
+      |  CAST(count(DISTINCT v) AS BIGINT) AS ndv,
+      |  min(v) AS min_v, max(v) AS max_v
+      |FROM st GROUP BY col_name ORDER BY col_name""".stripMargin
+
+  /** q114: market-basket association rules (Agrawal & Srikant 1994's
+    * support/confidence frame, plus lift) over order baskets at brand
+    * granularity: per unordered brand pair with support ≥
+    * [[BasketMinSupport]] — (item_a, item_b, supp_ab, supp_a, supp_b,
+    * n_baskets, conf_ab_e6, lift_e6), lift-descending.
+    *
+    * 100 TB posture: the corpus-scale work is one distinct over
+    * (basket, item) — basket-local pair expansion is bounded by the
+    * per-basket distinct-item count squared (TPC-H baskets hold ≤ 7
+    * lines; real carts are similarly dwarfed by corpus size), and the
+    * pair space itself is ≤ |items|², so support counts collapse
+    * map-side to a constant-size table. The brand dimension rides a
+    * broadcast; marginals join back as 25-row broadcasts; the 1-row
+    * basket total is the intended constant crossJoin. DECIMAL(38,0)
+    * for supp·n products — BIGINT overflows at warehouse scale. */
+  def q114BasketLift(s: SparkSession, dir: String): DataFrame = {
+    val items = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(broadcast(Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+      .distinct()
+      .localCheckpoint(false) // pairs + marginals + total read it
+    val nb = items.select(col("basket")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val supp = items.groupBy(col("item")).agg(count(lit(1)).as("s"))
+    items.as("a")
+      .join(items.as("b"),
+        col("a.basket") === col("b.basket") &&
+          col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("supp_ab"))
+      .filter(col("supp_ab") >= BasketMinSupport)
+      .join(broadcast(supp.select(col("item").as("item_a"),
+        col("s").as("supp_a"))), "item_a")
+      .join(broadcast(supp.select(col("item").as("item_b"),
+        col("s").as("supp_b"))), "item_b")
+      .crossJoin(broadcast(nb))
+      .withColumn("conf_ab_e6", expr("supp_ab * 1000000 div supp_a"))
+      .withColumn("lift_e6", expr(
+        "CAST(CAST(supp_ab AS DECIMAL(38,0)) * n_baskets * 1000000" +
+          " div (CAST(supp_a AS DECIMAL(38,0)) * supp_b) AS BIGINT)"))
+      .select(col("item_a"), col("item_b"), col("supp_ab"),
+        col("supp_a"), col("supp_b"), col("n_baskets"),
+        col("conf_ab_e6"), col("lift_e6"))
+      .orderBy(col("lift_e6").desc, col("item_a"), col("item_b"))
+  }
+
+  val q114BasketLiftOracle: String =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |nb AS (
+       |  SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets
+       |  FROM items),
+       |supp AS (
+       |  SELECT item, CAST(count(*) AS BIGINT) AS s
+       |  FROM items GROUP BY item),
+       |pairs AS (
+       |  SELECT a.item AS item_a, b.item AS item_b,
+       |    CAST(count(*) AS BIGINT) AS supp_ab
+       |  FROM items a JOIN items b
+       |    ON a.basket = b.basket AND a.item < b.item
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= $BasketMinSupport)
+       |SELECT item_a, item_b, supp_ab,
+       |  sa.s AS supp_a, sb.s AS supp_b, n_baskets,
+       |  supp_ab * 1000000 // sa.s AS conf_ab_e6,
+       |  CAST(CAST(supp_ab AS HUGEINT) * n_baskets * 1000000
+       |    // (CAST(sa.s AS HUGEINT) * sb.s) AS BIGINT) AS lift_e6
+       |FROM pairs
+       |JOIN supp sa ON sa.item = item_a
+       |JOIN supp sb ON sb.item = item_b
+       |CROSS JOIN nb
+       |ORDER BY lift_e6 DESC, item_a, item_b""".stripMargin
+
+  /** q115: Benford first-significant-digit screening over order
+    * totals (Benford 1938; the classic synthetic-data / fraud
+    * tripwire): per leading digit of the cent amount — observed
+    * count, observed ppm, the Benford expectation log10(1+1/d) in
+    * ppm (exact literal constants, summing to exactly 10⁶), and the
+    * signed deviation. (digit, observed, n, obs_ppm, exp_ppm,
+    * dev_ppm).
+    *
+    * 100 TB posture: one scan collapsing map-side to ≤ 9 groups; the
+    * 1-row total rides the intended constant crossJoin. Leading
+    * digit is taken textually from the BIGINT cents — no float log
+    * anywhere, so both engines agree bit-for-bit. */
+  def q115Benford(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "orders")
+      .select(expr(
+        "CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)" +
+          " AS STRING), 1, 1) AS BIGINT)").as("digit"))
+    val counts = d.groupBy(col("digit")).agg(count(lit(1)).as("observed"))
+    val n = d.agg(count(lit(1)).as("n"))
+    counts.crossJoin(broadcast(n))
+      .withColumn("obs_ppm", expr("observed * 1000000 div n"))
+      .withColumn("exp_ppm", expr(s"CAST($BenfordPpmCase AS BIGINT)"))
+      .withColumn("dev_ppm", expr("obs_ppm - exp_ppm"))
+      .select(col("digit"), col("observed"), col("n"), col("obs_ppm"),
+        col("exp_ppm"), col("dev_ppm"))
+      .orderBy(col("digit"))
+  }
+
+  /** round(log10(1+1/d)·10⁶) for d = 1..9 — the nine constants sum to
+    * exactly 1,000,000, so ppm comparisons need no remainder fixup. */
+  private val BenfordPpmCase: String =
+    """CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+      |WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+      |WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+      |WHEN 9 THEN 45757 ELSE 0 END""".stripMargin.replace('\n', ' ')
+
+  val q115BenfordOracle: String =
+    s"""WITH d AS (
+       |  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100)
+       |    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+       |  FROM orders),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+       |c AS (SELECT digit, count(*) AS observed FROM d GROUP BY digit)
+       |SELECT digit, CAST(observed AS BIGINT) AS observed, n,
+       |  observed * 1000000 // n AS obs_ppm,
+       |  CAST($BenfordPpmCase AS BIGINT) AS exp_ppm,
+       |  observed * 1000000 // n - ($BenfordPpmCase) AS dev_ppm
+       |FROM c CROSS JOIN n ORDER BY digit""".stripMargin
+
+  /** q116: first-order Markov transition matrix over each user's
+    * event stream (the session-flow model behind next-event
+    * prediction and funnel-drop diagnostics): per (prev_type,
+    * next_type) — transition count, the source-state total, and the
+    * conditional probability in ppm. (prev_type, next_type, n,
+    * n_prev, p_ppm).
+    *
+    * 100 TB posture: ONE user-keyed shuffle for the lag window
+    * (partition-by user_id — high-cardinality, skew-free); the pair
+    * table is |event types|² rows, its marginals derive FROM the pair
+    * table (no second corpus pass) and join back as a broadcast.
+    * Ordering ties broken by event_id on both engines. */
+  def q116MarkovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val cnt = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(false) // marginals derive from it: one window pass
+    val marg = cnt.groupBy(col("prev_type"))
+      .agg(sum(col("n")).as("n_prev"))
+    cnt.join(broadcast(marg), "prev_type")
+      .withColumn("p_ppm", expr("n * 1000000 div n_prev"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        col("n_prev"), col("p_ppm"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  val q116MarkovTransitionsOracle: String =
+    """WITH tr AS (
+      |  SELECT lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev_type,
+      |    event_type AS next_type
+      |  FROM events),
+      |cnt AS (
+      |  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM tr WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |marg AS (
+      |  SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_prev
+      |  FROM cnt GROUP BY 1)
+      |SELECT cnt.prev_type, next_type, n, n_prev,
+      |  n * 1000000 // n_prev AS p_ppm
+      |FROM cnt JOIN marg ON cnt.prev_type = marg.prev_type
+      |ORDER BY cnt.prev_type, next_type""".stripMargin
+
+  /** q117: referential-integrity and uniqueness audit (the Deequ-style
+    * constraint suite a warehouse runs on every snapshot): one row
+    * per check — (check_name, n_total, n_bad). FK checks count orphan
+    * child rows (no matching parent key); PK checks count excess
+    * duplicate rows (rows − distinct keys).
+    *
+    * 100 TB posture: each FK arm is one child scan with a LEFT join
+    * against the parent's distinct-key projection (dims broadcast,
+    * fact-fact on the shuffled key) collapsed by a countIf — no row
+    * ever leaves the aggregate; each PK arm is a single
+    * count/countDistinct pass. Arms union as 1-row frames.
+    * A real deployment fuses arms per child table; the per-arm
+    * decomposition keeps each check independently skippable. */
+  def q117RefIntegrity(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(s, dir, "lineitem")
+    val o = Tables.load(s, dir, "orders")
+    val c = Tables.load(s, dir, "customer")
+    val p = Tables.load(s, dir, "part")
+    val ev = Tables.load(s, dir, "events")
+
+    def fk(name: String, child: DataFrame, ck: String,
+        parentKeys: DataFrame, pk: String,
+        bcast: Boolean): DataFrame = {
+      val pkeys0 = parentKeys.select(col(pk)).distinct()
+      val pkeys = if (bcast) broadcast(pkeys0) else pkeys0
+      child.select(col(ck))
+        .join(pkeys, col(ck) === col(pk), "left")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col(pk).isNull, 1L).otherwise(0L)).as("n_bad"))
+        .select(lit(name).as("check_name"), col("n_total"), col("n_bad"))
+    }
+    def pkUnique(name: String, t: DataFrame, k: String): DataFrame =
+      t.agg(count(lit(1)).as("n_total"),
+          (count(lit(1)) - countDistinct(col(k))).as("n_bad"))
+        .select(lit(name).as("check_name"), col("n_total"), col("n_bad"))
+
+    fk("lineitem_fk_orderkey", li, "l_orderkey", o, "o_orderkey",
+        bcast = false)
+      .unionByName(fk("lineitem_fk_partkey", li, "l_partkey", p,
+        "p_partkey", bcast = true))
+      .unionByName(fk("orders_fk_custkey", o, "o_custkey", c,
+        "c_custkey", bcast = true))
+      .unionByName(fk("events_fk_user", ev, "user_id", c, "c_custkey",
+        bcast = true))
+      .unionByName(pkUnique("orders_pk_unique", o, "o_orderkey"))
+      .unionByName(pkUnique("customer_pk_unique", c, "c_custkey"))
+      .orderBy(col("check_name"))
+  }
+
+  val q117RefIntegrityOracle: String =
+    """SELECT * FROM (
+      |  SELECT 'lineitem_fk_orderkey' AS check_name,
+      |    CAST(count(*) AS BIGINT) AS n_total,
+      |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_bad
+      |  FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders)
+      |    ON l_orderkey = o_orderkey
+      |  UNION ALL
+      |  SELECT 'lineitem_fk_partkey', CAST(count(*) AS BIGINT),
+      |    CAST(sum(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT)
+      |  FROM lineitem LEFT JOIN (SELECT DISTINCT p_partkey FROM part)
+      |    ON l_partkey = p_partkey
+      |  UNION ALL
+      |  SELECT 'orders_fk_custkey', CAST(count(*) AS BIGINT),
+      |    CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT)
+      |  FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer)
+      |    ON o_custkey = c_custkey
+      |  UNION ALL
+      |  SELECT 'events_fk_user', CAST(count(*) AS BIGINT),
+      |    CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT)
+      |  FROM events LEFT JOIN (SELECT DISTINCT c_custkey FROM customer)
+      |    ON user_id = c_custkey
+      |  UNION ALL
+      |  SELECT 'orders_pk_unique', CAST(count(*) AS BIGINT),
+      |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'customer_pk_unique', CAST(count(*) AS BIGINT),
+      |    CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+      |  FROM customer
+      |) ORDER BY check_name""".stripMargin
+
+  /** q118: right-to-be-forgotten cascade audit — given a
+    * deterministic erasure-request set (customer keys ≡ 0 mod
+    * [[RtbfMod]], a ~1% stand-in for a request table), count the rows
+    * each table would lose when the deletion cascades through the FK
+    * graph (customer → orders → lineitem; customer → events): one row
+    * per table — (table_name, n_total, n_affected, pct_ppm).
+    *
+    * 100 TB posture: the request set is small and selective by
+    * nature — it broadcasts into LEFT SEMI joins against each child
+    * scan (never a shuffle of the fact side); the order→lineitem hop
+    * semi-joins on the shuffled orderkey only because the affected
+    * order set grows with the request set (AQE turns it back into a
+    * broadcast when it fits). Each arm collapses to one row before
+    * the 4-row union. This IS the delete workload's cost model:
+    * the audit's plan shape is the delete's plan shape. */
+  def q118RtbfCascade(s: SparkSession, dir: String): DataFrame = {
+    val delc = Tables.load(s, dir, "customer")
+      .filter(col("c_custkey") % RtbfMod === 0)
+      .select(col("c_custkey"))
+      .localCheckpoint(false) // read by 3 arms + own count
+    val o = Tables.load(s, dir, "orders")
+    val affOrders = o.join(broadcast(delc),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"))
+      .localCheckpoint(false) // lineitem arm + own count
+
+    def arm(name: String, total: DataFrame, affected: DataFrame)
+        : DataFrame =
+      total.agg(count(lit(1)).as("n_total"))
+        .crossJoin(broadcast(
+          affected.agg(count(lit(1)).as("n_affected"))))
+        .select(lit(name).as("table_name"), col("n_total"),
+          col("n_affected"),
+          expr("n_affected * 1000000 div n_total").as("pct_ppm"))
+
+    val li = Tables.load(s, dir, "lineitem")
+    val ev = Tables.load(s, dir, "events")
+    val c = Tables.load(s, dir, "customer")
+    arm("customer", c, delc)
+      .unionByName(arm("orders", o, affOrders))
+      .unionByName(arm("lineitem", li,
+        li.join(affOrders, col("l_orderkey") === col("o_orderkey"),
+          "left_semi")))
+      .unionByName(arm("events", ev,
+        ev.join(broadcast(delc), col("user_id") === col("c_custkey"),
+          "left_semi")))
+      .orderBy(col("table_name"))
+  }
+
+  val q118RtbfCascadeOracle: String =
+    s"""WITH delc AS (
+       |  SELECT c_custkey FROM customer WHERE c_custkey % $RtbfMod = 0),
+       |affo AS (
+       |  SELECT o_orderkey FROM orders
+       |  WHERE o_custkey IN (SELECT c_custkey FROM delc)),
+       |arms AS (
+       |  SELECT 'customer' AS table_name,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_total,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM delc) AS n_affected
+       |  UNION ALL
+       |  SELECT 'orders',
+       |    (SELECT CAST(count(*) AS BIGINT) FROM orders),
+       |    (SELECT CAST(count(*) AS BIGINT) FROM affo)
+       |  UNION ALL
+       |  SELECT 'lineitem',
+       |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+       |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+       |     WHERE l_orderkey IN (SELECT o_orderkey FROM affo))
+       |  UNION ALL
+       |  SELECT 'events',
+       |    (SELECT CAST(count(*) AS BIGINT) FROM events),
+       |    (SELECT CAST(count(*) AS BIGINT) FROM events
+       |     WHERE user_id IN (SELECT c_custkey FROM delc)))
+       |SELECT table_name, n_total, n_affected,
+       |  n_affected * 1000000 // n_total AS pct_ppm
+       |FROM arms ORDER BY table_name""".stripMargin
+}

@@ -107,5 +107,40 @@ object PlanAudit {
       "q96_zorder_layout",
       // q98 broadcasts its 1-row bigram-type total (Nb) — the
       // q36/q55 totals shape.
-      "q98_kn_bigram")
+      "q98_kn_bigram",
+      // q103's pairwise sketch comparison joins S source-sketch rows
+      // (S = |sources|, ~500 bytes each) against themselves under
+      // src_a < src_b — at deployment scale the sketch table IS the
+      // persisted artifact and S·(S−1)/2 stays driver-tiny while the
+      // one corpus-scale distinct ran long before this join.
+      "q103_kmv_overlap",
+      // q106 crossJoins the per-event scan with its broadcast 1-row
+      // (tmin, tmax) bounds aggregate — the q36/q55 totals shape.
+      "q106_ab_cuped",
+      // q108's final report crossJoins the ~3-row per-split frame
+      // with its broadcast 1-row leakage-audit aggregate.
+      "q108_split_leakage",
+      // q109's report row crossJoins three 1-row aggregates
+      // (sizes × edge count × triangle count).
+      "q109_er_triangles",
+      // q111 assembles each estimate row from 1-row aggregates
+      // (stats_a × stats_b × histogram × exact) — totals shape.
+      "q111_join_card",
+      // q112 broadcasts the 1-row max-order-date anchor against the
+      // orders scan — the q36/q55 totals shape.
+      "q112_decayed_pop",
+      // q114's rule report crossJoins the ≤|brands|² pair table with
+      // its broadcast 1-row basket total — totals shape.
+      "q114_basket_lift",
+      // q115 crossJoins ≤9 digit groups with the broadcast 1-row
+      // total — totals shape.
+      "q115_benford",
+      // q118's per-table arms each crossJoin two 1-row count
+      // aggregates — totals shape.
+      "q118_rtbf_cascade",
+      // q119/q120 crossJoin the distinct-value table with its
+      // broadcast 1-row bounds aggregate to derive range buckets —
+      // the q96 quantization shape.
+      "q119_ks_drift",
+      "q120_skyline")
 }
