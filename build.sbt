@@ -29,5 +29,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the ×100 (sf10) bench corpus with local[32] sits
+  // right at the edge of 8g — GC-timing-dependent heap OOMs killed
+  // two full sf10 suites mid-run (q107/q114, Aug 2026). sf0.1 runs
+  // never approached 8g; override with SPARK_DRIVER_MEM as needed.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

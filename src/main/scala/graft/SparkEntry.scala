@@ -135,6 +135,9 @@ object SparkEntry {
     "q120_skyline" -> OrderStats.q120Skyline,
     "q121_cohort_ltv" -> Behavior.q121CohortLtv,
     "q122_mad_anomaly" -> Behavior.q122MadAnomaly,
+    "q123_rfm_segments" -> OrderStats.q123RfmSegments,
+    "q124_session_paths" -> Behavior.q124SessionPaths,
+    "q125_conversion_lag" -> Behavior.q125ConversionLag,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -472,6 +475,9 @@ object SparkEntry {
     "q120_skyline" -> OrderStats.q120SkylineOracle,
     "q121_cohort_ltv" -> Behavior.q121CohortLtvOracle,
     "q122_mad_anomaly" -> Behavior.q122MadAnomalyOracle,
+    "q123_rfm_segments" -> OrderStats.q123RfmSegmentsOracle,
+    "q124_session_paths" -> Behavior.q124SessionPathsOracle,
+    "q125_conversion_lag" -> Behavior.q125ConversionLagOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,

@@ -735,4 +735,132 @@ object Behavior {
       |  n_anomalies, peak_day
       |FROM stats JOIN peak ON stats.event_type = peak.event_type
       |ORDER BY stats.event_type""".stripMargin
+
+  /** q124: top session paths — sequence mining over gap-sessionized
+    * event streams (the q58 sessions, gap = [[SessionGapSec]]): each
+    * session becomes its ordered event-type path ("view>click>
+    * purchase"), the report is the [[PathTopK]] most frequent paths —
+    * (path, n_events, n_sessions), frequency-descending. The
+    * flow-analysis primitive behind funnel discovery and UX
+    * navigation audits.
+    *
+    * 100 TB posture: the q58 shape — ONE user-keyed shuffle feeds
+    * both window passes and the per-session path assembly
+    * (sort_array over one SESSION's events: per-task state bounded
+    * by session length, not user count); path counting collapses
+    * map-side to the distinct-path table and the report is
+    * TakeOrderedAndProject([[PathTopK]]), never a full sort. */
+  def q124SessionPaths(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("t").asc, col("event_id").asc)
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000000000").as("t"))
+      .withColumn("prev", lag(col("t"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev").isNull ||
+          col("t") - col("prev") > SessionGapSec, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(byUser))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(expr("array_join(transform(sort_array(collect_list(" +
+        "struct(t, event_id, event_type))), x -> x.event_type), '>')")
+        .as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .select(col("path"),
+        size(split(col("path"), ">")).cast("long").as("n_events"),
+        col("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(PathTopK)
+  }
+
+  val PathTopK = 25
+
+  val q124SessionPathsOracle: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, event_type,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS t
+       |  FROM events),
+       |marked AS (
+       |  SELECT user_id, event_id, event_type, t,
+       |    CASE WHEN lag(t) OVER w IS NULL
+       |           OR t - lag(t) OVER w > $SessionGapSec
+       |         THEN 1 ELSE 0 END AS new_s
+       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+       |sess AS (
+       |  SELECT user_id, event_id, event_type, t,
+       |    sum(new_s) OVER (PARTITION BY user_id
+       |      ORDER BY t, event_id) AS sid
+       |  FROM marked),
+       |paths AS (
+       |  SELECT user_id, sid,
+       |    array_to_string(list(event_type ORDER BY t, event_id), '>')
+       |      AS path
+       |  FROM sess GROUP BY user_id, sid),
+       |cnt AS (
+       |  SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+       |  FROM paths GROUP BY path)
+       |SELECT path,
+       |  CAST(len(string_split(path, '>')) AS BIGINT) AS n_events,
+       |  n_sessions
+       |FROM cnt ORDER BY n_sessions DESC, path LIMIT $PathTopK"""
+      .stripMargin
+
+  /** q125: view→purchase conversion-lag histogram — for every
+    * purchase, the time since the user's most recent PRIOR view,
+    * bucketed into fixed human latency bands (plus a no-prior-view
+    * band): (bucket, n_conversions). The funnel-latency report
+    * behind attribution windows and session-timeout tuning.
+    *
+    * 100 TB posture: ONE user-keyed window shuffle (running
+    * conditional max over the strict past — per-task state is one
+    * long per user timeline), then a ≤6-group map-side collapse.
+    * Lag is computed in epoch NANOS on both engines (diffing
+    * per-event floored seconds would disagree with the floored
+    * nano-diff at sub-second offsets). */
+  def q125ConversionLag(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"))
+      .withColumn("pv",
+        max(when(col("event_type") === "view", col("ts"))).over(byUser))
+      .filter(col("event_type") === "purchase")
+      .withColumn("sec", expr("(ts - pv) div 1000000000"))
+      .withColumn("bucket", expr(
+        """CASE WHEN pv IS NULL THEN 'no_prior_view'
+          |WHEN sec < 60 THEN 'a_lt_1m'
+          |WHEN sec < 600 THEN 'b_lt_10m'
+          |WHEN sec < 3600 THEN 'c_lt_1h'
+          |WHEN sec < 86400 THEN 'd_lt_1d'
+          |ELSE 'e_ge_1d' END""".stripMargin.replace('\n', ' ')))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_conversions"))
+      .orderBy(col("bucket"))
+  }
+
+  val q125ConversionLagOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(epoch_ns(ts) AS BIGINT) AS tns
+      |  FROM events),
+      |pvd AS (
+      |  SELECT user_id, event_id, event_type, tns,
+      |    max(CASE WHEN event_type = 'view' THEN tns END) OVER (
+      |      PARTITION BY user_id ORDER BY tns, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv
+      |  FROM ev),
+      |lagged AS (
+      |  SELECT (tns - pv) // 1000000000 AS sec, pv
+      |  FROM pvd WHERE event_type = 'purchase')
+      |SELECT CASE WHEN pv IS NULL THEN 'no_prior_view'
+      |    WHEN sec < 60 THEN 'a_lt_1m'
+      |    WHEN sec < 600 THEN 'b_lt_10m'
+      |    WHEN sec < 3600 THEN 'c_lt_1h'
+      |    WHEN sec < 86400 THEN 'd_lt_1d'
+      |    ELSE 'e_ge_1d' END AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n_conversions
+      |FROM lagged GROUP BY 1 ORDER BY 1""".stripMargin
 }

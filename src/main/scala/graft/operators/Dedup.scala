@@ -670,61 +670,78 @@ object Dedup {
   val ContainDen = 5
 
   /** q107: containment near-duplicate pairs — the ASYMMETRIC measure
-    * C(A,B) = |A∩B|/min(|A|,|B|) ≥ 80% over word-3-shingle sets,
-    * catching a small document contained in a larger one (quoted
-    * posts, boilerplate-wrapped articles, partial crawls) that
-    * symmetric Jaccard dedup (J = |∩|/|∪| shrinks as the size gap
-    * grows) structurally misses (Broder 1997 distinguishes exactly
-    * these two resemblance/containment estimators). Returns
+    * C(A,B) = |A∩B|/min(|A|,|B|) ≥ 80%, catching a small document
+    * contained in a larger one (quoted posts, boilerplate-wrapped
+    * articles, partial crawls) that symmetric Jaccard dedup
+    * (J = |∩|/|∪| shrinks as the size gap grows) structurally misses
+    * (Broder 1997 distinguishes exactly these two
+    * resemblance/containment estimators). The measure runs over the
+    * SUB-BOILERPLATE shingle space: word-3-shingles with document
+    * frequency ≤ [[ContainDfCap]] — a shingle shared by more docs is
+    * corpus boilerplate and should neither create candidates NOR
+    * count as overlap evidence (counting it inflates containment
+    * between unrelated docs that share headers/footers). Returns
     * (inner_id, outer_id, n_inner, n_outer, n_inter,
-    * containment_pct): inner = the smaller shingle set (tie → the
+    * containment_pct): inner = the smaller gated set (tie → the
     * lower doc_id), containment_pct = |∩|·100 div |inner|.
     *
-    * Plan shape: ONE shingle pass (the minhash kernel), an inverted
-    * index exploded to (shingle, doc) postings, document-frequency
-    * gating 2 ≤ df ≤ [[ContainDfCap]] BEFORE the posting self-join —
-    * pair work is Σ df² ≤ cap·Σ df, linear in postings with the cap
-    * a constant — then one exact set-intersection verify per
-    * candidate (payload re-fetched by id, the dedup_minhash shape:
-    * heavy arrays never ride the candidate shuffle). Dropped
-    * boilerplate shingles are surfaced by an observed metric, never
-    * silent. 100 TB: identical shape, df cap doing the bounding. */
+    * Plan shape — NO shingle set ever rides a shuffle: shingles
+    * hash to 48-bit md5 prefixes at the scan (8-byte keys from
+    * there on, identical on both engines down to the ≈2⁻⁴⁸
+    * collisions), the inverted index is df-gated, per-pair overlap
+    * is COUNTED from the posting lists themselves (groupBy pair —
+    * the count IS |∩| over the gated space, no per-candidate
+    * set-intersection re-join), and per-doc gated sizes join back
+    * as two long-keyed equi-joins. Pair work is Σ df² ≤ cap·Σ df —
+    * linear in postings with the cap a constant. The earlier
+    * design verified candidates against FULL shingle arrays; at
+    * the ×100 bench scale cross-replica boilerplate in the df
+    * window made candidate volume super-linear and the array
+    * re-join spilled (372 s warm, the one 15×-gate breach) — this
+    * posting-count form removes the array arm entirely. Dropped
+    * boilerplate is surfaced by an observed metric, never silent. */
   def q107Containment(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.spread(Tables.load(s, dir, "documents"))
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .repartition(col("doc_id"))
-      .localCheckpoint(false)
-    val inv = base.select(col("doc_id"), explode(col("sh")).as("s"))
-    // df gate FIRST (counts only — no list is ever built for an
-    // over-cap shingle), then the posting list per surviving shingle
-    // is an array of ≤ [[ContainDfCap]] ids BY construction, pairs
-    // expanded in-row: no posting self-join. The df table rides the
-    // BROADCAST side of the gate join, and a broadcast-stage observe
-    // never reaches queryExecution.observedMetrics under AQE — so the
-    // cap metrics are computed on the join OUTPUT (the corpus-scale
-    // probe stream, q101-style max-based so the final sort's range-
-    // partitioner sampling pass cannot double-count).
+    // No barrier checkpoints here, deliberately: inv and the gate
+    // join are corpus-scale at ×100 (two resident MEMORY_AND_DISK
+    // copies OOM'd an 8 GB bench heap mid-suite), and every repeated
+    // subtree below — inv's distinct exchange, dfAll's aggregation
+    // exchange, the gate join's two shuffles — is IDENTICAL across
+    // the consumers, so ReuseExchange runs each once; only the cheap
+    // post-shuffle operators re-execute per consumer.
+    val inv = Tables.spread(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), explode(shingles(col("text"))).as("w"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(w), 1, 12), 16, 10) AS BIGINT)")
+          .as("s"))
+      .distinct() // in-doc hash collisions collapse (both engines)
     val dfAll = inv.groupBy(col("s")).agg(count(lit(1)).as("c"))
-    val cand = inv.join(dfAll, "s")
+    // df gate FIRST (counts only — no list is ever built for an
+    // over-cap shingle). The cap metrics are computed on the join
+    // OUTPUT (q101-style max-based so a re-read of the stream
+    // cannot double-count).
+    val keep = inv.join(dfAll, "s")
       .observe("q107_containment_df_cap",
         coalesce(max(col("c")), lit(0L)).as("max_df"),
         coalesce(max(when(col("c") > ContainDfCap, col("c"))
           .otherwise(0L)), lit(0L)).as("max_dropped_df"))
-      .filter(col("c").between(2, ContainDfCap))
+      .filter(col("c") <= ContainDfCap)
+    val sizes = keep.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nsz"))
+    // posting list per shared shingle is ≤ [[ContainDfCap]] ids BY
+    // construction, pairs expanded in-row (no posting self-join);
+    // the per-pair COUNT of shared gated shingles IS n_inter.
+    val pairs = keep.filter(col("c") >= 2)
       .groupBy(col("s"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .select(explode(Overlap.orderedPairs(col("ds"), (a, b) =>
         struct(a.as("da"), b.as("db")))).as("p"))
-      .select(col("p.da").as("da"), col("p.db").as("db"))
-      .distinct()
-    val sa = base.select(col("doc_id").as("da"), col("sh").as("sha"))
-    val sb = base.select(col("doc_id").as("db"), col("sh").as("shb"))
-    cand.join(sa, "da").join(sb, "db")
-      .select(col("da"), col("db"),
-        graft.functions.TextStatFunctions
-          .intersectCount(col("sha"), col("shb")).as("n_inter"),
-        size(col("sha")).cast("long").as("na"),
-        size(col("shb")).cast("long").as("nb"))
+      .groupBy(col("p.da").as("da"), col("p.db").as("db"))
+      .agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("da"), col("nsz").as("na")),
+        "da")
+      .join(sizes.select(col("doc_id").as("db"), col("nsz").as("nb")),
+        "db")
       .filter(col("n_inter") * ContainDen >=
         least(col("na"), col("nb")) * ContainNum)
       .select(
@@ -741,25 +758,32 @@ object Dedup {
   }
 
   val q107ContainmentOracle: String =
-    s"""WITH base AS (
-       |  SELECT doc_id, $shinglesSql AS sh FROM documents),
+    s"""WITH base0 AS (
+       |  SELECT doc_id, $shinglesSql AS sh0 FROM documents),
+       |hs AS (
+       |  SELECT doc_id, substring(md5(s0), 1, 12) AS hx
+       |  FROM (SELECT doc_id, unnest(sh0) AS s0 FROM base0)),
        |inv AS (
-       |  SELECT doc_id, unnest(sh) AS s FROM base),
+       |  SELECT DISTINCT doc_id, (${Sketch.hexSql("hx", 12)}) AS s
+       |  FROM hs),
        |df AS (
-       |  SELECT s FROM (SELECT s, count(*) AS c FROM inv GROUP BY s)
-       |  WHERE c BETWEEN 2 AND $ContainDfCap),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-       |  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  JOIN df ON df.s = a.s),
+       |  SELECT s, CAST(count(*) AS BIGINT) AS c FROM inv GROUP BY s),
+       |keep AS (
+       |  SELECT doc_id, inv.s, c FROM inv JOIN df ON inv.s = df.s
+       |  WHERE c <= $ContainDfCap),
+       |sizes AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nsz
+       |  FROM keep GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db,
+       |    CAST(count(*) AS BIGINT) AS n_inter
+       |  FROM keep a JOIN keep b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
        |ver AS (
-       |  SELECT da, db,
-       |    CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS n_inter,
-       |    CAST(len(x.sh) AS BIGINT) AS na,
-       |    CAST(len(y.sh) AS BIGINT) AS nb
-       |  FROM cand
-       |  JOIN base x ON x.doc_id = da
-       |  JOIN base y ON y.doc_id = db)
+       |  SELECT da, db, n_inter, x.nsz AS na, y.nsz AS nb
+       |  FROM pairs
+       |  JOIN sizes x ON x.doc_id = da
+       |  JOIN sizes y ON y.doc_id = db)
        |SELECT CASE WHEN nb < na THEN db ELSE da END AS inner_id,
        |  CASE WHEN nb < na THEN da ELSE db END AS outer_id,
        |  least(na, nb) AS n_inner, greatest(na, nb) AS n_outer,

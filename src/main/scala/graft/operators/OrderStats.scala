@@ -31,6 +31,40 @@ object OrderStats {
     * state at |keys|/256 and the offset array at 256 entries. */
   val PrefixBuckets = 256
 
+  /** Inclusive distributed prefix sum over a per-value count table
+    * (`key` non-negative, one row per distinct key): returns (key,
+    * cnt, cum) where cum = Σ cnt over keys ≤ key — the exact running
+    * CDF with NO unpartitioned Window, via the bucket-offset scan
+    * described in the object doc. Shared by q119 (dual-count variant
+    * inlined there) and q123's three quantile assignments. */
+  private[operators] def prefixCounts(perValue: DataFrame, key: String,
+      cnt: String): DataFrame = {
+    val bounds = perValue.agg(min(col(key)).as("minc"),
+      max(col(key)).as("maxc"))
+    val bucketed = perValue.crossJoin(broadcast(bounds))
+      .withColumn("bucket", expr(
+        s"CAST(($key - minc) * $PrefixBuckets" +
+          " div (maxc - minc + 1) AS INT)"))
+    val offsets = bucketed.groupBy(col("bucket"))
+      .agg(sum(col(cnt)).as("b1"))
+      .agg(sort_array(collect_list(struct(col("bucket"), col("b1"))))
+        .as("arr"))
+      .select(explode(expr(
+        """aggregate(arr,
+          |  named_struct('a1', CAST(0 AS BIGINT),
+          |    'out', CAST(array() AS array<struct<bucket:int,o1:bigint>>)),
+          |  (s, x) -> named_struct('a1', s.a1 + x.b1,
+          |    'out', array_append(s.out,
+          |      named_struct('bucket', x.bucket, 'o1', s.a1))),
+          |  s -> s.out)""".stripMargin)).as("o"))
+      .select(col("o.bucket").as("bucket"), col("o.o1").as("off"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col(key))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.join(broadcast(offsets), "bucket")
+      .withColumn("cum", col("off") + sum(col(cnt)).over(w))
+      .select(col(key), col(cnt), col("cum"))
+  }
+
   /** q119: exact two-sample Kolmogorov–Smirnov drift test between
     * the even- and odd-orderkey halves of the order-value
     * distribution (the deploy-gate check a feature pipeline runs
@@ -196,4 +230,91 @@ object OrderStats {
       |  WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size
       |    AND (b.price_cents < a.price_cents OR b.p_size > a.p_size))
       |ORDER BY price_cents, p_partkey""".stripMargin
+
+  /** q123: RFM (recency / frequency / monetary) customer
+    * segmentation — the classic marketing cube (Hughes 1994), which
+    * needs each customer's QUANTILE rank along three dimensions. The
+    * textbook formulation is `ntile(5) OVER (ORDER BY dim)` — an
+    * unpartitioned Window, the banned cannot-scale-out shape. Here
+    * each dimension's quintile comes from the exact running CDF over
+    * its distinct-value table ([[prefixCounts]]): quintile =
+    * (cum − 1)·5 div n_customers, ties sharing one cum hence one
+    * quintile on both engines. Output: one row per populated
+    * (r_q, f_q, m_q) segment — (r_q, f_q, m_q, n_customers,
+    * rev_cents), 0 = lowest value quintile.
+    *
+    * 100 TB posture: one custkey aggregation builds the RFM table;
+    * each dimension's CDF runs at VALUE-type scale (recency is
+    * calendar-bounded, frequency count-bounded; monetary is the wide
+    * one and still ≤ |customers|); the quintile maps join back as
+    * value-keyed equi-joins and the final cube is ≤ 5³ groups,
+    * map-side collapsed. The 1-row anchor/total aggregates ride the
+    * intended constant crossJoins. */
+  def q123RfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_custkey"),
+        expr("unix_timestamp(o_orderdate) div 86400").as("eday"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val anchor = o.agg(max(col("eday")).as("maxday"))
+    val rfm = o.groupBy(col("o_custkey"))
+      .agg(max(col("eday")).as("lastday"), count(lit(1)).as("f"),
+        sum(col("cents")).as("m"))
+      .crossJoin(broadcast(anchor))
+      .select(col("o_custkey"), (col("maxday") - col("lastday")).as("r"),
+        col("f"), col("m"))
+      .localCheckpoint(false) // three dim CDFs + the final joins
+    val nTot = rfm.agg(count(lit(1)).as("n_cust"))
+    def quintiles(dim: String): DataFrame =
+      prefixCounts(
+        rfm.groupBy(col(dim).as("v")).agg(count(lit(1)).as("cnt")),
+        "v", "cnt")
+        .crossJoin(broadcast(nTot))
+        .select(col("v"),
+          expr("CAST((cum - 1) * 5 div n_cust AS BIGINT)")
+            .as(s"${dim}_q"))
+    rfm
+      .join(quintiles("r"), col("r") === col("v")).drop("v")
+      .join(quintiles("f"), col("f") === col("v")).drop("v")
+      .join(quintiles("m"), col("m") === col("v")).drop("v")
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("m")).as("rev_cents"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
+  }
+
+  val q123RfmSegmentsOracle: String =
+    """WITH o AS (
+      |  SELECT o_custkey,
+      |    CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS eday,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |rfm AS (
+      |  SELECT o_custkey,
+      |    (SELECT max(eday) FROM o) - max(eday) AS r,
+      |    CAST(count(*) AS BIGINT) AS f,
+      |    CAST(sum(cents) AS BIGINT) AS m
+      |  FROM o GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_cust FROM rfm),
+      |rq AS (
+      |  SELECT v, CAST((cum - 1) * 5 // n_cust AS BIGINT) AS r_q
+      |  FROM (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM (
+      |    SELECT r AS v, count(*) AS cnt FROM rfm GROUP BY 1))
+      |  CROSS JOIN n),
+      |fq AS (
+      |  SELECT v, CAST((cum - 1) * 5 // n_cust AS BIGINT) AS f_q
+      |  FROM (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM (
+      |    SELECT f AS v, count(*) AS cnt FROM rfm GROUP BY 1))
+      |  CROSS JOIN n),
+      |mq AS (
+      |  SELECT v, CAST((cum - 1) * 5 // n_cust AS BIGINT) AS m_q
+      |  FROM (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM (
+      |    SELECT m AS v, count(*) AS cnt FROM rfm GROUP BY 1))
+      |  CROSS JOIN n)
+      |SELECT r_q, f_q, m_q,
+      |  CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(sum(m) AS BIGINT) AS rev_cents
+      |FROM rfm
+      |JOIN rq ON rfm.r = rq.v
+      |JOIN fq ON rfm.f = fq.v
+      |JOIN mq ON rfm.m = mq.v
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 }

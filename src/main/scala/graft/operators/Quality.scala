@@ -44,7 +44,12 @@ object Quality {
     * are canonicalized to integer strings (cents, epoch seconds) so
     * both engines order and dedup identical byte sequences. */
   def q113Profile(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(s, dir, "lineitem")
+    // spread: the ×5 stack-explode + string canonicalization is heavy
+    // per-row kernel work, and the bench corpus is single-row-group —
+    // without the exchange the whole stack runs as ONE task (measured
+    // 5.5 s → the spread recovers the session's parallelism; a no-op
+    // on a many-row-group production corpus).
+    val li = Tables.spread(Tables.load(s, dir, "lineitem"))
     li.select(explode(array(
         struct(lit("l_partkey").as("col_name"),
           col("l_partkey").cast("string").as("v")),

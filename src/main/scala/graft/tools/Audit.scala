@@ -138,9 +138,11 @@ object PlanAudit {
       // q118's per-table arms each crossJoin two 1-row count
       // aggregates — totals shape.
       "q118_rtbf_cascade",
-      // q119/q120 crossJoin the distinct-value table with its
-      // broadcast 1-row bounds aggregate to derive range buckets —
-      // the q96 quantization shape.
+      // q119/q120/q123 crossJoin the distinct-value table with its
+      // broadcast 1-row bounds/total aggregates to derive range
+      // buckets and quantile denominators — the q96 quantization
+      // shape.
       "q119_ks_drift",
-      "q120_skyline")
+      "q120_skyline",
+      "q123_rfm_segments")
 }

@@ -38,6 +38,23 @@ class ContainmentSpec extends AnyFunSuite {
     assert(2 * 4 < 18)
   }
 
+  test("q107: over-cap boilerplate counts neither as candidates nor " +
+      "as overlap evidence") {
+    // docs 3..60 are pure boilerplate ("footer foo bar", df 60 > cap).
+    // doc 1 ⊂ doc 2 plus both carry the boilerplate shingle: the
+    // gated measure sees n_inner = 4 (doc 1's sub-cap shingles),
+    // n_outer = 6, n_inter = 4 → 100% — the boilerplate shingle is
+    // excluded from sizes AND intersection on both engines.
+    val boiler = (3L to 60L).map(i => (i, "footer foo bar"))
+    val dir = docsDir(Seq(
+      (1L, "a b c d footer foo bar"),
+      (2L, "a b c d footer foo bar z1 z2")) ++ boiler)
+    val rows = Dedup.q107Containment(s, dir).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows === Seq((1L, 2L, 4L, 6L, 4L, 100L)))
+  }
+
   test("q107: boilerplate shingles past the df cap generate no pairs") {
     // 60 identical 2-token docs share ONE shingle with df 60 > cap →
     // dropped; 3 identical docs → df 3 → all C(3,2) pairs at 100
