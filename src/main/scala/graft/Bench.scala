@@ -24,13 +24,17 @@ object Bench {
     xs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
   private[graft] def shortName(n: String): String =
     if (n == "q49_skew_naive") "q49n"
+    else if (n == "q49_skew_salted") "q49s"
     else if (n.matches("q\\d+_.*")) n.takeWhile(_ != '_')
     else n
 
   /** The ONE stdout JSON line the driver tails. Must stay inside the
     * driver's ~2000-char capture window at ANY query count: the
     * short-name per-query map is kept while the line fits under 1500
-    * chars, otherwise dropped in favor of total + a pointer to the
+    * chars, otherwise reduced to the TOP-10 SLOWEST queries (the
+    * round-9 compact line carried only the total, and the driver's
+    * per-query parse came back null — the slowest-10 map keeps the
+    * line parseable AND bounded) plus total + a pointer to the
     * full-detail BENCH_FULL.json — so the printed line is bounded
     * whether the suite has 117 or 300 entries (BenchLineSpec pins
     * both regimes). */
@@ -39,7 +43,11 @@ object Bench {
     val withMap =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(warm.map { case (k, v) => shortName(k) -> v })},"sf":"$sfDir"}"""
     if (withMap.length <= 1500) withMap
-    else s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${warm.size},"bench_full":"$outPath","sf":"$sfDir"}"""
+    else {
+      val top10 = warm.sortBy(-_._2).take(10)
+        .map { case (k, v) => shortName(k) -> v }
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(top10)},"n_queries":${warm.size},"bench_full":"$outPath","sf":"$sfDir"}"""
+    }
   }
 
   private def gcMillis(): Long = {

@@ -78,7 +78,32 @@ object Sessions {
             exception: Exception): Unit = ()
       })
 
+  /** Wait (bounded) until no job is active AND no task is running.
+    * Straggler tasks of a finished query — AQE-cancelled stages are
+    * never thread-interrupted — report their accumulators to the
+    * DAGScheduler AFTER the action returns; if a GC has meanwhile
+    * collected the execution's weak-referenced SQL metrics, every
+    * late completion logs an `attempted to access non-existent
+    * accumulator` ERROR stack. Draining before [[releaseBlocks]]'s
+    * EXPLICIT `System.gc()` keeps the bench path clean and each
+    * measurement's cluster truly idle. The check must look at
+    * RUNNING TASKS, not just active jobs: a cancelled job leaves the
+    * active set immediately while its un-interrupted tasks run on.
+    * (The test JVM has no such quiesce point — suites run in
+    * parallel and the GCs are heap-pressure-driven — so the same
+    * benign signature is filtered there by
+    * `src/test/resources/log4j2.properties` instead.) */
+  def awaitQuiescent(spark: SparkSession, timeoutMs: Long = 2000): Unit = {
+    val tracker = spark.sparkContext.statusTracker
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    def busy = tracker.getActiveJobIds().nonEmpty ||
+      tracker.getExecutorInfos.map(_.numRunningTasks()).sum > 0
+    while (busy && System.nanoTime() < deadline)
+      Thread.sleep(20)
+  }
+
   def releaseBlocks(spark: SparkSession): Unit = {
+    awaitQuiescent(spark)
     spark.sharedState.cacheManager.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     System.gc()

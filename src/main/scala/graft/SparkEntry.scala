@@ -138,6 +138,8 @@ object SparkEntry {
     "q123_rfm_segments" -> OrderStats.q123RfmSegments,
     "q124_session_paths" -> Behavior.q124SessionPaths,
     "q125_conversion_lag" -> Behavior.q125ConversionLag,
+    "q126_profile_ndv" -> Quality.q126ProfileNdv,
+    "q127_decayed_mv" -> Stats.q127DecayedMv,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -159,15 +161,18 @@ object SparkEntry {
     "mm_features" -> Multimodal.mmFeatures,
     "mm_decode" -> Multimodal.mmDecode,
     "mm_frames" -> Multimodal.mmFrames,
+    "mm_phash_dedup" -> Multimodal.mmPhashDedup,
   )
 
   /** Bench-only twins: timed and reported by [[graft.Bench]] alongside
-    * `queries`, but deliberately NOT correctness entries — today the
-    * naive (unsalted) variant of the q49 skew query, kept so the bench
-    * JSON itself shows the salted plan beating the naive one on the
-    * planted hot key. */
+    * `queries`, but deliberately NOT correctness entries — the two
+    * fixed-shape variants of the q49 skew query (always-unsalted /
+    * always-salted), kept so the bench JSON shows the shipped
+    * scale-conditioned plan next to both alternatives at every scale
+    * (the AQE crossover evidence, SCALING.md). */
   def benchExtras: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_skew_naive" -> Relational2.q49SkewAggNaive,
+    "q49_skew_salted" -> Relational2.q49SkewAggSalted,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -478,6 +483,8 @@ object SparkEntry {
     "q123_rfm_segments" -> OrderStats.q123RfmSegmentsOracle,
     "q124_session_paths" -> Behavior.q124SessionPathsOracle,
     "q125_conversion_lag" -> Behavior.q125ConversionLagOracle,
+    "q126_profile_ndv" -> Quality.q126ProfileNdvOracle,
+    "q127_decayed_mv" -> Stats.q127DecayedMvOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,
@@ -498,5 +505,6 @@ object SparkEntry {
     "mm_features" -> Multimodal.mmFeaturesOracle,
     "mm_decode" -> Multimodal.mmDecodeOracle,
     "mm_frames" -> Multimodal.mmFramesOracle,
+    "mm_phash_dedup" -> Multimodal.mmPhashDedupOracle,
   )
 }

@@ -208,66 +208,125 @@ object EntityRes {
        |FROM matched
        |ORDER BY nation, bal_bucket, cust_a, cust_b""".stripMargin
 
-  /** Round cap for the pointer-jumping CC loop — a backstop, not a
-    * tuning knob: rounds grow O(log component-diameter) (each round
-    * is one propagate + one shortcut, so covered pointer distance
-    * roughly doubles), and 2^40 exceeds any physical graph. */
+  /** Pass cap for the iterated-contraction CC loop — a backstop, not
+    * a tuning knob: every hash-to-min pass shrinks each surviving
+    * component by an expected constant factor (Rastogi et al. 2013's
+    * hash-to-min analysis), so passes grow O(log n) and 40 exceeds
+    * any physical graph. */
   val ErCcMaxRounds = 40
 
-  /** Connected components by min-label propagation WITH pointer
-    * jumping (Shiloach–Vishkin shortcutting): each round first takes
-    * the min label over graph neighbors (the q45 step), then
-    * replaces every node's label by its LABEL'S label. Propagation
-    * alone needs O(component diameter) rounds — and a record-linkage
-    * match graph can be chain-shaped (near-identical names sort
-    * adjacent and match pairwise: A≈B≈C≈… links a path), where
-    * diameter grows with the data and a fixed round budget fails at
-    * scale (measured: the sf10 bench corpus produces name-chain
-    * components that 50 propagation rounds cannot close). The
-    * shortcut roughly doubles covered distance per round, so
-    * convergence is O(log n) at any diameter.
+  /** One hash-to-min contraction pass: every node with an edge
+    * adopts the CLOSED-neighborhood member minimizing
+    * (xxhash64(id), id). Two properties are load-bearing:
     *
-    * Both steps only ever DECREASE labels, and every label is itself
-    * a member node id (min over node ids), so the shortcut self-join
-    * always finds its row and the q45 monotone label-sum convergence
-    * probe stays exact (DECIMAL(38,0) — wrap-proof). Each round is
-    * two shuffles on the node id (neighbor min + shortcut join) with
-    * an eager checkpoint to keep lineage flat. */
-  private[operators] def ccPointerJump(labels0: DataFrame,
+    *  - The HASH order. Contracting by plain min id shrinks a random
+    *    graph ~(degree+1)× but almost not at all on this corpus —
+    *    the synthetic names embed the custkey, so the
+    *    sorted-neighborhood edges link CONSECUTIVE ids and
+    *    min(v−W..v+W) = v−W keeps ~90% of labels distinct (measured
+    *    at ×100: 1.34M of 1.49M nodes survived a min-id pass). A
+    *    hash order is independent of any id/band alignment.
+    *  - The rep is always a MEMBER of the node's own component, so
+    *    contraction preserves components exactly, and no edge can
+    *    survive a pass with both endpoints unmoved (the larger-hash
+    *    endpoint of any edge never keeps itself). */
+  private def hashMinPass(edges: DataFrame): DataFrame =
+    edges.select(col("u").as("doc_id"), col("u").as("cand"))
+      .unionByName(edges.select(col("v").as("doc_id"),
+        col("u").as("cand")))
+      .groupBy(col("doc_id"))
+      .agg(min(struct(xxhash64(col("cand")).as("h"),
+        col("cand").as("c"))).as("hl"))
+      .select(col("doc_id"), col("hl.c").as("rep"))
+      .localCheckpoint(true)
+
+  /** Project an edge set through a pass's rep mapping, dropping the
+    * (now internal) intra-group edges. Bidirectionality is
+    * preserved: the input carries both directions, so the projected
+    * set does too. */
+  private def contractEdges(edges: DataFrame, p: DataFrame): DataFrame =
+    edges
+      .join(p.select(col("doc_id").as("u"), col("rep").as("pu")), "u")
+      .join(p.select(col("doc_id").as("v"), col("rep").as("pv")), "v")
+      .filter(col("pu") =!= col("pv"))
+      .select(col("pu").as("u"), col("pv").as("v"))
+      .distinct()
+      .repartition(col("u")).localCheckpoint(true)
+
+  /** Connected components by ITERATED hash-to-min contraction: each
+    * pass maps every node to its closed-neighborhood hash-min member
+    * and projects the edge set through the mapping; components have
+    * fully contracted when no inter-group edge survives. Passes are
+    * O(log n): every pass removes at least the larger-hash endpoint
+    * of every edge and shrinks components by an expected constant
+    * factor regardless of their shape.
+    *
+    * Why not min-label propagation + pointer jumping (the r9 shape):
+    * measured at the ×100 corpus (11.6M undirected edges, 1.49M
+    * nodes), that loop is round-bound — pointer jumps stall at local
+    * minima, so the true component minimum CRAWLS one graph hop per
+    * round and rounds degrade to O(component diameter) unless the id
+    * order happens to align with the match chains (22 measured
+    * rounds on a hash-contracted quotient vs 6 on the id-aligned
+    * raw graph — same data). Iterated contraction has no such
+    * geometry dependence, and its per-pass cost DECAYS geometrically
+    * with the shrinking edge set: only the first pass is edge-scale,
+    * and the cumulative node→rep composition after pass one runs at
+    * quotient scale (one node-scale join at the end maps everything
+    * back).
+    *
+    * Output contract: one row per labels0 node — (doc_id, label),
+    * label = SMALLEST member id of the node's component (restored by
+    * the final re-min: pass reps are hash-chosen members, and the
+    * true min member need not be a representative). Requires
+    * identity labels0 (label = doc_id), which the call sites pass. */
+  private[operators] def ccContract(labels0: DataFrame,
       bidir: DataFrame, maxRounds: Int = ErCcMaxRounds): DataFrame = {
-    val edges = bidir.localCheckpoint(true)
-    var labels = labels0.localCheckpoint(true)
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val v = df.agg(sum(col("label").cast("decimal(38,0)"))).head.get(0)
-      if (v == null) java.math.BigDecimal.ZERO
-      else v.asInstanceOf[java.math.BigDecimal]
-    }
-    var sum0 = labelSum(labels)
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < maxRounds) {
-      val prop = labels.unionByName(
-        labels.join(edges, labels("doc_id") === edges("u"))
-          .select(col("v").as("doc_id"), col("label")))
-        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
-      val byId = prop.select(col("doc_id").as("ld"), col("label").as("ll"))
-      labels = prop.join(byId, prop("label") === byId("ld"))
-        .select(prop("doc_id"), least(prop("label"), col("ll")).as("label"))
+    val edges0 = bidir.repartition(col("u")).localCheckpoint(true)
+    if (edges0.isEmpty)
+      return labels0.select(col("doc_id"), col("label"))
+    // pass 1 — the ONLY edge/node-scale pass
+    val prov = hashMinPass(edges0)
+    var edges = contractEdges(edges0, prov)
+    // cumulative rep1 → current-rep map, quotient-scale throughout
+    var quot = prov.select(col("rep")).distinct()
+      .select(col("rep").as("q0"), col("rep").as("qrep"))
+      .localCheckpoint(true)
+    var passes = 1
+    while (!edges.isEmpty && passes < maxRounds) {
+      val p = hashMinPass(edges)
+      quot = quot.join(p.select(col("doc_id").as("j0"),
+          col("rep").as("j1")), quot("qrep") === col("j0"), "left")
+        .select(quot("q0"),
+          coalesce(col("j1"), quot("qrep")).as("qrep"))
         .localCheckpoint(true)
-      val sum1 = labelSum(labels)
-      rounds += 1
-      if (sum1.compareTo(sum0) == 0) converged = true
-      sum0 = sum1
+      edges = contractEdges(edges, p)
+      passes += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] pass=$passes" +
+          s" edges=${edges.count()} t=${System.nanoTime() / 1000000}")
     }
-    require(converged,
-      s"CC pointer-jumping did not converge within $maxRounds rounds — " +
-        "log-round convergence should make this unreachable; investigate")
-    labels
+    require(edges.isEmpty,
+      s"CC contraction did not converge within $maxRounds passes — " +
+        "log-pass convergence should make this unreachable; investigate")
+    // node → pass-1 rep → final component rep; then restore the
+    // min-member-id output contract
+    val full = labels0
+      .join(prov.select(col("doc_id").as("d"), col("rep").as("r1")),
+        labels0("doc_id") === col("d"), "left")
+      .select(labels0("doc_id"),
+        coalesce(col("r1"), labels0("doc_id")).as("r1"))
+      .join(quot, col("r1") === col("q0"), "left")
+      .select(col("doc_id"),
+        coalesce(col("qrep"), col("r1")).as("comp"))
+    val mins = full.groupBy(col("comp"))
+      .agg(min(col("doc_id")).as("label"))
+    full.join(mins, "comp").select(col("doc_id"), col("label"))
   }
 
   /** q102: entity clustering — the OUTPUT of a record-linkage system:
     * q101's matched pairs as an undirected graph, connected
-    * components via [[ccPointerJump]], one row per clustered record:
+    * components via [[ccContract]], one row per clustered record:
     * (member, entity_cluster, n_members), member = custkey,
     * entity_cluster = smallest custkey in the component. Records in
     * no matched pair are singleton entities and are not emitted.
@@ -282,9 +341,10 @@ object EntityRes {
     * component membership per block.
     *
     * 100 TB posture: the edge set is bounded by q101's capped pair
-    * generation (O(rows·W) edges, not O(rows²)); rounds are
-    * O(log n) by shortcutting; each round is two node-keyed
-    * shuffles. */
+    * generation (O(rows·W) edges, not O(rows²)); CC is the iterated
+    * contraction of [[ccContract]] — O(log n) passes, only the first
+    * at edge scale, per-pass cost decaying with the shrinking
+    * quotient. */
   def q102EntityClusters(s: SparkSession, dir: String): DataFrame = {
     // materialize the pair job ONCE: bidir references edges twice
     // (forward + swapped) and labels0 reads it again — without the
@@ -296,7 +356,7 @@ object EntityRes {
       edges.select(col("v").as("u"), col("u").as("v")))
     val nodes = bidir.select(col("u").as("doc_id")).distinct()
     val labels0 = nodes.select(col("doc_id"), col("doc_id").as("label"))
-    ccPointerJump(labels0, bidir)
+    ccContract(labels0, bidir)
       .withColumn("n_members",
         count(lit(1)).over(Window.partitionBy(col("label"))))
       .select(col("doc_id").as("member"),

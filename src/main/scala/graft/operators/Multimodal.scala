@@ -262,4 +262,167 @@ object Multimodal {
        |  AS t(img_id, width, height, pix_sum, real_decode)
        |ORDER BY img_id""".stripMargin
   }
+
+  // ---- mm_phash_dedup: perceptual-hash image near-dup detection ----
+
+  /** Average-hash grid: 8×8 block means → 64 bits. */
+  val PhashGrid = 8
+  /** Image side for the deterministic phash corpus (4×4-px blocks). */
+  val PhashSide = 32
+  /** Bands for the Hamming-ball candidate join: 4 × 16 bits. By the
+    * pigeonhole principle every pair within Hamming distance ≤ 3
+    * shares at least one exact band; larger distances are caught
+    * with decreasing probability — the SimHash/MinHash banding
+    * trade, here over a 64-bit perceptual fingerprint. */
+  val PhashBands = 4
+  /** Confirm threshold on the exact Hamming distance of banded
+    * candidates. */
+  val PhashMaxHam = 6
+
+  /** The deterministic phash corpus: (img_id, pattern_seed, variant).
+    * variant 0 = the base pattern, 1 = the base with one corner
+    * block brightened (a small edit — the near-dup case a
+    * cryptographic fingerprint like mm_features' md5 structurally
+    * misses), 2 = a pixel-exact re-encode of the base (the re-saved
+    * copy). Distinct seeds are unrelated patterns. */
+  val PhashImgs: Seq[(Long, Long, Int)] = Seq(
+    (1L, 10L, 0), (2L, 10L, 1), (3L, 10L, 2),
+    (4L, 20L, 0), (5L, 20L, 1),
+    (6L, 30L, 0), (7L, 30L, 2),
+    (8L, 40L, 0), (9L, 50L, 0))
+
+  /** Pixel formula of the phash corpus — [[pixelRgb]] per seed, with
+    * variant 1 brightening the top-left [[PhashSide]]/8-px block. */
+  private def phashPixel(seed: Long, variant: Int, x: Int, y: Int): Int = {
+    val base = pixelRgb(seed, x, y)
+    if (variant == 1 && x < PhashSide / PhashGrid &&
+        y < PhashSide / PhashGrid) {
+      val r = math.min(((base >> 16) & 0xff) + 96, 255)
+      val g = math.min(((base >> 8) & 0xff) + 96, 255)
+      val b = math.min((base & 0xff) + 96, 255)
+      (r << 16) | (g << 8) | b
+    } else base
+  }
+
+  /** Average-hash of a [[PhashSide]]² image given a pixel getter:
+    * integer gray = (r+g+b) div 3, 8×8 block means (integer div),
+    * bit k set iff block k ≥ the mean of the 64 block means. Pure
+    * integer arithmetic — the engine computes it from DECODED PNG
+    * pixels, the oracle from [[phashPixel]] directly, so any decode
+    * or hash defect diverges the two. */
+  private[operators] def aHash(rgbAt: (Int, Int) => Int): Long = {
+    val bs = PhashSide / PhashGrid
+    val blocks = Array.tabulate(PhashGrid * PhashGrid) { k =>
+      val bx = k % PhashGrid; val by = k / PhashGrid
+      var s = 0L
+      for (x <- bx * bs until (bx + 1) * bs;
+           y <- by * bs until (by + 1) * bs) {
+        val p = rgbAt(x, y)
+        s += (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+      }
+      s / (bs * bs)
+    }
+    val mean = blocks.sum / blocks.length
+    blocks.zipWithIndex.foldLeft(0L) { case (acc, (b, k)) =>
+      if (b >= mean) acc | (1L << k) else acc
+    }
+  }
+
+  private val phashSchema: StructType = StructType(Seq(
+    StructField("img_id", LongType, nullable = false),
+    StructField("phash", LongType, nullable = false)))
+
+  /** mm_phash_dedup: perceptual near-duplicate image detection —
+    * decode each PNG payload, compute the 64-bit average hash from
+    * its PIXELS, band the hash [[PhashBands]]×16 bits, equi-join on
+    * (band_idx, band_value) for Hamming-ball candidates (the
+    * SimHash band pattern from `Dedup` applied to image space), and
+    * confirm candidates by exact Hamming distance ≤ [[PhashMaxHam]]
+    * via codegen'd `bit_count(xor)`. Returns (img_a, img_b,
+    * hamming), both orders normalized a < b.
+    *
+    * 100 TB posture: decode+hash is the batched `mapPartitions`
+    * kernel (map-only, one pass over payload splits; payload bytes
+    * never ride a shuffle — only the 8-byte hash does); candidates
+    * come from a BANDED EQUI-JOIN, never all-pairs; the confirm step
+    * is one integer xor/popcount per candidate. This is [[features]]'
+    * plumbing carried to the operator a media pipeline actually
+    * ships: md5 fingerprints catch byte-identical copies only —
+    * the re-encoded or slightly-edited duplicate needs exactly this
+    * pixel-space hash + banded join. */
+  def mmPhashDedup(s: SparkSession, dir: String): DataFrame = {
+    val rows = PhashImgs.map { case (id, seed, variant) =>
+      (id, phashPngBytes(seed, variant))
+    }
+    val enc = Encoders.row(phashSchema)
+    import s.implicits._
+    val hashes = s.createDataset(rows).toDF("img_id", "payload")
+      .repartition(col("img_id"))
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.map { row =>
+            val img = ImageIO.read(
+              new ByteArrayInputStream(row.getAs[Array[Byte]](1)))
+            Row(row.getLong(0), aHash((x, y) => img.getRGB(x, y) & 0xffffff))
+          }
+        }
+      }(enc)
+      .localCheckpoint(false) // band explode + 2 hash-lookup joins
+    // UNSIGNED shift: bit 63 (block 63 ≥ mean) is routinely set, and
+    // a signed div/mod would sign-extend the top band
+    val bands = hashes.select(col("img_id"), col("phash"),
+      posexplode(expr(s"transform(sequence(0, ${PhashBands - 1})," +
+        " j -> shiftrightunsigned(phash, CAST(16 * j AS INT))" +
+        " & CAST(65535 AS BIGINT))"))
+        .as(Seq("band", "bv")))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.img_id") < col("b.img_id"))
+      .select(col("a.img_id").as("img_a"), col("b.img_id").as("img_b"),
+        col("a.phash").as("ha"), col("b.phash").as("hb"))
+      .distinct() // pairs sharing several bands collapse to one
+      .withColumn("hamming",
+        expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+      .filter(col("hamming") <= PhashMaxHam)
+      .select(col("img_a"), col("img_b"), col("hamming"))
+      .orderBy(col("img_a"), col("img_b"))
+  }
+
+  /** PNG bytes of one phash-corpus image (the [[pngBytes]] shape,
+    * [[phashPixel]] formula). */
+  private[operators] def phashPngBytes(seed: Long, variant: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(PhashSide, PhashSide,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until PhashSide; y <- 0 until PhashSide)
+      img.setRGB(x, y, phashPixel(seed, variant, x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** The expected pair set in closed form: hashes from [[phashPixel]]
+    * (no PNG in the loop), the same band + Hamming logic as the
+    * engine — constants in SQL, real decode work in the engine (the
+    * mm_decode oracle discipline). */
+  val mmPhashDedupOracle: String = {
+    val hs = PhashImgs.map { case (id, seed, variant) =>
+      id -> aHash((x, y) => phashPixel(seed, variant, x, y))
+    }
+    val pairs = for {
+      (ia, ha) <- hs; (ib, hb) <- hs
+      if ia < ib
+      if (0 until PhashBands).exists(j =>
+        ((ha >>> (16 * j)) & 0xffffL) == ((hb >>> (16 * j)) & 0xffffL))
+      ham = java.lang.Long.bitCount(ha ^ hb)
+      if ham <= PhashMaxHam
+    } yield s"($ia, $ib, $ham)"
+    require(pairs.nonEmpty, "phash corpus must plant near-dup pairs")
+    s"""SELECT CAST(img_a AS BIGINT) AS img_a,
+       |  CAST(img_b AS BIGINT) AS img_b,
+       |  CAST(hamming AS BIGINT) AS hamming
+       |FROM (VALUES ${pairs.mkString(",\n  ")})
+       |  AS t(img_a, img_b, hamming)
+       |ORDER BY img_a, img_b""".stripMargin
+  }
 }

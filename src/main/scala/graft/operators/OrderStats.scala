@@ -14,8 +14,10 @@ import graft.Tables
   *
   * Both use the same two-phase distributed prefix scan (the classic
   * parallel scan decomposition, Blelloch 1990): quantize the key
-  * space into [[PrefixBuckets]] range buckets from a 1-row bounds
-  * broadcast, aggregate one row per bucket, compute EXCLUSIVE
+  * space into [[PrefixBuckets]] range buckets from a 1-row broadcast
+  * of sampled-quantile boundaries (equi-populated under any
+  * distribution — see [[quantileBuckets]]), aggregate one row per
+  * bucket, compute EXCLUSIVE
   * per-bucket offsets inside one collected ≤[[PrefixBuckets]]-element
   * array with the `aggregate` higher-order function (codegen'd
   * Catalyst, no UDF, no join), then finish with a Window partitioned
@@ -28,8 +30,40 @@ import graft.Tables
 object OrderStats {
 
   /** Range buckets for the distributed prefix scan — bounds per-task
-    * state at |keys|/256 and the offset array at 256 entries. */
-  val PrefixBuckets = 256
+    * state at |keys|/64 and the offset array at 64 entries. 64, not
+    * 256: the bucket map is a per-row linear scan over the boundary
+    * array and the boundaries an extra aggregation pass, both linear
+    * in the bucket count (measured at ×100: 256 boundaries doubled
+    * q119/q123), while 64 buckets already feed 2× the bench
+    * session's 32 cores. */
+  val PrefixBuckets = 64
+
+  /** Assign each distinct-value row its range bucket for the prefix
+    * scan. Boundaries come from SAMPLED QUANTILES of the
+    * distinct-value table (one `approx_percentile` pass over the —
+    * value-type-scale — input, broadcast as a 1-row array), NOT from
+    * a uniform `(key − min) · B div range` map: a uniform map is
+    * linear in the VALUE RANGE, so one heavy-tailed outlier (a whale
+    * customer's monetary total in q123) collapses nearly every
+    * distinct value into bucket 0 and the per-bucket Window
+    * degenerates into the single-partition sort this machinery
+    * exists to avoid. Quantile boundaries keep buckets
+    * equi-POPULATED under any distribution. The scan is exact for
+    * ANY boundaries — estimation error in `approx_percentile` only
+    * shifts work between buckets, never results. Bucket id =
+    * #boundaries strictly below the key: monotone in the key, so
+    * bucket-major + in-bucket order is the global order. */
+  private[operators] def quantileBuckets(perValue: DataFrame,
+      key: String): DataFrame = {
+    val qs = (1 until PrefixBuckets)
+      .map(i => i.toDouble / PrefixBuckets).mkString(",")
+    val bnd = perValue.agg(
+      expr(s"approx_percentile($key, array($qs), 1000)").as("bnd"))
+    perValue.crossJoin(broadcast(bnd))
+      .withColumn("bucket", expr(
+        s"aggregate(bnd, 0, (acc, b) -> acc + IF($key > b, 1, 0))"))
+      .drop("bnd")
+  }
 
   /** Inclusive distributed prefix sum over a per-value count table
     * (`key` non-negative, one row per distinct key): returns (key,
@@ -39,12 +73,7 @@ object OrderStats {
     * inlined there) and q123's three quantile assignments. */
   private[operators] def prefixCounts(perValue: DataFrame, key: String,
       cnt: String): DataFrame = {
-    val bounds = perValue.agg(min(col(key)).as("minc"),
-      max(col(key)).as("maxc"))
-    val bucketed = perValue.crossJoin(broadcast(bounds))
-      .withColumn("bucket", expr(
-        s"CAST(($key - minc) * $PrefixBuckets" +
-          " div (maxc - minc + 1) AS INT)"))
+    val bucketed = quantileBuckets(perValue, key)
     val offsets = bucketed.groupBy(col("bucket"))
       .agg(sum(col(cnt)).as("b1"))
       .agg(sort_array(collect_list(struct(col("bucket"), col("b1"))))
@@ -90,13 +119,10 @@ object OrderStats {
       .agg(sum(when(col("grp") === 0, 1L).otherwise(0L)).as("c1"),
         sum(when(col("grp") === 1, 1L).otherwise(0L)).as("c2"))
       .localCheckpoint(false) // bounds + bucket totals + scan read it
-    val bounds = perv.agg(min(col("cents")).as("minc"),
-      max(col("cents")).as("maxc"),
-      sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
-    val bucketed = perv.crossJoin(broadcast(bounds))
-      .withColumn("bucket", expr(
-        s"CAST((cents - minc) * $PrefixBuckets" +
-          " div (maxc - minc + 1) AS INT)"))
+    val totals = perv.agg(sum(col("c1")).as("n1"),
+      sum(col("c2")).as("n2"))
+    val bucketed = quantileBuckets(perv, "cents")
+      .crossJoin(broadcast(totals))
     val offsets = bucketed.groupBy(col("bucket"))
       .agg(sum(col("c1")).as("b1"), sum(col("c2")).as("b2"))
       .agg(sort_array(collect_list(
@@ -123,7 +149,10 @@ object OrderStats {
       .limit(1)
       .select(col("cents").as("at_cents"), col("n1"), col("n2"),
         col("cum1"), col("cum2"),
-        expr("CASE WHEN n1 * n2 = 0 THEN CAST(0 AS BIGINT)" +
+        // n1 = 0 OR n2 = 0, NOT n1 * n2 = 0: the raw-BIGINT product
+        // overflows at warehouse-scale counts (Spark wraps silently
+        // with ANSI off; DuckDB errors) and could misfire the guard
+        expr("CASE WHEN n1 = 0 OR n2 = 0 THEN CAST(0 AS BIGINT)" +
           " ELSE CAST(d * 1000000" +
           " div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT) END")
           .as("ks_e6"))
@@ -147,7 +176,7 @@ object OrderStats {
       |    CAST(sum(c2) OVER (ORDER BY cents) AS BIGINT) AS cum2
       |  FROM perv)
       |SELECT cents AS at_cents, n1, n2, cum1, cum2,
-      |  CASE WHEN n1 * n2 = 0 THEN 0
+      |  CASE WHEN n1 = 0 OR n2 = 0 THEN 0
       |    ELSE CAST(abs(CAST(cum1 AS HUGEINT) * n2
       |      - CAST(cum2 AS HUGEINT) * n1) * 1000000
       |      // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) END AS ks_e6
@@ -186,12 +215,7 @@ object OrderStats {
     val perv = p.groupBy(col("price_cents"))
       .agg(max(col("p_size")).as("msize"))
       .localCheckpoint(false) // bounds + bucket maxima + scan read it
-    val bounds = perv.agg(min(col("price_cents")).as("minc"),
-      max(col("price_cents")).as("maxc"))
-    val bucketed = perv.crossJoin(broadcast(bounds))
-      .withColumn("bucket", expr(
-        s"CAST((price_cents - minc) * $PrefixBuckets" +
-          " div (maxc - minc + 1) AS INT)"))
+    val bucketed = quantileBuckets(perv, "price_cents")
     val offsets = bucketed.groupBy(col("bucket"))
       .agg(max(col("msize")).as("bm"))
       .agg(sort_array(collect_list(struct(col("bucket"), col("bm"))))

@@ -51,7 +51,7 @@ object Overlap {
 
   /** Expand the ordered C(n,2) pairs of a sorted array column via
     * nested transform/slice; `f(a, b)` builds the pair element. */
-  private[operators] def orderedPairs(arr: Column,
+  private[graft] def orderedPairs(arr: Column,
       f: (Column, Column) => Column): Column =
     flatten(transform(arr, (a, i) =>
       transform(slice(arr, i + lit(2), size(arr)), b => f(a, b))))

@@ -39,11 +39,29 @@ object Quality {
     * (col_name, value) pairs map-side (the stack IS the work; there
     * is no per-column rescan), then a single aggregation keyed by
     * col_name. The exact-NDV rewrite shuffles distinct
-    * (col_name, value) pairs — bounded by k × per-column NDV, and the
-    * only corpus-scale exchange in the plan. Monetary/date columns
-    * are canonicalized to integer strings (cents, epoch seconds) so
-    * both engines order and dedup identical byte sequences. */
-  def q113Profile(s: SparkSession, dir: String): DataFrame = {
+    * (col_name, value) pairs — bounded by k × per-column NDV, and
+    * the only corpus-scale exchange in the plan (q126 carries the
+    * HLL-estimated arm a 100 TB profiler actually runs). Numeric
+    * columns are canonicalized to ZERO-PADDED integer strings
+    * (cents, epoch seconds — all non-negative here), so the single
+    * string-typed value column still min/maxes in NUMERIC order:
+    * lexicographic order over fixed-width digits IS numeric order
+    * (unpadded, a profiler reporting min="10", max="5" is
+    * well-defined but misleading). */
+  def q113Profile(s: SparkSession, dir: String): DataFrame =
+    profileStack(s, dir)
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col("v")).as("ndv"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+      .orderBy(col("col_name"))
+
+  /** The (col_name, v) stack both profiler arms (q113, q126) read:
+    * each lineitem row explodes into k=5 canonicalized pairs
+    * map-side. */
+  private def profileStack(s: SparkSession, dir: String): DataFrame = {
     // spread: the ×5 stack-explode + string canonicalization is heavy
     // per-row kernel work, and the bench corpus is single-row-group —
     // without the exchange the whole stack runs as ONE task (measured
@@ -52,41 +70,43 @@ object Quality {
     val li = Tables.spread(Tables.load(s, dir, "lineitem"))
     li.select(explode(array(
         struct(lit("l_partkey").as("col_name"),
-          col("l_partkey").cast("string").as("v")),
+          lpad(col("l_partkey").cast("string"), 20, "0").as("v")),
         struct(lit("l_qty_cents").as("col_name"),
-          expr("CAST(CAST(round(l_quantity * 100) AS BIGINT) AS STRING)")
-            .as("v")),
+          expr("lpad(CAST(CAST(round(l_quantity * 100) AS BIGINT)" +
+            " AS STRING), 20, '0')").as("v")),
         struct(lit("l_returnflag").as("col_name"),
           col("l_returnflag").as("v")),
         struct(lit("l_shipdate_epoch").as("col_name"),
-          expr("CAST(unix_timestamp(l_shipdate) AS STRING)").as("v")),
+          expr("lpad(CAST(unix_timestamp(l_shipdate) AS STRING)," +
+            " 20, '0')").as("v")),
         struct(lit("l_discount_cents").as("col_name"),
-          expr("CAST(CAST(round(l_discount * 100) AS BIGINT) AS STRING)")
-            .as("v")))).as("kv"))
+          expr("lpad(CAST(CAST(round(l_discount * 100) AS BIGINT)" +
+            " AS STRING), 20, '0')").as("v")))).as("kv"))
       .select(col("kv.col_name").as("col_name"), col("kv.v").as("v"))
-      .groupBy(col("col_name"))
-      .agg(count(lit(1)).as("n_rows"),
-        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
-        countDistinct(col("v")).as("ndv"),
-        min(col("v")).as("min_v"),
-        max(col("v")).as("max_v"))
-      .orderBy(col("col_name"))
   }
 
-  val q113ProfileOracle: String =
-    """WITH st AS (
-      |  SELECT 'l_partkey' AS col_name,
-      |    CAST(l_partkey AS VARCHAR) AS v FROM lineitem
+  /** The stack as a DuckDB CTE body (shared by the q113/q126
+    * oracles). */
+  private val profileStackSql: String =
+    """  SELECT 'l_partkey' AS col_name,
+      |    lpad(CAST(l_partkey AS VARCHAR), 20, '0') AS v FROM lineitem
       |  UNION ALL SELECT 'l_qty_cents',
-      |    CAST(CAST(round(l_quantity * 100) AS BIGINT) AS VARCHAR)
+      |    lpad(CAST(CAST(round(l_quantity * 100) AS BIGINT)
+      |      AS VARCHAR), 20, '0')
       |    FROM lineitem
       |  UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem
       |  UNION ALL SELECT 'l_shipdate_epoch',
-      |    CAST(CAST(floor(epoch(l_shipdate)) AS BIGINT) AS VARCHAR)
+      |    lpad(CAST(CAST(floor(epoch(l_shipdate)) AS BIGINT)
+      |      AS VARCHAR), 20, '0')
       |    FROM lineitem
       |  UNION ALL SELECT 'l_discount_cents',
-      |    CAST(CAST(round(l_discount * 100) AS BIGINT) AS VARCHAR)
-      |    FROM lineitem)
+      |    lpad(CAST(CAST(round(l_discount * 100) AS BIGINT)
+      |      AS VARCHAR), 20, '0')
+      |    FROM lineitem""".stripMargin
+
+  val q113ProfileOracle: String =
+    s"""WITH st AS (
+      |$profileStackSql)
       |SELECT col_name, count(*) AS n_rows,
       |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
       |    AS n_null,
@@ -133,7 +153,13 @@ object Quality {
       .join(broadcast(supp.select(col("item").as("item_b"),
         col("s").as("supp_b"))), "item_b")
       .crossJoin(broadcast(nb))
-      .withColumn("conf_ab_e6", expr("supp_ab * 1000000 div supp_a"))
+      // ×10⁶ numerators widen to DECIMAL(38,0) like lift_e6 below:
+      // count·10⁶ overflows BIGINT at warehouse-scale counts, and
+      // Spark's silent wrap vs DuckDB's raise would diverge the
+      // engines exactly where the ppm columns claim exactness
+      .withColumn("conf_ab_e6", expr(
+        "CAST(CAST(supp_ab AS DECIMAL(38,0)) * 1000000" +
+          " div supp_a AS BIGINT)"))
       .withColumn("lift_e6", expr(
         "CAST(CAST(supp_ab AS DECIMAL(38,0)) * n_baskets * 1000000" +
           " div (CAST(supp_a AS DECIMAL(38,0)) * supp_b) AS BIGINT)"))
@@ -162,7 +188,8 @@ object Quality {
        |  HAVING count(*) >= $BasketMinSupport)
        |SELECT item_a, item_b, supp_ab,
        |  sa.s AS supp_a, sb.s AS supp_b, n_baskets,
-       |  supp_ab * 1000000 // sa.s AS conf_ab_e6,
+       |  CAST(CAST(supp_ab AS HUGEINT) * 1000000 // sa.s AS BIGINT)
+       |    AS conf_ab_e6,
        |  CAST(CAST(supp_ab AS HUGEINT) * n_baskets * 1000000
        |    // (CAST(sa.s AS HUGEINT) * sb.s) AS BIGINT) AS lift_e6
        |FROM pairs
@@ -191,7 +218,10 @@ object Quality {
     val counts = d.groupBy(col("digit")).agg(count(lit(1)).as("observed"))
     val n = d.agg(count(lit(1)).as("n"))
     counts.crossJoin(broadcast(n))
-      .withColumn("obs_ppm", expr("observed * 1000000 div n"))
+      // DECIMAL(38,0) numerator — see q114's conf_ab_e6 note
+      .withColumn("obs_ppm", expr(
+        "CAST(CAST(observed AS DECIMAL(38,0)) * 1000000" +
+          " div n AS BIGINT)"))
       .withColumn("exp_ppm", expr(s"CAST($BenfordPpmCase AS BIGINT)"))
       .withColumn("dev_ppm", expr("obs_ppm - exp_ppm"))
       .select(col("digit"), col("observed"), col("n"), col("obs_ppm"),
@@ -215,9 +245,11 @@ object Quality {
        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
        |c AS (SELECT digit, count(*) AS observed FROM d GROUP BY digit)
        |SELECT digit, CAST(observed AS BIGINT) AS observed, n,
-       |  observed * 1000000 // n AS obs_ppm,
+       |  CAST(CAST(observed AS HUGEINT) * 1000000 // n AS BIGINT)
+       |    AS obs_ppm,
        |  CAST($BenfordPpmCase AS BIGINT) AS exp_ppm,
-       |  observed * 1000000 // n - ($BenfordPpmCase) AS dev_ppm
+       |  CAST(CAST(observed AS HUGEINT) * 1000000 // n AS BIGINT)
+       |    - ($BenfordPpmCase) AS dev_ppm
        |FROM c CROSS JOIN n ORDER BY digit""".stripMargin
 
   /** q116: first-order Markov transition matrix over each user's
@@ -246,7 +278,10 @@ object Quality {
     val marg = cnt.groupBy(col("prev_type"))
       .agg(sum(col("n")).as("n_prev"))
     cnt.join(broadcast(marg), "prev_type")
-      .withColumn("p_ppm", expr("n * 1000000 div n_prev"))
+      // DECIMAL(38,0) numerator — see q114's conf_ab_e6 note
+      .withColumn("p_ppm", expr(
+        "CAST(CAST(n AS DECIMAL(38,0)) * 1000000" +
+          " div n_prev AS BIGINT)"))
       .select(col("prev_type"), col("next_type"), col("n"),
         col("n_prev"), col("p_ppm"))
       .orderBy(col("prev_type"), col("next_type"))
@@ -265,7 +300,8 @@ object Quality {
       |  SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_prev
       |  FROM cnt GROUP BY 1)
       |SELECT cnt.prev_type, next_type, n, n_prev,
-      |  n * 1000000 // n_prev AS p_ppm
+      |  CAST(CAST(n AS HUGEINT) * 1000000 // n_prev AS BIGINT)
+      |    AS p_ppm
       |FROM cnt JOIN marg ON cnt.prev_type = marg.prev_type
       |ORDER BY cnt.prev_type, next_type""".stripMargin
 
@@ -387,7 +423,9 @@ object Quality {
           affected.agg(count(lit(1)).as("n_affected"))))
         .select(lit(name).as("table_name"), col("n_total"),
           col("n_affected"),
-          expr("n_affected * 1000000 div n_total").as("pct_ppm"))
+          // DECIMAL(38,0) numerator — see q114's conf_ab_e6 note
+          expr("CAST(CAST(n_affected AS DECIMAL(38,0)) * 1000000" +
+            " div n_total AS BIGINT)").as("pct_ppm"))
 
     val li = Tables.load(s, dir, "lineitem")
     val ev = Tables.load(s, dir, "events")
@@ -428,6 +466,95 @@ object Quality {
        |    (SELECT CAST(count(*) AS BIGINT) FROM events
        |     WHERE user_id IN (SELECT c_custkey FROM delc)))
        |SELECT table_name, n_total, n_affected,
-       |  n_affected * 1000000 // n_total AS pct_ppm
+       |  CAST(CAST(n_affected AS HUGEINT) * 1000000 // n_total
+       |    AS BIGINT) AS pct_ppm
        |FROM arms ORDER BY table_name""".stripMargin
+
+  /** q126: the 100 TB profiler's NDV arm — q113's exact NDV next to
+    * the HyperLogLog estimate (q94's [[Sketch.Regs]]-register,
+    * integer-exact sketch, keyed by column instead of source): per
+    * profiled column — (col_name, ndv_exact, ndv_est, err_e4).
+    *
+    * q113's exact NDV is the plan's one corpus-scale exchange: the
+    * distinct over (col_name, value) shuffles ~n rows on
+    * near-unique columns like l_partkey. At 100 TB a profiler runs
+    * the SKETCH instead — register maxes are associative, so the
+    * aggregate collapses MAP-SIDE to ≤ k·m rows regardless of
+    * corpus size, the HLL mergeability contract (q94's scaladoc
+    * carries the full argument). This query is the calibration
+    * evidence, the q94/q89 pattern: the estimator and its ground
+    * truth in one table — keep both arms at audit scale, ship only
+    * the sketch arm at corpus scale. One distinct pass feeds both
+    * arms here (the exact arm needs it anyway; the sketch reads
+    * hash material post-distinct so md5 runs once per distinct
+    * value, and duplicate inserts are free by max-idempotence). */
+  def q126ProfileNdv(s: SparkSession, dir: String): DataFrame = {
+    import Sketch.{SubBits, Regs, HllNum}
+    val dv = profileStack(s, dir)
+      .filter(col("v").isNotNull)
+      .distinct()
+      .localCheckpoint(false) // exact count + sketch registers
+    val exact = dv.groupBy(col("col_name"))
+      .agg(count(lit(1)).as("ndv_exact"))
+    val regs = dv
+      .withColumn("hx", md5(col("v")))
+      .withColumn("reg", conv(substring(col("hx"), 1, 2), 16, 10)
+        .cast("long"))
+      .withColumn("rv", conv(substring(col("hx"), 3, 6), 16, 10)
+        .cast("long"))
+      // rank = leading zeros of the 24-bit window + 1 = 25 − bitlen;
+      // the exponent clamp below mirrors q94 (same truncation note)
+      .withColumn("rho", when(col("rv") === 0, lit(SubBits + 1))
+        .otherwise(lit(SubBits + 1) - length(bin(col("rv")))))
+      .groupBy(col("col_name"), col("reg")).agg(max(col("rho")).as("mr"))
+    val est = regs.groupBy(col("col_name"))
+      .agg(sum(expr(
+        s"shiftleft(CAST(1 AS BIGINT), greatest($SubBits - mr, 0))"))
+        .as("dp"), count(lit(1)).as("np"))
+      .withColumn("denom",
+        col("dp") + (lit(Regs.toLong) - col("np")) * lit(1L << SubBits))
+      .withColumn("ndv_est", expr(s"$HllNum div (denom * 1000000)"))
+    exact.join(est, "col_name")
+      .select(col("col_name"), col("ndv_exact"), col("ndv_est"),
+        expr("(ndv_est - ndv_exact) * 10000 div ndv_exact")
+          .as("err_e4"))
+      .orderBy(col("col_name"))
+  }
+
+  val q126ProfileNdvOracle: String = {
+    import Sketch.{SubBits, Regs, HllNum}
+    s"""WITH st AS (
+       |$profileStackSql),
+       |dv AS (
+       |  SELECT DISTINCT col_name, v FROM st WHERE v IS NOT NULL),
+       |h AS (
+       |  SELECT col_name, substring(md5(v), 1, 2) AS hx2,
+       |    substring(md5(v), 3, 6) AS hx6
+       |  FROM dv),
+       |b AS (
+       |  SELECT col_name,
+       |    (${Sketch.hexSql("hx2", 2)}) AS reg,
+       |    (${Sketch.hexSql("hx6", 6)}) AS rv
+       |  FROM h),
+       |r AS (
+       |  SELECT col_name, reg,
+       |    max(CASE WHEN rv = 0 THEN ${SubBits + 1}
+       |        ELSE ${SubBits + 1} - length(bin(rv)) END) AS mr
+       |  FROM b GROUP BY col_name, reg),
+       |d AS (
+       |  SELECT col_name,
+       |    CAST(sum(CAST(1 AS BIGINT) << greatest($SubBits - mr, 0))
+       |      AS BIGINT)
+       |      + ($Regs - count(*)) * ${1L << SubBits} AS denom
+       |  FROM r GROUP BY col_name),
+       |e AS (
+       |  SELECT col_name, CAST(count(*) AS BIGINT) AS ndv_exact
+       |  FROM dv GROUP BY col_name)
+       |SELECT e.col_name AS col_name, ndv_exact,
+       |  CAST($HllNum // (denom * 1000000) AS BIGINT) AS ndv_est,
+       |  CAST(($HllNum // (denom * 1000000) - ndv_exact) * 10000
+       |    // ndv_exact AS BIGINT) AS err_e4
+       |FROM e JOIN d ON e.col_name = d.col_name
+       |ORDER BY col_name""".stripMargin
+  }
 }

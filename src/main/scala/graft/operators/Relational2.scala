@@ -478,31 +478,46 @@ object Relational2 {
         (col("vc") + col("rep")).as("val_cents"),
         col("event_id"), col("rep"))
 
-  /** q49: skew-stress join+agg — fact (planted 50%-hot key) ⋈ customer,
-    * then a per-segment rollup. The dim join is forced to a shuffled
-    * join (`hint("shuffle_hash")` — no 50M-row sort, and the dim side
-    * is NOT broadcastable at 100 TB): below AQE's skew thresholds that
-    * regime strands one reducer with half the join's rows. Fact rows
-    * get a deterministic salt, the dim replicates ×[[SkewSalt]], and
-    * the hot key spreads over SkewSalt reducers. The oracle (and the
-    * [[q49SkewAggNaive]] bench twin, same join algorithm) is the
-    * UNSALTED join — the rewrite must be result-identical, and
-    * graft.Bench reports both.
+  /** Fact cardinality where the planted-skew JOIN's salting stops
+    * paying (MEASURED, SCALING.md §"AQE's skew-join split"): at 50M
+    * fact rows (sf1) the hot partition sits below AQE's split
+    * threshold, the naive join strands one reducer, and salting wins
+    * 2.6×; at 500M (sf10) `OptimizeSkewedJoin` splits the hot
+    * partition at runtime and the salted plan's ×[[SkewSalt]]
+    * build-side replication is pure cost (salted 15.7s vs naive
+    * 12.2s). The switch point sits between the two measured regimes;
+    * a new deployment re-measures its own crossover (the twins stay
+    * in the bench for exactly that). */
+  val SkewAqeCrossoverRows = 150000000L
+
+  /** q49: skew-stress join+agg — fact (planted 50%-hot key) ⋈
+    * customer, then a per-segment rollup, with the skew defense
+    * CHOSEN BY SCALE: below [[SkewAqeCrossoverRows]] fact rows the
+    * shipped plan is [[q49SkewAggSalted]] (deterministic in-plan
+    * spread — the hot reducer is real and AQE's byte thresholds
+    * won't trigger), above it [[q49SkewAggNaive]] (AQE's
+    * OptimizeSkewedJoin splits the hot partition at runtime — a join
+    * KEY is splittable because map outputs divide and the build side
+    * replicates per split — so salting's replication no longer buys
+    * anything). The cardinality probe is one metadata-only parquet
+    * count. Both shapes are result-identical to the unsalted oracle,
+    * and graft.Bench reports both twins next to the shipped choice.
     *
-    * Where each wins (measured): salted beats naive 2.6× at sf1
-    * (5.4s vs 13.9s — AQE's skew split hasn't triggered, the naive
-    * hot reducer is stranded). At sf10 the comparison FLIPS (28s vs
-    * 18s): the hot partition crosses AQE's skew-join threshold and
-    * `OptimizeSkewedJoin` splits it — a single join KEY is splittable
-    * for a JOIN (map outputs divide; the build side replicates per
-    * split), so the naive plan heals at runtime while salting keeps
-    * paying its ×16 build-side replication and per-row salt. Salting
-    * remains (a) the deterministic in-plan guarantee, independent of
-    * AQE thresholds/stats, and (b) the ONLY fix for hot-key
-    * AGGREGATION (q20's two-phase shape) — an agg key genuinely
-    * cannot be split across reducers. SkewGateSpec gates the sf0.1
-    * regime where the stranded reducer is the real cost. */
+    * Salting remains the ONLY fix for hot-key AGGREGATION (q20's
+    * two-phase shape) — an agg key genuinely cannot be split across
+    * reducers. SkewGateSpec gates the sf0.1 regime where the
+    * stranded reducer is the real cost. */
   def q49SkewAgg(s: SparkSession, dir: String): DataFrame = {
+    val factRows =
+      events(s, dir).select(col("event_id")).count() * SkewReps
+    if (factRows >= SkewAqeCrossoverRows) q49SkewAggNaive(s, dir)
+    else q49SkewAggSalted(s, dir)
+  }
+
+  /** The always-salted q49 twin: fact rows get a deterministic salt,
+    * the dim replicates ×[[SkewSalt]], and the hot key spreads over
+    * SkewSalt reducers regardless of AQE thresholds/stats. */
+  def q49SkewAggSalted(s: SparkSession, dir: String): DataFrame = {
     val f = skewFact(s, dir)
       .withColumn("salt", pmod(col("event_id") + col("rep"), lit(SkewSalt)))
     // The hint sits on the DIM side: Spark builds the hinted relation's
@@ -522,10 +537,12 @@ object Relational2 {
       .orderBy(col("c_mktsegment"))
   }
 
-  /** The deliberately-unsalted q49 twin (bench-only, not a correctness
-    * entry): same fact, same shuffled-hash join, hot key left on
-    * one reducer. Exists so BENCH_r*.json carries the salted-vs-naive
-    * comparison on a genuinely skewed key distribution. */
+  /** The unsalted q49 twin: same fact, same shuffled-hash join, hot
+    * key left to AQE (one stranded reducer below its thresholds, a
+    * runtime skew split above them). Bench-reported next to the
+    * salted twin so BENCH_*.json carries the comparison on a
+    * genuinely skewed key distribution at every scale; also the
+    * shape [[q49SkewAgg]] ships past the measured crossover. */
   def q49SkewAggNaive(s: SparkSession, dir: String): DataFrame = {
     val f = skewFact(s, dir)
     val d = t(s, dir, "customer")

@@ -33,7 +33,7 @@ object Splits {
     *
     * Pipeline: the verified MinHash-LSH near-dup pairs
     * ([[Dedup.minhashPairs]]) form an undirected graph; connected
-    * components ([[EntityRes.ccPointerJump]], the q102 log-round
+    * components ([[EntityRes.ccContract]], the q102 log-round
     * loop) give every document a cluster representative (its
     * component's min doc_id; singletons represent themselves); the
     * split bucket hashes the REPRESENTATIVE (md5('split:'‖rep) mod
@@ -59,7 +59,7 @@ object Splits {
       edges.select(col("v").as("u"), col("u").as("v")))
     val labels0 = bidir.select(col("u").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("label"))
-    val labels = EntityRes.ccPointerJump(labels0, bidir)
+    val labels = EntityRes.ccContract(labels0, bidir)
     val assigned = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("n_chars"))
       .join(labels, Seq("doc_id"), "left")

@@ -62,6 +62,12 @@ object StreamDrift {
     * 10⁶. Empty sides return (0, 0) rather than dividing by zero. */
   def drift(live: Seq[(Long, Long)], ref: Seq[(Long, Long)])
       : (Long, Long) = {
+    // the totals below sum ALL entries but the CDF fold only visits
+    // buckets 0..B−1 — an out-of-range bucket id would silently skew
+    // ks/l1 (the final CDF never reaches 1), so reject it loudly
+    for ((b, _) <- live.iterator ++ ref.iterator)
+      require(b >= 0 && b < DriftBuckets,
+        s"histogram bucket $b outside [0, $DriftBuckets)")
     val lm = live.toMap.withDefaultValue(0L)
     val rm = ref.toMap.withDefaultValue(0L)
     val nl = live.map(_._2).sum

@@ -101,6 +101,9 @@ object PlanAudit {
       // q77 joins its gram counts to a 1-row cohort-totals broadcast —
       // the q36/q55 totals shape.
       "q77_corpus_drift",
+      // q127 broadcasts the 1-row refresh anchor (max order day)
+      // against the view-grain frame — the q36/q55 totals shape.
+      "q127_decayed_mv",
       // q96 broadcasts ONE bounds row (grid maxima / date span) to
       // quantize the fact scan — the q36 constant-side shape; the
       // fact side never shuffles.

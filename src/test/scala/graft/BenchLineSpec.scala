@@ -35,4 +35,14 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains("\"n_queries\":300"))
     assert(line.contains("\"bench_full\":\"BENCH_FULL.json\""))
   }
+
+  test("fallback line still carries a parseable top-10-slowest map") {
+    val line = Bench.stdoutLine(9.0, fakeQueries(300), "BENCH_FULL.json", "sf")
+    assert(line.contains("\"queries\":{"))
+    // fakeQueries times grow with i, so the 10 slowest are q291..q300
+    assert(line.contains("\"q300\":"))
+    assert(line.contains("\"q291\":"))
+    assert(!line.contains("\"q290\":"))
+    assert(!line.contains("\"q1\":"))
+  }
 }

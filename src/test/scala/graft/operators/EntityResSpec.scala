@@ -120,7 +120,7 @@ class EntityResSpec extends AnyFunSuite {
     assert(rows.filter(_._2 == 8L).forall(_._3 == 2L))
   }
 
-  test("ccPointerJump closes a 300-node path graph (diameter far " +
+  test("ccContract closes a 300-node path graph (diameter far " +
       "beyond any fixed propagation budget) to one min-labeled " +
       "component") {
     // plain min-label propagation needs 299 rounds here — the sf10
@@ -130,7 +130,7 @@ class EntityResSpec extends AnyFunSuite {
     val bidir = edges.unionByName(edges.select($"v".as("u"), $"u".as("v")))
     val labels0 = bidir.select($"u".as("doc_id")).distinct()
       .withColumn("label", $"doc_id")
-    val out = EntityRes.ccPointerJump(labels0, bidir, maxRounds = 15)
+    val out = EntityRes.ccContract(labels0, bidir, maxRounds = 15)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.length === 300)
     assert(out.forall(_._2 == 0L), "every node labeled by the path min")

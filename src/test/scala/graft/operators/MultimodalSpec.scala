@@ -47,6 +47,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(2).getAs[String]("fp").length == 32)
   }
 
+  test("mm_phash: pixel-exact re-encodes collide at hamming 0 and " +
+      "the banded join finds only same-pattern pairs") {
+    val rows = Multimodal.mmPhashDedup(SparkSpec.spark, "unused")
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.contains((1L, 3L, 0L)), "seed-10 exact copy pair")
+    assert(rows.contains((6L, 7L, 0L)), "seed-30 exact copy pair")
+    // the corner-block edit flips a few hash bits but stays inside
+    // the Hamming ball — the case a byte-level md5 fingerprint
+    // (mm_features) structurally misses
+    assert(rows.exists { case (a, b, h) =>
+      a == 1L && b == 2L && h > 0L && h <= Multimodal.PhashMaxHam
+    }, "seed-10 near-dup pair with a small positive distance")
+    // the deterministic corpus plants no cross-pattern collisions
+    val seed = Multimodal.PhashImgs.map(t => t._1 -> t._2).toMap
+    assert(rows.forall { case (a, b, _) => seed(a) == seed(b) })
+  }
+
   test("mm_frames emits exactly FrameCount bounded slices per payload") {
     import org.apache.spark.sql.functions._
     val f = Multimodal.mmFrames(SparkSpec.spark, "/root/testdata/sf0.001")

@@ -33,16 +33,23 @@ class QualitySpec extends AnyFunSuite {
     assert(rows.map(_._1) === Seq("l_discount_cents", "l_partkey",
       "l_qty_cents", "l_returnflag", "l_shipdate_epoch"))
     val byName = rows.map(r => r._1 -> r).toMap
-    assert(byName("l_partkey") === (("l_partkey", 3L, 0L, 2L, "10", "20")))
+    def pad(v: String): String = ("0" * (20 - v.length)) + v
+    // numeric canonical strings are zero-padded to width 20, so the
+    // single string-typed min/max column orders NUMERICALLY — the
+    // unpadded form reported min="10", max="5" for l_discount_cents
+    // (well-defined, but misleading for a profiler; ADVICE r9)
+    assert(byName("l_partkey") ===
+      (("l_partkey", 3L, 0L, 2L, pad("10"), pad("20"))))
     assert(byName("l_qty_cents") ===
-      (("l_qty_cents", 3L, 0L, 2L, "100", "200")))
+      (("l_qty_cents", 3L, 0L, 2L, pad("100"), pad("200"))))
     assert(byName("l_returnflag") ===
       (("l_returnflag", 3L, 0L, 2L, "A", "R")))
     assert(byName("l_discount_cents") ===
-      (("l_discount_cents", 3L, 0L, 2L, "10", "5")))
+      (("l_discount_cents", 3L, 0L, 2L, pad("5"), pad("10"))))
     // epoch strings: 2024-01-01 = 1704067200, 2024-01-02 = 1704153600
     assert(byName("l_shipdate_epoch") ===
-      (("l_shipdate_epoch", 3L, 0L, 2L, "1704067200", "1704153600")))
+      (("l_shipdate_epoch", 3L, 0L, 2L,
+        pad("1704067200"), pad("1704153600"))))
   }
 
   test("q114: pair support, confidence, lift on a planted basket set") {

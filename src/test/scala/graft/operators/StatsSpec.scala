@@ -64,4 +64,25 @@ class StatsSpec extends AnyFunSuite {
       (100L, 10240L, 10L, 1L),
       (200L, 7680L, 30L, 1L)))
   }
+
+  test("q127: the MV refresh equals q112's full recompute, with a " +
+      "populated delta slice") {
+    // orderkey 9 lands in the delta slice (9 % 10 == 9) and SHARES
+    // part 100 with a base-slice line, so the columnwise merge of
+    // the two stored partials is actually exercised; order 2 is the
+    // stale base-only seller
+    val old = Timestamp.valueOf("2023-07-29 00:00:00")
+    val dir = fixtureDir(
+      Seq((1L, ts(28)), (2L, old), (9L, ts(28))),
+      Seq((1L, 100L, 10.0), (2L, 200L, 30.0), (9L, 100L, 5.0)))
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val full = shape(Stats.q112DecayedPopularity(s, dir))
+    val mv = shape(Stats.q127DecayedMv(s, dir))
+    assert(mv === full, "refresh must be bit-identical to recompute")
+    assert(mv.exists { case (p, _, qty, n) =>
+      p == 100L && qty == 15L && n == 2L
+    }, "base and delta lines of part 100 must have merged")
+  }
 }

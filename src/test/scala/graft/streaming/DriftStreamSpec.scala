@@ -76,4 +76,15 @@ class DriftStreamSpec extends AnyFunSuite {
     // empty side guards
     assert(StreamDrift.drift(Nil, Seq((0L, 1L))) === ((0L, 0L)))
   }
+
+  test("drift rejects out-of-range bucket ids loudly (they would " +
+      "silently skew the CDF otherwise)") {
+    intercept[IllegalArgumentException] {
+      StreamDrift.drift(Seq((StreamDrift.DriftBuckets.toLong, 1L)),
+        Seq((0L, 1L)))
+    }
+    intercept[IllegalArgumentException] {
+      StreamDrift.drift(Seq((0L, 1L)), Seq((-1L, 1L)))
+    }
+  }
 }
