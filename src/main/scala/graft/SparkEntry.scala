@@ -140,6 +140,11 @@ object SparkEntry {
     "q125_conversion_lag" -> Behavior.q125ConversionLag,
     "q126_profile_ndv" -> Quality.q126ProfileNdv,
     "q127_decayed_mv" -> Stats.q127DecayedMv,
+    "q128_gopher_quality" -> TextAnalysis.q128GopherQuality,
+    "q129_contamination" -> Dedup.q129Contamination,
+    "q130_k_anonymity" -> Quality.q130KAnonymity,
+    "q131_ann_recall" -> Similarity.q131AnnRecall,
+    "q132_link_pred" -> EntityRes.q132LinkPred,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -485,6 +490,11 @@ object SparkEntry {
     "q125_conversion_lag" -> Behavior.q125ConversionLagOracle,
     "q126_profile_ndv" -> Quality.q126ProfileNdvOracle,
     "q127_decayed_mv" -> Stats.q127DecayedMvOracle,
+    "q128_gopher_quality" -> TextAnalysis.q128GopherQualityOracle,
+    "q129_contamination" -> Dedup.q129ContaminationOracle,
+    "q130_k_anonymity" -> Quality.q130KAnonymityOracle,
+    "q131_ann_recall" -> Similarity.q131AnnRecallOracle,
+    "q132_link_pred" -> EntityRes.q132LinkPredOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,

@@ -793,4 +793,99 @@ object Dedup {
        |FROM ver
        |WHERE n_inter * $ContainDen >= least(na, nb) * $ContainNum
        |ORDER BY inner_id, outer_id""".stripMargin
+
+  /** Deterministic benchmark-probe selector for q129: every doc whose
+    * id is ≡ 0 (mod 97) stands in for a held-out eval set. */
+  val ContamMod = 97L
+
+  /** q129: benchmark-contamination audit — the decontamination check
+    * every pre-training pipeline runs against its eval sets (the
+    * n-gram collision methodology of the GPT-3 appendix C / Dodge et
+    * al. 2021 C4 study): for each benchmark document, what share of
+    * its shingles also appears ANYWHERE in the training corpus, and
+    * how many distinct training documents share at least one.
+    *
+    * Reuses q107's evidence space: distinct 48-bit-hashed 3-word
+    * shingles, df-gated at [[ContainDfCap]] (a shingle in more docs
+    * than the cap is boilerplate, not contamination evidence; the
+    * drop is `observe`d, never silent). The plan is the containment
+    * family MINUS the pair stage: ONE posting equi-join
+    * benchmark↔train on the shingle key (fan-out bounded by the df
+    * cap BY construction), then a benchmark-doc-keyed aggregate —
+    * strictly cheaper than q107 at every scale, and the benchmark
+    * side is ~1% of the corpus so the join's probe side is small.
+    * `coverage_pct` is over the GATED shingle count (the denominator
+    * a decontamination decision actually uses: boilerplate shingles
+    * can't indict). */
+  def q129Contamination(s: SparkSession, dir: String): DataFrame = {
+    val inv = Tables.spread(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), explode(shingles(col("text"))).as("w"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(w), 1, 12), 16, 10) AS BIGINT)")
+          .as("s"))
+      .distinct()
+    val dfAll = inv.groupBy(col("s")).agg(count(lit(1)).as("c"))
+    val keep = inv.join(dfAll, "s")
+      .observe("q129_contamination_df_cap",
+        coalesce(max(col("c")), lit(0L)).as("max_df"),
+        coalesce(max(when(col("c") > ContainDfCap, col("c"))
+          .otherwise(0L)), lit(0L)).as("max_dropped_df"))
+      .filter(col("c") <= ContainDfCap)
+    val bench = keep.filter(pmod(col("doc_id"), lit(ContamMod)) === 0)
+      .select(col("doc_id").as("bench_id"), col("s"))
+    val train = keep.filter(pmod(col("doc_id"), lit(ContamMod)) =!= 0)
+      .select(col("doc_id").as("train_id"), col("s"))
+    val benchSz = bench.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    // two countDistincts over the SAME small-fanout join output: the
+    // distinct-rewrite Expand doubles a stream already bounded by
+    // cap × |bench postings| — nothing corpus-scale rides it
+    val hits = bench.join(train, "s")
+      .groupBy(col("bench_id"))
+      .agg(countDistinct(col("s")).as("n_hit"),
+        countDistinct(col("train_id")).as("n_train_docs"))
+    benchSz.join(hits, Seq("bench_id"), "left")
+      .select(col("bench_id"), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"))
+      .withColumn("coverage_pct", expr("n_hit * 100 div n_shingles"))
+      .orderBy(col("bench_id"))
+  }
+
+  val q129ContaminationOracle: String =
+    s"""WITH base0 AS (
+       |  SELECT doc_id, $shinglesSql AS sh0 FROM documents),
+       |hs AS (
+       |  SELECT doc_id, substring(md5(s0), 1, 12) AS hx
+       |  FROM (SELECT doc_id, unnest(sh0) AS s0 FROM base0)),
+       |inv AS (
+       |  SELECT DISTINCT doc_id, (${Sketch.hexSql("hx", 12)}) AS s
+       |  FROM hs),
+       |df AS (
+       |  SELECT s, CAST(count(*) AS BIGINT) AS c FROM inv GROUP BY s),
+       |keep AS (
+       |  SELECT doc_id, inv.s FROM inv JOIN df ON inv.s = df.s
+       |  WHERE c <= $ContainDfCap),
+       |bench AS (
+       |  SELECT doc_id AS bench_id, s FROM keep
+       |  WHERE doc_id % $ContamMod = 0),
+       |train AS (
+       |  SELECT doc_id AS train_id, s FROM keep
+       |  WHERE doc_id % $ContamMod <> 0),
+       |bsz AS (
+       |  SELECT bench_id, CAST(count(*) AS BIGINT) AS n_shingles
+       |  FROM bench GROUP BY bench_id),
+       |hits AS (
+       |  SELECT bench_id,
+       |    CAST(count(DISTINCT b.s) AS BIGINT) AS n_hit,
+       |    CAST(count(DISTINCT train_id) AS BIGINT) AS n_train_docs
+       |  FROM bench b JOIN train t ON b.s = t.s
+       |  GROUP BY bench_id)
+       |SELECT bsz.bench_id, n_shingles,
+       |  coalesce(n_hit, 0) AS n_hit,
+       |  coalesce(n_train_docs, 0) AS n_train_docs,
+       |  CAST(coalesce(n_hit, 0) * 100 // n_shingles AS BIGINT)
+       |    AS coverage_pct
+       |FROM bsz LEFT JOIN hits USING (bench_id)
+       |ORDER BY bench_id""".stripMargin
 }

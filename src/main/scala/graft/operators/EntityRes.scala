@@ -469,4 +469,79 @@ object EntityRes {
        |    ELSE CAST(3 * n_triangles * 1000000 // n_wedges AS BIGINT)
        |  END AS transitivity_e6
        |FROM sizes CROSS JOIN ec CROSS JOIN tri""".stripMargin
+
+  /** q132: missing-link prediction over the ER match graph —
+    * neighborhood-Jaccard link scoring (Liben-Nowell & Kleinberg
+    * 2003): every NON-adjacent pair with at least one common match
+    * neighbor, scored by |Γ(x)∩Γ(y)| / |Γ(x)∪Γ(y)|. This is the
+    * record-linkage reviewer's triage queue: A≈B and B≈C matched but
+    * A≈C did not — a high-Jaccard non-edge is either a matcher miss
+    * (threshold too tight) or a genuine chain break, and q109's
+    * transitivity says which story the graph tells globally while
+    * this query names the pairs.
+    *
+    * Shape: common-neighbor pairs are wedge enumerations at each
+    * pivot node (one self-equi-join of the bidirected edge list on
+    * the pivot), then an anti-join against the edge set and two
+    * degree lookups. Unlike q109 the wedge stage cannot be
+    * degree-oriented (every common-neighbor pair is an output fact,
+    * not a closable probe) — its cost is Σ d(n)², which stays LINEAR
+    * in |E| here because q101's generator bounds degree BY
+    * construction (sorted-neighborhood width W plus BlockCap-capped
+    * blocks), and that bound is the documented contract: feed this
+    * operator a graph with unbounded hubs and the hub must be capped
+    * first (the q101 pattern). jaccard_e6 can't overflow: n_common ≤
+    * max degree, a generator constant, and the ×10⁶ product sits far
+    * below 2⁶³ at any corpus size. */
+  def q132LinkPred(s: SparkSession, dir: String): DataFrame = {
+    val edges = matchedPairs(s, dir)
+      .select(col("cust_a").as("a"), col("cust_b").as("b"))
+      .localCheckpoint(true) // one pair job; wedge ×2 + anti + degrees
+    val bidir = edges.unionByName(
+      edges.select(col("b").as("a"), col("a").as("b")))
+      .toDF("u", "v")
+    val deg = bidir.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val commons = bidir.as("e1")
+      .join(bidir.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.v").as("x"), col("e2.v").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_common"))
+    val adj = edges.select(least(col("a"), col("b")).as("x"),
+      greatest(col("a"), col("b")).as("y"))
+    commons.join(adj, Seq("x", "y"), "left_anti")
+      .join(deg.select(col("u").as("x"), col("d").as("dx")), "x")
+      .join(deg.select(col("u").as("y"), col("d").as("dy")), "y")
+      .withColumn("jaccard_e6",
+        expr("n_common * 1000000 div (dx + dy - n_common)"))
+      .select(col("x").as("cust_x"), col("y").as("cust_y"),
+        col("n_common"), col("dx"), col("dy"), col("jaccard_e6"))
+      .orderBy(col("cust_x"), col("cust_y"))
+  }
+
+  val q132LinkPredOracle: String =
+    s"""WITH $pairsSql,
+       |edges AS (SELECT cust_a AS a, cust_b AS b FROM matched),
+       |bidir AS (
+       |  SELECT a AS u, b AS v FROM edges
+       |  UNION ALL SELECT b AS u, a AS v FROM edges),
+       |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d
+       |        FROM bidir GROUP BY u),
+       |commons AS (
+       |  SELECT e1.v AS x, e2.v AS y,
+       |    CAST(count(*) AS BIGINT) AS n_common
+       |  FROM bidir e1 JOIN bidir e2
+       |    ON e1.u = e2.u AND e1.v < e2.v
+       |  GROUP BY 1, 2),
+       |adj AS (SELECT least(a, b) AS x, greatest(a, b) AS y
+       |        FROM edges)
+       |SELECT c.x AS cust_x, c.y AS cust_y, n_common,
+       |  dx.d AS dx, dy.d AS dy,
+       |  CAST(n_common * 1000000 // (dx.d + dy.d - n_common)
+       |    AS BIGINT) AS jaccard_e6
+       |FROM commons c
+       |LEFT JOIN adj ON adj.x = c.x AND adj.y = c.y
+       |JOIN deg dx ON dx.u = c.x
+       |JOIN deg dy ON dy.u = c.y
+       |WHERE adj.x IS NULL
+       |ORDER BY cust_x, cust_y""".stripMargin
 }

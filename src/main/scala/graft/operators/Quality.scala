@@ -557,4 +557,66 @@ object Quality {
        |FROM e JOIN d ON e.col_name = d.col_name
        |ORDER BY col_name""".stripMargin
   }
+
+  /** q130 account-balance quasi-identifier bucket width, in cents
+    * ($1000 buckets — coarse enough to be a plausible published
+    * attribute, fine enough that groups stay small). */
+  val KAnonBucketCents = 100000L
+
+  /** q130: k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    * et al. 2006) — the privacy-risk profile a governance pipeline
+    * runs before releasing a table: treat (nation, $1000 account
+    * bucket) as the quasi-identifier, market segment as the
+    * sensitive attribute, and report PER NATION how re-identifiable
+    * the rows are: group count, smallest group (the k of
+    * k-anonymity), rows in groups below k=2 and k=5, and the
+    * smallest per-group sensitive-value diversity (the l of
+    * l-diversity — a group with l=1 leaks its segment to anyone who
+    * can place a customer in it).
+    *
+    * Plan shape: one exchange keyed by the QI (groupBy computes
+    * size + distinct-sensitive per group), then a nation-keyed
+    * rollup of group-level facts — both key spaces are value-type
+    * scale (|nations| × |balance buckets|), so the report costs one
+    * corpus-keyed aggregate regardless of row count; nothing wider
+    * than the QI tuple rides either shuffle. */
+  def q130KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val qi = Tables.spread(Tables.load(s, dir, "customer"))
+      .select(col("c_nationkey").cast("long").as("nation"),
+        expr(s"CAST(round(c_acctbal * 100) AS BIGINT)" +
+          s" div $KAnonBucketCents").as("bal_bucket"),
+        col("c_mktsegment"))
+      .groupBy(col("nation"), col("bal_bucket"))
+      .agg(count(lit(1)).as("k"),
+        countDistinct(col("c_mktsegment")).as("l"))
+    qi.groupBy(col("nation"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("k")).as("n_rows"),
+        min(col("k")).as("min_k"),
+        sum(when(col("k") < 2, col("k")).otherwise(0L))
+          .as("rows_k_lt2"),
+        sum(when(col("k") < 5, col("k")).otherwise(0L))
+          .as("rows_k_lt5"),
+        min(col("l")).as("min_l"))
+      .orderBy(col("nation"))
+  }
+
+  val q130KAnonymityOracle: String =
+    s"""WITH qi AS (
+       |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) // $KAnonBucketCents
+       |      AS bal_bucket,
+       |    CAST(count(*) AS BIGINT) AS k,
+       |    CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l
+       |  FROM customer GROUP BY 1, 2)
+       |SELECT nation,
+       |  CAST(count(*) AS BIGINT) AS n_groups,
+       |  CAST(sum(k) AS BIGINT) AS n_rows,
+       |  min(k) AS min_k,
+       |  CAST(sum(CASE WHEN k < 2 THEN k ELSE 0 END) AS BIGINT)
+       |    AS rows_k_lt2,
+       |  CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+       |    AS rows_k_lt5,
+       |  min(l) AS min_l
+       |FROM qi GROUP BY nation ORDER BY nation""".stripMargin
 }

@@ -421,4 +421,116 @@ object Similarity {
        |      THEN v[i] ELSE -v[i] END)) AS BIGINT) AS comp
        |FROM base, range(0, $ProjDims) t(j)
        |ORDER BY vec_id, j""".stripMargin
+
+  /** Exact top-3 cosine neighbors per query (vec_id < 10) over the
+    * pool `vec_id >= minNeighborId` — the ground truth an ANN recall
+    * evaluation compares against. Same brute shape as [[annBrute]]:
+    * broadcast query side, one corpus scan. */
+  private def exactTop3(s: SparkSession, dir: String,
+      minNeighborId: Long): DataFrame = {
+    val b = base(s, dir)
+    val q = broadcast(b.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("sq").as("qsq")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_e6").desc, col("neighbor_id").asc)
+    b.filter(col("vec_id") >= minNeighborId)
+      .select(col("vec_id").as("neighbor_id"), col("v"), col("sq"))
+      .crossJoin(q)
+      .withColumn("cos_e6",
+        cosE6(idot(col("qv"), col("v")), col("qsq"), col("sq")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  /** Exact top-3 ground truth as DuckDB SQL, pool `vec_id >= minId`. */
+  private def exactTop3Sql(minId: Long): String =
+    s"""WITH base AS (
+       |  SELECT vec_id, $ivecSql AS v FROM embeddings),
+       |sq AS (
+       |  SELECT vec_id, v,
+       |    CAST(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i])) AS BIGINT) AS sq
+       |  FROM base),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST(floor(CAST(list_sum(list_transform(range(1, len(q.v)+1),
+       |          i -> q.v[i]*c.v[i])) AS DOUBLE)
+       |      / (sqrt(CAST(q.sq AS DOUBLE)) * sqrt(CAST(c.sq AS DOUBLE)))
+       |      * 1e6) AS BIGINT) AS cos_e6
+       |  FROM sq q JOIN sq c ON q.vec_id < 10 AND c.vec_id >= $minId),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_e6 DESC, neighbor_id ASC) AS rk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id FROM ranked WHERE rk <= 3""".stripMargin
+
+  /** q131: ANN recall calibration — the evaluation harness that makes
+    * an approximate index TRUSTABLE (the recall@k methodology of the
+    * ann-benchmarks suite, Aumüller et al. 2019): for every query,
+    * recall@3 of [[annLsh]] and [[annIvf]] against the EXACT
+    * brute-force top-3 over each method's own reachable pool (LSH
+    * searches vec_id ≥ 10; IVF's corpus starts past its
+    * [[IvfCentroids]] stand-in codebook — comparing against a pool
+    * the index cannot return would misread design scope as recall
+    * loss).
+    *
+    * The expensive side IS the ground truth (two brute scans with a
+    * broadcast 10-query probe side — at 100 TB this is the standard
+    * sampled-recall job: ground truth over a fixed probe sample, the
+    * index answers joined against it); the comparison itself is a
+    * query-keyed join of two ≤30-row results. Hit counting is an
+    * inner join on (query_id, neighbor_id) — exact, no floats. */
+  def q131AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    def hits(approx: DataFrame, exact: DataFrame): DataFrame =
+      exact.join(approx.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    val queries = base(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"))
+    val lsh = hits(annLsh(s, dir), exactTop3(s, dir, 10L))
+    val ivf = hits(annIvf(s, dir), exactTop3(s, dir, IvfCentroids.toLong))
+    queries
+      .join(lsh.select(col("query_id"), col("n_hits").as("lsh_hits")),
+        Seq("query_id"), "left")
+      .join(ivf.select(col("query_id"), col("n_hits").as("ivf_hits")),
+        Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("lsh_hits"), lit(0L)).as("lsh_hits"),
+        coalesce(col("ivf_hits"), lit(0L)).as("ivf_hits"))
+      .withColumn("lsh_recall_pct", expr("lsh_hits * 100 div 3"))
+      .withColumn("ivf_recall_pct", expr("ivf_hits * 100 div 3"))
+      .orderBy(col("query_id"))
+  }
+
+  /** The q131 oracle COMPOSES the already-verified ann oracles as
+    * derived tables (DuckDB allows WITH inside a parenthesized
+    * subquery), so the recall check is against the exact SQL the
+    * driver already gates ann_lsh/ann_ivf with. */
+  val q131AnnRecallOracle: String =
+    s"""WITH lsh_res AS (SELECT * FROM ($annLshOracle)),
+       |ivf_res AS (SELECT * FROM ($annIvfOracle)),
+       |ex_lsh AS (SELECT * FROM (${exactTop3Sql(10L)})),
+       |ex_ivf AS (SELECT * FROM (${exactTop3Sql(IvfCentroids.toLong)})),
+       |queries AS (
+       |  SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10),
+       |lh AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS lsh_hits
+       |  FROM ex_lsh JOIN lsh_res USING (query_id, neighbor_id)
+       |  GROUP BY query_id),
+       |ih AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS ivf_hits
+       |  FROM ex_ivf JOIN ivf_res USING (query_id, neighbor_id)
+       |  GROUP BY query_id)
+       |SELECT query_id,
+       |  coalesce(lsh_hits, 0) AS lsh_hits,
+       |  coalesce(ivf_hits, 0) AS ivf_hits,
+       |  CAST(coalesce(lsh_hits, 0) * 100 // 3 AS BIGINT)
+       |    AS lsh_recall_pct,
+       |  CAST(coalesce(ivf_hits, 0) * 100 // 3 AS BIGINT)
+       |    AS ivf_recall_pct
+       |FROM queries LEFT JOIN lh USING (query_id)
+       |LEFT JOIN ih USING (query_id)
+       |ORDER BY query_id""".stripMargin
 }

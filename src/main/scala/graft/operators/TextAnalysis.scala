@@ -173,4 +173,89 @@ object TextAnalysis {
        |    list_transform(string_split($normSql, ''), c -> CAST(ascii(c) AS BIGINT))),
        |    (acc, c) -> (acc * 31 + c) % 2147483647) AS BIGINT) AS rollhash
        |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q128 duplicate-n-gram thresholds (Gopher, Rae et al. 2021 §A1.1
+    * table A1 gives 0.20/0.18 for dup-2/3-gram FRACTIONS; integer
+    * percents here). Mean-word-length band ×100 of Gopher's 3–10. */
+  val GopherDup2MaxPct = 20L
+  val GopherDup3MaxPct = 18L
+  val GopherWlenMinE2 = 300L
+  val GopherWlenMaxE2 = 1000L
+
+  /** q128: Gopher-style repetition/quality rules (Rae et al. 2021,
+    * "Scaling Language Models: ... Gopher", appendix A1.1) — the
+    * standard pre-training text filter family: duplicate-2-gram and
+    * duplicate-3-gram fractions (repetitious boilerplate), mean word
+    * length band, and the all-numeric token share, folded into one
+    * pass/fail flag per document.
+    *
+    * Everything is computed IN-ROW from the token array (n-gram
+    * arrays via `transform(sequence(...))`, duplicate share via
+    * `size − size(array_distinct)`) — a map-only plan with NO
+    * shuffle: per-document rules never need cross-document state, so
+    * the operator scales as pure scan bandwidth at 100 TB (the same
+    * shape as ta_stats/ta_langid). Integer `div` percents keep both
+    * engines bit-identical; empty/one-token documents define their
+    * dup fractions as 0 (no n-grams exist). */
+  def q128GopherQuality(s: SparkSession, dir: String): DataFrame = {
+    // sequence(1, 0) is DESCENDING in Spark, so the n-gram builder
+    // must gate on size >= n rather than clamping the sequence end
+    def ngrams(t: Column, n: Int): Column =
+      when(size(t) >= n,
+        transform(sequence(lit(1), size(t) - (n - 1)),
+          i => concat_ws(" ",
+            (0 until n).map(o => element_at(t, i + o)): _*)))
+        .otherwise(typedLit(Seq.empty[String]))
+    // integer percents via `div` in expr (Column `/` is true division)
+    Tables.spread(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("g2", ngrams(col("t"), 2))
+      .withColumn("g3", ngrams(col("t"), 3))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        when(size(col("g2")) === 0, 0L).otherwise(expr(
+          "(size(g2) - size(array_distinct(g2))) * 100L div size(g2)"))
+          .as("dup2_pct"),
+        when(size(col("g3")) === 0, 0L).otherwise(expr(
+          "(size(g3) - size(array_distinct(g3))) * 100L div size(g3)"))
+          .as("dup3_pct"),
+        expr("aggregate(t, 0L, (acc, x) -> acc + length(x)) * 100" +
+          " div size(t)").as("mean_wlen_e2"),
+        expr("size(filter(t, x -> x rlike '^[0-9]+$')) * 100L" +
+          " div size(t)").as("numeric_tok_pct"))
+      .withColumn("gopher_pass",
+        (col("dup2_pct") < GopherDup2MaxPct &&
+          col("dup3_pct") < GopherDup3MaxPct &&
+          col("mean_wlen_e2") >= GopherWlenMinE2 &&
+          col("mean_wlen_e2") <= GopherWlenMaxE2).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q128GopherQualityOracle: String = {
+    def ngramsSql(n: Int) = {
+      val parts = (0 until n).map(o => s"t[i+$o]").mkString(" || ' ' || ")
+      s"list_transform(range(1, greatest(len(t) - ${n - 2}, 1)), i -> $parts)"
+    }
+    def dupPctSql(g: String) =
+      s"""CASE WHEN len($g) = 0 THEN 0
+         | ELSE (len($g) - len(list_distinct($g))) * 100 // len($g)
+         | END""".stripMargin.replace("\n", "")
+    s"""WITH tok AS (
+       |  SELECT doc_id, $tokensSql AS t FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(t) AS BIGINT) AS n_tokens,
+       |    CAST(${dupPctSql(ngramsSql(2))} AS BIGINT) AS dup2_pct,
+       |    CAST(${dupPctSql(ngramsSql(3))} AS BIGINT) AS dup3_pct,
+       |    CAST(list_sum(list_transform(t, x -> length(x))) * 100
+       |      // len(t) AS BIGINT) AS mean_wlen_e2,
+       |    CAST(len(list_filter(t, x -> regexp_full_match(x, '[0-9]+')))
+       |      * 100 // len(t) AS BIGINT) AS numeric_tok_pct
+       |  FROM tok)
+       |SELECT *,
+       |  CAST(dup2_pct < $GopherDup2MaxPct AND dup3_pct < $GopherDup3MaxPct
+       |    AND mean_wlen_e2 BETWEEN $GopherWlenMinE2 AND $GopherWlenMaxE2
+       |    AS INT) AS gopher_pass
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
 }

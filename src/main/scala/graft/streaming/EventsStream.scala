@@ -130,4 +130,49 @@ object EventsStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"))
   }
+
+  /** The customer dimension projected to the enrichment key — shared
+    * by [[enrichedSegmentCounts]] and its batch twin so stream and
+    * batch join the identical relation. */
+  private def segmentDim(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+
+  /** Stream-STATIC dimension enrichment — the canonical streaming-ETL
+    * join the suite's stream-stream and foreachBatch shapes don't
+    * cover: the event stream joined declaratively to a static
+    * dimension table, then a watermarked tumbling-window aggregate
+    * per enriched key. Spark executes the static side as a broadcast
+    * hash join INSIDE each micro-batch: no join state, no watermark
+    * interaction (only the stream side carries event time), and the
+    * dimension is re-resolvable per batch — at cluster scale this is
+    * events-from-Kafka ⋈ dim-from-warehouse with the dim refreshed
+    * by the next deploy, the enrichment pattern every training-data
+    * ingest runs before quality gates see a row. */
+  def enrichedSegmentCounts(spark: SparkSession, dir: String,
+      sfDir: String, window_ : String = "1 hour",
+      watermark: String = "1 hour"): DataFrame = {
+    readStream(spark, dir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", watermark)
+      .join(broadcast(segmentDim(spark, sfDir)), "user_id")
+      .groupBy(window(col("event_time"), window_), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("window.start").as("window_start"),
+        col("c_mktsegment"), col("n_events"), col("value_cents"))
+  }
+
+  /** Batch twin of [[enrichedSegmentCounts]] — the equality gate. */
+  def enrichedSegmentCountsBatch(spark: SparkSession, dir: String,
+      sfDir: String, window_ : String = "1 hour"): DataFrame = {
+    readBatch(spark, dir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .join(broadcast(segmentDim(spark, sfDir)), "user_id")
+      .groupBy(window(col("event_time"), window_), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("window.start").as("window_start"),
+        col("c_mktsegment"), col("n_events"), col("value_cents"))
+  }
 }

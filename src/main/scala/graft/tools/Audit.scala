@@ -132,6 +132,10 @@ object PlanAudit {
       // q112 broadcasts the 1-row max-order-date anchor against the
       // orders scan — the q36/q55 totals shape.
       "q112_decayed_pop",
+      // q131's ground-truth arms are ann_brute's own shape twice: the
+      // ≤10-row broadcast probe set against one corpus scan — the
+      // sampled-recall evaluation's intended brute-force side.
+      "q131_ann_recall",
       // q114's rule report crossJoins the ≤|brands|² pair table with
       // its broadcast 1-row basket total — totals shape.
       "q114_basket_lift",

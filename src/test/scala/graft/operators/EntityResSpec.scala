@@ -170,4 +170,27 @@ class EntityResSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
       r.getLong(4)) === ((3L, 2L, 1L, 0L, 0L)))
   }
+
+  test("q132: the open chain's missing link is predicted at Jaccard 1; " +
+      "a complete triangle predicts nothing") {
+    // q109's open-chain fixture: 1–2–3 matched, 1–3 not. The only
+    // common-neighbor non-edge is (1,3) through pivot 2: Γ(1)={2},
+    // Γ(3)={2} → J = 1/(1+1−1) = 1.0 exactly.
+    val chain = customersDir(Seq(
+      (1L, "zabcdefghij", 1, 0.0),
+      (2L, "abcdefghij", 1, 0.0),
+      (3L, "abcdefghijkl", 1, 0.0)))
+    val got = EntityRes.q132LinkPred(s, chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === Seq((1L, 3L, 1L, 1L, 1L, 1000000L)))
+
+    // three identical names: K3 — every common-neighbor pair is
+    // already an edge, so the reviewer queue is empty
+    val tri = customersDir(Seq(
+      (1L, "globex international", 1, 0.0),
+      (2L, "globex international", 1, 0.0),
+      (3L, "globex international", 1, 0.0)))
+    assert(EntityRes.q132LinkPred(s, tri).collect().isEmpty)
+  }
 }

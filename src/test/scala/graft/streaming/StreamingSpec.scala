@@ -37,6 +37,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("ev_counts").count() > 10, "multiple windows emitted")
   }
 
+  test("stream-static dim enrichment: windowed per-segment counts " +
+      "equal the batch twin exactly") {
+    val sfDir = "/root/testdata/sf0.001"
+    val streamDir = Files.createTempDirectory("events-enrich")
+    Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val q = EventsStream.enrichedSegmentCounts(spark,
+        streamDir.toString, sfDir)
+      .writeStream.format("memory").queryName("ev_enriched")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ev_enriched")
+    val batch = EventsStream.enrichedSegmentCountsBatch(spark,
+      streamDir.toString, sfDir)
+    // full-result equality, not just totals: the enrichment join must
+    // not change a single (window, segment) cell between the engines
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "stream and batch enrichment disagree")
+    assert(streamed.select(col("c_mktsegment")).distinct().count() >= 3,
+      "expected several enriched segments")
+  }
+
   test("stream-stream join attributes purchases to preceding clicks") {
     val sfDir = "/root/testdata/sf0.001"
     val streamDir = Files.createTempDirectory("events-ssj")
