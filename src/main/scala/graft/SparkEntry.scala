@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Behavior, Bpe, Budget, Clustering, Dedup, EntityRes, Ivfpq, Keywords, Layout, Lm, Multimodal, OrderStats, Overlap, Pipeline, Pipeline2, Pipeline3, Pq, Quality, Redact, Relational, Relational2, Retrieval, Similarity, Sketch, Splits, Stats, TextAnalysis, Threshold}
+import graft.operators.{Behavior, Bpe, Budget, Clustering, Dedup, EntityRes, Ivfpq, Keywords, Layout, Lm, Multimodal, OrderStats, Overlap, Pipeline, Pipeline2, Pipeline3, Pq, Quality, Redact, Relational, Relational2, Retrieval, SetSim, Similarity, Sketch, Splits, Stats, TextAnalysis, Threshold}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -145,6 +145,14 @@ object SparkEntry {
     "q130_k_anonymity" -> Quality.q130KAnonymity,
     "q131_ann_recall" -> Similarity.q131AnnRecall,
     "q132_link_pred" -> EntityRes.q132LinkPred,
+    "q133_ece_calibration" -> TextAnalysis.q133LangidCalibration,
+    "q134_setsim_search" -> SetSim.q134SetSimSearch,
+    "q135_heavy_hitters" -> Sketch.q135HeavyHitters,
+    "q136_collocations" -> Keywords.q136Collocations,
+    "q137_corpus_diff" -> Pipeline3.q137CorpusDiff,
+    "q138_lang_sampling" -> TextAnalysis.q138LangSampling,
+    "q139_kcore" -> EntityRes.q139KCore,
+    "q140_canonical_dedup" -> Pipeline3.q140CanonicalDedup,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -495,6 +503,14 @@ object SparkEntry {
     "q130_k_anonymity" -> Quality.q130KAnonymityOracle,
     "q131_ann_recall" -> Similarity.q131AnnRecallOracle,
     "q132_link_pred" -> EntityRes.q132LinkPredOracle,
+    "q133_ece_calibration" -> TextAnalysis.q133LangidCalibrationOracle,
+    "q134_setsim_search" -> SetSim.q134SetSimSearchOracle,
+    "q135_heavy_hitters" -> Sketch.q135HeavyHittersOracle,
+    "q136_collocations" -> Keywords.q136CollocationsOracle,
+    "q137_corpus_diff" -> Pipeline3.q137CorpusDiffOracle,
+    "q138_lang_sampling" -> TextAnalysis.q138LangSamplingOracle,
+    "q139_kcore" -> EntityRes.q139KCoreOracle,
+    "q140_canonical_dedup" -> Pipeline3.q140CanonicalDedupOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,

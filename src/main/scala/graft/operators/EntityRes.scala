@@ -544,4 +544,99 @@ object EntityRes {
        |JOIN deg dy ON dy.u = c.y
        |WHERE adj.x IS NULL
        |ORDER BY cust_x, cust_y""".stripMargin
+
+  // ---- q139: k-core decomposition (k = 2) ------------------------------
+
+  /** Peel-round cap for [[q139KCore]] — also the UNROLLED round count
+    * of the oracle, so exceeding it fails LOUDLY in both engines (the
+    * q45 pinned-round discipline) instead of returning a non-core. */
+  val KCoreRounds = 8
+
+  /** q139: the 2-core of the ER match graph — iterative peeling
+    * (Matula & Beck 1983): drop every record with fewer than two
+    * surviving match partners until none remains. The 2-core is the
+    * cyclically-corroborated skeleton of a record-linkage graph —
+    * every surviving match sits on a cycle of agreeing evidence,
+    * while tree-like chains (exactly the shape sorted-neighborhood
+    * windows produce from coincidental adjacency) peel away. The
+    * reviewer triage complement to q132: q132 queues likely MISSING
+    * edges, the 2-core certifies which PRESENT edges corroborate
+    * each other.
+    *
+    * Convergence contract: peeling is monotone, so once a pass
+    * removes nothing the result is THE k-core (unique, order-free).
+    * The loop probes the removed-count each round (one driver-side
+    * count — the q65 probe discipline) and `require`s the fixpoint
+    * within [[KCoreRounds]]; the oracle unrolls the same number of
+    * rounds, and monotonicity makes early Spark convergence agree
+    * with the oracle's fixed unroll.
+    *
+    * Scale shape: each pass is one degree aggregate plus two
+    * node-keyed semi-joins, all on the (q101-capped) edge list; the
+    * edge set only SHRINKS, and real linkage graphs reach the 2-core
+    * fixpoint in a handful of passes (chain ends peel in parallel,
+    * so rounds grow with the longest CHAIN, not graph size). */
+  /** The peel loop on an arbitrary bidirected edge list `(u, v)` —
+    * exposed for KCoreSpec's hand graphs. Returns the surviving
+    * 2-core edges. */
+  private[operators] def kcoreEdges(bidir0: DataFrame): DataFrame = {
+    var bidir = bidir0.localCheckpoint(true)
+    // one count action per round: the previous round's size is reused
+    // as this round's baseline (the q65 probe discipline)
+    var size = bidir.count()
+    var round = 0
+    var removed = 1L
+    while (removed > 0) {
+      round += 1
+      require(round <= KCoreRounds,
+        s"2-core did not converge in $KCoreRounds peel rounds; raise " +
+          "KCoreRounds AND the oracle unroll together (q45 discipline)")
+      val keep = bidir.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= 2).select(col("u"))
+        .localCheckpoint(true)
+      val next = bidir.join(keep, Seq("u"))
+        .join(keep.select(col("u").as("v")), Seq("v"))
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+      val nextSize = next.count()
+      removed = size - nextSize
+      size = nextSize
+      bidir = next
+    }
+    bidir
+  }
+
+  def q139KCore(s: SparkSession, dir: String): DataFrame = {
+    val edges = matchedPairs(s, dir)
+      .select(col("cust_a").as("a"), col("cust_b").as("b"))
+    val bidir = edges.unionByName(
+      edges.select(col("b").as("a"), col("a").as("b")))
+      .toDF("u", "v")
+    kcoreEdges(bidir)
+      .groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
+      .select(col("u").as("custkey"), col("core_deg"))
+      .orderBy(col("custkey"))
+  }
+
+  val q139KCoreOracle: String = {
+    // every peel CTE is re-referenced 3× by the next round — without
+    // MATERIALIZED, DuckDB inlines the chain EXPONENTIALLY (3^rounds
+    // copies of the base scan; measured as an fd-exhaustion error at
+    // 8 rounds). Same treatment as the q65 oracle (Pipeline2).
+    val rounds = (1 to KCoreRounds).map { i =>
+      s"""n$i AS MATERIALIZED (SELECT u FROM e${i - 1} GROUP BY u
+         |  HAVING count(*) >= 2),
+         |e$i AS MATERIALIZED (SELECT e.u, e.v FROM e${i - 1} e
+         |  JOIN n$i a ON a.u = e.u JOIN n$i b ON b.u = e.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $pairsSql,
+       |edges AS MATERIALIZED (
+       |  SELECT cust_a AS a, cust_b AS b FROM matched),
+       |e0 AS MATERIALIZED (
+       |  SELECT a AS u, b AS v FROM edges
+       |  UNION ALL SELECT b AS u, a AS v FROM edges),
+       |$rounds
+       |SELECT u AS custkey, CAST(count(*) AS BIGINT) AS core_deg
+       |FROM e$KCoreRounds GROUP BY u ORDER BY custkey""".stripMargin
+  }
 }

@@ -119,4 +119,89 @@ object Keywords {
        |ORDER BY score_e3 DESC, phrase ASC
        |LIMIT $RakeTopK""".stripMargin
   }
+  // ---- q136: collocation lift over windowed token pairs ---------------
+
+  /** Pair-count floor and report size for q136. */
+  val CollocMinPairs = 5L
+  val CollocTopK = 40
+
+  /** q136: collocation extraction by association lift over windowed
+    * token co-occurrence (the PMI family — Church & Hanks 1990 —
+    * kept in exact fixed point by reporting the RATIO
+    * c_ab·N/(c_a·c_b) ×10⁶ instead of its log: log is libm and not
+    * correctly rounded, the ratio is pure integer arithmetic, and
+    * log is monotone so the ranking is THE PMI ranking). Pairs are
+    * unordered token pairs within a forward window of 2 positions,
+    * canonicalized lexicographically; pairs seen fewer than
+    * [[CollocMinPairs]] times are dropped (PMI's rare-pair
+    * pathology), and the report is the top [[CollocTopK]] by
+    * (lift desc, pair asc).
+    *
+    * Scale shape: pair generation is IN-ROW (array transform over
+    * the token array — map-only, ~2 pairs per token); counting is
+    * two map-side-combined groupBys (pair-type and token-type
+    * scale); marginals attach by two token-keyed equi-joins on the
+    * already-collapsed pair-count table; the total is a 1-row
+    * broadcast; selection is TakeOrderedAndProject. Nothing
+    * occurrence-scale ever rides a shuffle. The ×10⁶ lift numerator
+    * is DECIMAL(38,0)/HUGEINT-widened: exact through ~3·10¹⁵ tokens
+    * (N²·10⁶ < 10³⁸), far past a 100 TB text corpus. */
+  def q136Collocations(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.load(s, dir, "documents"))
+      .select(TextAnalysis.tokens(col("text")).as("t"))
+      // the token arrays feed pair, unigram, and total arms — one
+      // scan + one kernel pass, reused
+      .localCheckpoint(true)
+    val pairs = docs.select(explode(expr(
+      "CASE WHEN size(t) >= 2 THEN" +
+        " flatten(transform(sequence(1, size(t) - 1), i ->" +
+        "   transform(sequence(i + 1, least(i + 2, size(t))), j ->" +
+        "     concat(least(element_at(t, i), element_at(t, j)), ' '," +
+        "       greatest(element_at(t, i), element_at(t, j))))))" +
+        " ELSE CAST(array() AS ARRAY<STRING>) END")).as("pair"))
+    val cp = pairs.groupBy(col("pair")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= CollocMinPairs)
+    val uni = docs.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val tot = docs.agg(
+      expr("CAST(sum(size(t)) AS BIGINT)").as("n_tok"))
+    cp.withColumn("w1", expr("split_part(pair, ' ', 1)"))
+      .withColumn("w2", expr("split_part(pair, ' ', 2)"))
+      .join(uni.select(col("w").as("w1"), col("c_w").as("c_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c_w").as("c_b")), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"),
+        col("c_b"),
+        expr("CAST(CAST(c_ab AS DECIMAL(38,0)) * n_tok * 1000000" +
+          " div (CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)")
+          .as("lift_e6"))
+      .orderBy(col("lift_e6").desc, col("w1"), col("w2"))
+      .limit(CollocTopK)
+  }
+
+  val q136CollocationsOracle: String =
+    s"""WITH tok AS (SELECT $tokensSql AS t FROM documents),
+       |pairs AS (
+       |  SELECT unnest(flatten(list_transform(range(1, len(t)), i ->
+       |    list_transform(range(i + 1, least(i + 2, len(t)) + 1), j ->
+       |      least(t[i], t[j]) || ' ' || greatest(t[i], t[j])))))
+       |    AS pair
+       |  FROM tok WHERE len(t) >= 2),
+       |cp AS (
+       |  SELECT pair, CAST(count(*) AS BIGINT) AS c_ab
+       |  FROM pairs GROUP BY pair HAVING count(*) >= $CollocMinPairs),
+       |uc AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c_w
+       |  FROM (SELECT unnest(t) AS w FROM tok) GROUP BY w),
+       |tot AS (SELECT CAST(sum(len(t)) AS BIGINT) AS n_tok FROM tok)
+       |SELECT split_part(pair, ' ', 1) AS w1,
+       |  split_part(pair, ' ', 2) AS w2,
+       |  c_ab, a.c_w AS c_a, b.c_w AS c_b,
+       |  CAST(CAST(c_ab AS HUGEINT) * n_tok * 1000000
+       |    // (CAST(a.c_w AS HUGEINT) * b.c_w) AS BIGINT) AS lift_e6
+       |FROM cp
+       |JOIN uc a ON a.w = split_part(pair, ' ', 1)
+       |JOIN uc b ON b.w = split_part(pair, ' ', 2)
+       |CROSS JOIN tot
+       |ORDER BY lift_e6 DESC, w1, w2 LIMIT $CollocTopK""".stripMargin
 }

@@ -849,4 +849,174 @@ object Pipeline3 {
        |LEFT JOIN txt t USING (doc_id)
        |ORDER BY b.doc_id""".stripMargin
   }
+  // ---- q137: snapshot corpus diff -------------------------------------
+
+  /** q137: content-hash diff between two corpus snapshots — the
+    * "what changed between crawl N and crawl N+1" audit a recurring
+    * ingestion pipeline publishes before retraining decisions: per
+    * source, how many documents were added, removed, revised
+    * (content hash differs), or untouched, and the churn rate. The
+    * two snapshots are synthesized from the one corpus so the oracle
+    * sees identical inputs: the old snapshot drops doc_id ≡ 5
+    * (mod 13), the new drops doc_id ≡ 3 (mod 11), and every shared
+    * doc_id ≡ 0 (mod 7) carries a revision suffix in the new
+    * snapshot — detection itself is PURELY md5(content) equality
+    * (the operator never sees the synthetic rule).
+    *
+    * Scale shape: documents collapse to (doc_id, source, md5) AT THE
+    * SCAN — 48 bytes/row, no text rides the shuffle; then ONE
+    * doc-keyed full-outer hash join (the snapshot-diff exchange
+    * every Delta/Iceberg-style reconciliation pays) and a
+    * |sources|-group aggregate with map-side combine. Churn ppm is
+    * DECIMAL(38,0)/HUGEINT-widened and zero-guarded for sources that
+    * exist only in the new snapshot. */
+  def q137CorpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), col("source"), col("text"))
+    val old = docs.filter(expr("doc_id % 13 != 5"))
+      .select(col("doc_id"), col("source").as("src_o"),
+        md5(col("text")).as("h_o"))
+    val neu = docs.filter(expr("doc_id % 11 != 3"))
+      .select(col("doc_id"), col("source").as("src_n"),
+        md5(when(expr("doc_id % 7 = 0"),
+          concat(col("text"), lit(" rev2")))
+          .otherwise(col("text"))).as("h_n"))
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("src_o"), col("src_n")).as("source"),
+        when(col("h_o").isNull, lit("added"))
+          .when(col("h_n").isNull, lit("removed"))
+          .when(col("h_o") =!= col("h_n"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        col("h_o").isNotNull.cast("long").as("in_old"),
+        col("h_n").isNotNull.cast("long").as("in_new"))
+      .groupBy(col("source")).agg(
+        sum(when(col("status") === "added", 1L).otherwise(0L))
+          .as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L))
+          .as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L))
+          .as("n_changed"),
+        sum(when(col("status") === "unchanged", 1L).otherwise(0L))
+          .as("n_unchanged"),
+        sum(col("in_old")).as("n_old"),
+        sum(col("in_new")).as("n_new"))
+      .withColumn("churn_ppm",
+        expr("CASE WHEN n_old = 0 THEN CAST(0 AS BIGINT)" +
+          " ELSE CAST(CAST(n_added + n_removed + n_changed" +
+          " AS DECIMAL(38,0)) * 1000000 div n_old AS BIGINT) END"))
+      .orderBy(col("source"))
+  }
+
+  val q137CorpusDiffOracle: String =
+    """WITH o AS (
+      |  SELECT doc_id, source AS src_o, md5(text) AS h_o
+      |  FROM documents WHERE doc_id % 13 != 5),
+      |n AS (
+      |  SELECT doc_id, source AS src_n,
+      |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
+      |             ELSE text END) AS h_n
+      |  FROM documents WHERE doc_id % 11 != 3),
+      |j AS (
+      |  SELECT coalesce(src_o, src_n) AS source,
+      |    CASE WHEN h_o IS NULL THEN 'added'
+      |         WHEN h_n IS NULL THEN 'removed'
+      |         WHEN h_o != h_n THEN 'changed'
+      |         ELSE 'unchanged' END AS status,
+      |    CASE WHEN h_o IS NULL THEN 0 ELSE 1 END AS in_old,
+      |    CASE WHEN h_n IS NULL THEN 0 ELSE 1 END AS in_new
+      |  FROM o FULL OUTER JOIN n USING (doc_id)),
+      |g AS (
+      |  SELECT source,
+      |    CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_added,
+      |    CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_removed,
+      |    CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_changed,
+      |    CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_unchanged,
+      |    CAST(sum(in_old) AS BIGINT) AS n_old,
+      |    CAST(sum(in_new) AS BIGINT) AS n_new
+      |  FROM j GROUP BY source)
+      |SELECT *,
+      |  CASE WHEN n_old = 0 THEN CAST(0 AS BIGINT)
+      |    ELSE CAST(CAST(n_added + n_removed + n_changed AS HUGEINT)
+      |      * 1000000 // n_old AS BIGINT) END AS churn_ppm
+      |FROM g ORDER BY source""".stripMargin
+
+  // ---- q140: near-dup cluster canonicalization -------------------------
+
+  /** q140: canonical-document selection — the curation stage AFTER
+    * near-duplicate clustering: MinHash-LSH pairs ([[Dedup
+    * .minhashPairs]], exact-verified J ≥ 0.5) become clusters via the
+    * contraction CC ([[EntityRes.ccContract]] — the q102/q108
+    * machinery), and each cluster keeps its LONGEST member
+    * (n_tokens desc, doc_id asc tie-break): the "keep the most
+    * complete copy" rule every dedup pipeline applies before
+    * training. One row per cluster: representative (smallest member
+    * id — ccContract's label contract), the canonical doc, member
+    * count, its token count, and how many documents the cluster
+    * drops.
+    *
+    * Scale shape: pair generation and CC are exactly q108's bounded
+    * stages (banded equi-join candidates, geometrically-decaying
+    * contraction); token counts ride the ONE kernel pass; canonical
+    * selection is a cluster-keyed Window (PARTITIONED — tiny state
+    * per cluster, never a global sort). Nothing new shuffles at
+    * corpus scale beyond q108's own plan. */
+  def q140CanonicalDedup(s: SparkSession, dir: String): DataFrame = {
+    val edges = Dedup.minhashPairs(s, dir)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .localCheckpoint(true)
+    val bidir = edges.unionByName(
+      edges.select(col("v").as("u"), col("u").as("v")))
+    val labels0 = bidir.select(col("u").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("label"))
+    val labels = EntityRes.ccContract(labels0, bidir)
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val byLength = Window.partitionBy(col("cluster"))
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+    labels.select(col("doc_id"), col("label").as("cluster"))
+      .join(toks, Seq("doc_id"))
+      .withColumn("rn", row_number().over(byLength))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("cluster"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("doc_id").as("canonical_doc"),
+        col("n_members").cast("long").as("n_members"),
+        col("n_tokens").as("canonical_tokens"),
+        (col("n_members") - 1).cast("long").as("dropped_docs"))
+      .orderBy(col("cluster"))
+  }
+
+  val q140CanonicalDedupOracle: String =
+    s"""WITH RECURSIVE ${Dedup.minhashPairsSqlCtes},
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM verified
+       |  WHERE n_inter * 2 >= n_union),
+       |bidir AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+       |reach AS (
+       |  SELECT u AS node, u AS lab FROM bidir
+       |  UNION
+       |  SELECT b.v AS node, r.lab AS lab
+       |  FROM reach r JOIN bidir b ON b.u = r.node),
+       |lab AS (SELECT node AS doc_id, min(lab) AS cluster
+       |        FROM reach GROUP BY node),
+       |mem AS (
+       |  SELECT l.doc_id, l.cluster,
+       |    CAST(len($tokensSql) AS BIGINT) AS n_tokens
+       |  FROM lab l JOIN documents d ON d.doc_id = l.doc_id),
+       |rk AS (
+       |  SELECT doc_id, cluster, n_tokens,
+       |    row_number() OVER (PARTITION BY cluster
+       |      ORDER BY n_tokens DESC, doc_id ASC) AS rn,
+       |    count(*) OVER (PARTITION BY cluster) AS n_members
+       |  FROM mem)
+       |SELECT cluster, doc_id AS canonical_doc,
+       |  CAST(n_members AS BIGINT) AS n_members,
+       |  n_tokens AS canonical_tokens,
+       |  CAST(n_members - 1 AS BIGINT) AS dropped_docs
+       |FROM rk WHERE rn = 1 ORDER BY cluster""".stripMargin
 }

@@ -528,4 +528,84 @@ object Sketch {
        |  CAST((est_union - exact_union) * 10000 // exact_union
        |    AS BIGINT) AS err_union_e4
        |FROM est ORDER BY src_a, src_b""".stripMargin
+  // ---- q135: Misra–Gries heavy hitters -------------------------------
+
+  /** Counter budget k for the Misra–Gries summaries: any token with
+    * frequency > N/k is GUARANTEED to survive every partition's
+    * summary (Misra & Gries 1982; mergeability Agarwal et al.
+    * PODS'12). 64 counters ⇒ the report lists every token above
+    * ~1.6% of the corpus token stream. */
+  val MgK = 64
+
+  /** Misra–Gries digest of one iterator: at most [[MgK]] counters;
+    * an arrival with no counter and a full table decrements ALL
+    * counters (dropping zeros) instead of being stored. Exposed for
+    * the spec. */
+  private[operators] def mgCandidates(
+      it: Iterator[String]): Iterator[String] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { t =>
+      m.get(t) match {
+        case Some(c) => m.update(t, c + 1L)
+        case None if m.size < MgK => m.update(t, 1L)
+        case None =>
+          val dead = m.iterator.filter(_._2 == 1L).map(_._1).toList
+          m.mapValuesInPlace((_, c) => c - 1L)
+          dead.foreach(m.remove)
+      }
+    }
+    m.keysIterator
+  }
+
+  /** q135: heavy hitters via per-partition Misra–Gries summaries —
+    * the O(k)-state alternative to a corpus-wide groupBy when only
+    * the heavy tail matters. Each partition keeps [[MgK]] counters;
+    * the candidate UNION across partitions provably contains every
+    * token with global count > N/[[MgK]] (if freq_p ≤ n_p/k in every
+    * partition then Σfreq ≤ N/k — the averaging argument), so the
+    * gated output — candidates re-counted exactly and filtered on
+    * cnt·k > N — is EXACTLY the true heavy-hitter set regardless of
+    * partitioning. That partition-independence is what makes a
+    * sketch whose internal state is arrival-order-dependent safe to
+    * oracle-gate bit-for-bit (the q94/q91 calibration discipline:
+    * publish only the order-free claim the sketch proves).
+    *
+    * Scale shape: the summary pass is mapPartitions with O(k) state
+    * and k-row output per partition — no shuffle at all; the exact
+    * arm re-counts ONLY the ≤ k·P candidate tokens behind a
+    * broadcast semi-join (the shuffle carries candidate tokens
+    * only, never the token universe); the total is a 1-row
+    * aggregate. Three scans, zero corpus-scale exchanges — the
+    * inverse trade of q113's exact-NDV profiler. */
+  def q135HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.spread(Tables.load(s, dir, "documents"))
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val cands = toks.as[String]
+      .mapPartitions(mgCandidates)
+      .toDF("tok").distinct()
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(broadcast(cands), Seq("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * lit(MgK.toLong) > col("n_total"))
+      .select(col("tok"), col("cnt"), col("n_total"),
+        expr("CAST(CAST(cnt AS DECIMAL(38,0)) * 1000000 div n_total" +
+          " AS BIGINT)").as("share_ppm"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+  }
+
+  val q135HeavyHittersOracle: String =
+    s"""WITH tok AS (
+       |  SELECT unnest($tokensSql) AS tok FROM documents),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok),
+       |cnts AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM tok GROUP BY tok)
+       |SELECT c.tok, c.cnt, t.n_total,
+       |  CAST(CAST(c.cnt AS HUGEINT) * 1000000 // t.n_total
+       |    AS BIGINT) AS share_ppm
+       |FROM cnts c CROSS JOIN tot t
+       |WHERE c.cnt * $MgK > t.n_total
+       |ORDER BY c.cnt DESC, c.tok""".stripMargin
 }

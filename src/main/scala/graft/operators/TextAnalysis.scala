@@ -258,4 +258,148 @@ object TextAnalysis {
        |    AS INT) AS gopher_pass
        |FROM m ORDER BY doc_id""".stripMargin
   }
+  // ---- q133: language-ID confidence calibration (ECE) ----------------
+
+  /** Reliability-diagram bins for q133. */
+  val EceBins = 10
+
+  /** q133: calibration audit of the ta_langid classifier — the
+    * reliability diagram + expected calibration error (Guo et al.,
+    * ICML 2017) every production quality/language classifier is
+    * audited with before its scores gate a corpus. Confidence is the
+    * winning marker score normalized by all marker hits
+    * (`s_max·10⁶ div (Σs + 1)`, add-one so zero-marker documents are
+    * "no confidence", not a division error); documents land in ten
+    * fixed confidence deciles (map-only binning — NO rank/ntile, so
+    * no sort); per bin the mean stated confidence sits next to the
+    * realized accuracy (`pred_lang = labeled_lang` rate) and their
+    * gap; ECE is the doc-weighted mean gap.
+    *
+    * Scale shape: the scoring pass is ta_langid's map-only kernel;
+    * then ONE 10-group aggregate, a ≤10-row ECE reduction, and a
+    * 1-row broadcast back onto the bins — the q36/q55 totals shape.
+    * The ×10⁶ numerators are DECIMAL(38,0)-widened (HUGEINT in the
+    * oracle) so counts at warehouse scale cannot wrap BIGINT. */
+  def q133LangidCalibration(s: SparkSession, dir: String): DataFrame = {
+    val conf = taLangId(s, dir)
+      .withColumn("s_max", greatest(col("score_en"), col("score_de"),
+        col("score_fr"), col("score_es")))
+      .withColumn("conf_ppm", expr("s_max * 1000000 div" +
+        " (score_en + score_de + score_fr + score_es + 1)"))
+      .withColumn("bin",
+        least(expr(s"conf_ppm * $EceBins div 1000000"),
+          lit(EceBins - 1L)))
+    val bins = conf.groupBy(col("bin")).agg(
+      count(lit(1)).as("n"),
+      expr("CAST(sum(CAST(conf_ppm AS DECIMAL(38,0))) div count(1)" +
+        " AS BIGINT)").as("mean_conf_ppm"),
+      expr("CAST(CAST(sum(agrees) AS DECIMAL(38,0)) * 1000000" +
+        " div count(1) AS BIGINT)").as("acc_ppm"))
+      .withColumn("gap_ppm", abs(col("mean_conf_ppm") - col("acc_ppm")))
+    val ece = bins.agg(
+      expr("CAST(sum(CAST(n AS DECIMAL(38,0)) * gap_ppm) div sum(n)" +
+        " AS BIGINT)").as("ece_ppm"))
+    bins.crossJoin(broadcast(ece)).orderBy(col("bin"))
+  }
+
+  val q133LangidCalibrationOracle: String = {
+    val langidSub = taLangIdOracle
+    s"""WITH langid AS ($langidSub),
+       |conf AS (
+       |  SELECT agrees,
+       |    greatest(score_en, score_de, score_fr, score_es) * 1000000
+       |      // (score_en + score_de + score_fr + score_es + 1)
+       |      AS conf_ppm
+       |  FROM langid),
+       |binned AS (
+       |  SELECT agrees, conf_ppm,
+       |    least(conf_ppm * $EceBins // 1000000,
+       |          ${EceBins - 1}) AS bin
+       |  FROM conf),
+       |bins AS (
+       |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(conf_ppm AS HUGEINT)) // count(*)
+       |      AS BIGINT) AS mean_conf_ppm,
+       |    CAST(CAST(sum(agrees) AS HUGEINT) * 1000000 // count(*)
+       |      AS BIGINT) AS acc_ppm
+       |  FROM binned GROUP BY bin),
+       |g AS (
+       |  SELECT bin, n, mean_conf_ppm, acc_ppm,
+       |    CAST(abs(mean_conf_ppm - acc_ppm) AS BIGINT) AS gap_ppm
+       |  FROM bins),
+       |e AS (
+       |  SELECT CAST(sum(CAST(n AS HUGEINT) * gap_ppm) // sum(n)
+       |    AS BIGINT) AS ece_ppm
+       |  FROM g)
+       |SELECT g.bin, g.n, g.mean_conf_ppm, g.acc_ppm, g.gap_ppm,
+       |  e.ece_ppm
+       |FROM g CROSS JOIN e ORDER BY bin""".stripMargin
+  }
+
+  // ---- q138: temperature-weighted multilingual sampling ---------------
+
+  /** q138: temperature-based multilingual sampling allocation — the
+    * α-smoothed language mixture every multilingual training corpus
+    * is drawn with (Lample & Conneau 2019; XLM-R's p_l^α
+    * renormalization), at α = 1/2 so the whole computation stays in
+    * correctly-rounded territory: share·10¹² is exact BIGINT
+    * arithmetic, IEEE 754 requires sqrt to be correctly rounded, and
+    * floor pins the result — both engines produce the identical
+    * weight with NO libm-variance (pow(x, 0.3) would not be
+    * reproducible across engines; sqrt is).
+    *
+    * Per language: corpus share (ppm), the α=½ weight w = ⌊√(share·
+    * 10¹²)⌋, the resampled document allocation under a same-size
+    * budget, and the boost each language receives (alloc/n, ppm) —
+    * low-resource languages get boost > 1, the head language < 1.
+    *
+    * Scale shape: one |langs|-group aggregate with map-side combine,
+    * then 1-row totals broadcast twice (corpus size, Σw) — the
+    * q36/q55 totals shape; nothing wider than the language list ever
+    * shuffles. */
+  def q138LangSampling(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(s, dir, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(
+      expr("CAST(sum(n_docs) AS BIGINT)").as("n_corpus"))
+    val w = counts.crossJoin(broadcast(tot))
+      .withColumn("share_ppm",
+        expr("CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000" +
+          " div n_corpus AS BIGINT)"))
+      .withColumn("w_e6",
+        expr("CAST(floor(sqrt(CAST(CAST(n_docs AS DECIMAL(38,0))" +
+          " * 1000000000000 div n_corpus AS DOUBLE))) AS BIGINT)"))
+    val sw = w.agg(expr("CAST(sum(w_e6) AS BIGINT)").as("sum_w"))
+    w.crossJoin(broadcast(sw))
+      .withColumn("alloc_docs",
+        expr("CAST(CAST(w_e6 AS DECIMAL(38,0)) * n_corpus div sum_w" +
+          " AS BIGINT)"))
+      .withColumn("boost_ppm",
+        expr("CAST(CAST(alloc_docs AS DECIMAL(38,0)) * 1000000" +
+          " div n_docs AS BIGINT)"))
+      .select(col("lang"), col("n_docs"), col("n_corpus"),
+        col("share_ppm"), col("w_e6"), col("alloc_docs"),
+        col("boost_ppm"))
+      .orderBy(col("lang"))
+  }
+
+  val q138LangSamplingOracle: String =
+    """WITH c AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY lang),
+      |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_corpus FROM c),
+      |w AS (
+      |  SELECT lang, n_docs, n_corpus,
+      |    CAST(CAST(n_docs AS HUGEINT) * 1000000 // n_corpus
+      |      AS BIGINT) AS share_ppm,
+      |    CAST(floor(sqrt(CAST(CAST(n_docs AS HUGEINT)
+      |      * 1000000000000 // n_corpus AS DOUBLE))) AS BIGINT) AS w_e6
+      |  FROM c CROSS JOIN t),
+      |s AS (SELECT CAST(sum(w_e6) AS BIGINT) AS sum_w FROM w)
+      |SELECT lang, n_docs, n_corpus, share_ppm, w_e6,
+      |  CAST(CAST(w_e6 AS HUGEINT) * n_corpus // sum_w AS BIGINT)
+      |    AS alloc_docs,
+      |  CAST(CAST(CAST(w_e6 AS HUGEINT) * n_corpus // sum_w AS HUGEINT)
+      |    * 1000000 // n_docs AS BIGINT) AS boost_ppm
+      |FROM w CROSS JOIN s ORDER BY lang""".stripMargin
 }

@@ -151,5 +151,18 @@ object PlanAudit {
       // shape.
       "q119_ks_drift",
       "q120_skyline",
-      "q123_rfm_segments")
+      "q123_rfm_segments",
+      // q133 broadcasts the 1-row ECE reduction back onto the ≤10
+      // reliability bins — the q36/q55 totals shape.
+      "q133_ece_calibration",
+      // q135 broadcasts the 1-row corpus token total against the
+      // candidate-count table — totals shape; the candidate semi-join
+      // itself is a broadcast equi-join.
+      "q135_heavy_hitters",
+      // q136 broadcasts the 1-row corpus token total onto the
+      // pair-count table — totals shape.
+      "q136_collocations",
+      // q138 broadcasts two 1-row totals (corpus size, Σw) onto the
+      // |langs|-row weight table — totals shape.
+      "q138_lang_sampling")
 }
