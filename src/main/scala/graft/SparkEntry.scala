@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Behavior, Bpe, Budget, Clustering, Dedup, EntityRes, Ivfpq, Keywords, Layout, Lm, Multimodal, OrderStats, Overlap, Pipeline, Pipeline2, Pipeline3, Pq, Quality, Redact, Relational, Relational2, Retrieval, SetSim, Similarity, Sketch, Splits, Stats, TextAnalysis, Threshold}
+import graft.operators.{Behavior, Bpe, Budget, Clustering, CorpusStats, Dedup, EntityRes, EventStats, Ivfpq, Keywords, Layout, Lm, Multimodal, OrderStats, Overlap, Pipeline, Pipeline2, Pipeline3, Pq, Quality, Redact, Relational, Relational2, Retrieval, SetSim, Similarity, Sketch, Splits, Stats, TextAnalysis, Threshold}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -153,6 +153,14 @@ object SparkEntry {
     "q138_lang_sampling" -> TextAnalysis.q138LangSampling,
     "q139_kcore" -> EntityRes.q139KCore,
     "q140_canonical_dedup" -> Pipeline3.q140CanonicalDedup,
+    "q141_hard_negatives" -> Similarity.q141HardNegatives,
+    "q142_heaps_law" -> CorpusStats.q142HeapsLaw,
+    "q143_simpson_diversity" -> CorpusStats.q143SimpsonDiversity,
+    "q144_bootstrap_ci" -> Stats.q144BootstrapCi,
+    "q145_zipf_coverage" -> CorpusStats.q145ZipfCoverage,
+    "q146_burstiness" -> EventStats.q146Burstiness,
+    "q147_seasonality" -> EventStats.q147Seasonality,
+    "q148_power_analysis" -> EventStats.q148PowerAnalysis,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -511,6 +519,14 @@ object SparkEntry {
     "q138_lang_sampling" -> TextAnalysis.q138LangSamplingOracle,
     "q139_kcore" -> EntityRes.q139KCoreOracle,
     "q140_canonical_dedup" -> Pipeline3.q140CanonicalDedupOracle,
+    "q141_hard_negatives" -> Similarity.q141HardNegativesOracle,
+    "q142_heaps_law" -> CorpusStats.q142HeapsLawOracle,
+    "q143_simpson_diversity" -> CorpusStats.q143SimpsonDiversityOracle,
+    "q144_bootstrap_ci" -> Stats.q144BootstrapCiOracle,
+    "q145_zipf_coverage" -> CorpusStats.q145ZipfCoverageOracle,
+    "q146_burstiness" -> EventStats.q146BurstinessOracle,
+    "q147_seasonality" -> EventStats.q147SeasonalityOracle,
+    "q148_power_analysis" -> EventStats.q148PowerAnalysisOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,

@@ -1,0 +1,232 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-stream shape statistics — the temporal-profile measurements
+  * an ingestion/monitoring team derives from the events table:
+  * inter-arrival burstiness (q146), hour-of-day seasonality (q147),
+  * and A/B sample-size planning from observed variance (q148).
+  *
+  * House rules: ts is epoch-nanos BIGINT (the `Tables.load`
+  * normalization); every statistic is exact integer/DECIMAL
+  * arithmetic (no float variance — both engines compute the same
+  * rationals); windows are always PARTITIONED (per user/type), never
+  * global.
+  */
+object EventStats {
+
+  /** q146: inter-arrival burstiness per event type — the squared
+    * coefficient of variation CV² = Var(g)/mean(g)² of per-user
+    * inter-arrival gaps, in ppm (CV² = 1 ⟺ Poisson arrivals; > 1 ⟺
+    * bursty, the bot/incident signature; < 1 ⟺ regular, the
+    * cron/heartbeat signature — the standard dispersion taxonomy,
+    * e.g. Goh & Barabási 2008). One row per event_type:
+    * (event_type, n_gaps, mean_gap_ms, cv2_ppm).
+    *
+    * Gaps are PER-USER (a global inter-arrival mixes users and
+    * measures only traffic volume): LAG over the (user_id,
+    * event_type)-partitioned time order, so the heavy work is one
+    * keyed exchange + partitioned windows. The per-type CV² is then
+    * algebra over (n, Σg, Σg²): Var/mean² =
+    * n·(n·Σg² − (Σg)²) / ((n−1)·(Σg)²), widened to DECIMAL(38,0)
+    * (exact up to ~10⁹ gaps/type at second-scale gaps — beyond that
+    * rescale the gap unit; the q114 widening rule).
+    *
+    * 100 TB posture: one user-keyed exchange (the window), one
+    * type-keyed aggregate over 3-integer partials with map-side
+    * combine. Types with < 2 gaps are reported with cv2_ppm = 0
+    * rather than dropped (n−1 guard). */
+  def q146Burstiness(s: SparkSession, dir: String): DataFrame = {
+    val byUserType = Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("t").asc, col("event_id").asc)
+    val gaps = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts div 1000000000").as("t"))
+      .withColumn("prev", lag(col("t"), 1).over(byUserType))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"), (col("t") - col("prev")).as("g"))
+    gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("g")).as("sg"),
+        sum(expr("CAST(g AS DECIMAL(38,0)) * g")).as("sg2"))
+      .select(col("event_type"), col("n_gaps"),
+        expr("CAST(CAST(sg AS DECIMAL(38,0)) * 1000 div n_gaps" +
+          " AS BIGINT)").as("mean_gap_ms"),
+        expr("""CASE WHEN n_gaps < 2 OR sg = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(CAST(n_gaps AS DECIMAL(38,0)) *
+                  (n_gaps * sg2 - CAST(sg AS DECIMAL(38,0)) * sg)
+                  * 1000000
+                  div ((n_gaps - 1) *
+                    (CAST(sg AS DECIMAL(38,0)) * sg))
+                  AS BIGINT) END""").as("cv2_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  val q146BurstinessOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, event_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS t
+      |  FROM events),
+      |gaps AS (
+      |  SELECT event_type,
+      |    t - lag(t) OVER (PARTITION BY user_id, event_type
+      |                     ORDER BY t, event_id) AS g
+      |  FROM ev),
+      |agg AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+      |    CAST(sum(g) AS BIGINT) AS sg,
+      |    sum(CAST(g AS HUGEINT) * g) AS sg2
+      |  FROM gaps WHERE g IS NOT NULL GROUP BY event_type)
+      |SELECT event_type, n_gaps,
+      |  CAST(CAST(sg AS HUGEINT) * 1000 // n_gaps AS BIGINT)
+      |    AS mean_gap_ms,
+      |  CASE WHEN n_gaps < 2 OR sg = 0 THEN CAST(0 AS BIGINT)
+      |  ELSE CAST(CAST(n_gaps AS HUGEINT) *
+      |    (n_gaps * sg2 - CAST(sg AS HUGEINT) * sg) * 1000000
+      |    // ((n_gaps - 1) * (CAST(sg AS HUGEINT) * sg))
+      |    AS BIGINT) END AS cv2_ppm
+      |FROM agg ORDER BY event_type""".stripMargin
+
+  /** q147: hour-of-day seasonality per event type — the 24-slot
+    * UTC-hour profile reduced to its operational summary: peak hour,
+    * peak share, and lift over a uniform profile, exact ppm. One row
+    * per event_type: (event_type, n_events, peak_hod, peak_count,
+    * peak_share_ppm, uniform_lift_ppm) — lift = share·24 (10⁶ =
+    * perfectly flat; a pure-batch job shows ~24·10⁶).
+    *
+    * hod = (epoch-seconds div 3600) mod 24 — pure integer on both
+    * engines, no timezone/calendar function in the hot path. Peak
+    * selection is a 24-row-per-type partitioned window (ties → the
+    * earliest hour).
+    *
+    * 100 TB posture: one map-side-combined (type, hod) aggregate —
+    * at most 24·|types| rows ever shuffle; everything after is
+    * type-keyed at constant width. */
+  def q147Seasonality(s: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+      .orderBy(col("cnt").desc, col("hod").asc)
+    Tables.load(s, dir, "events")
+      .select(col("event_type"),
+        expr("(ts div 3600000000000) % 24").as("hod"))
+      .groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("n_events",
+        sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("rk", row_number().over(byType))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("n_events"),
+        col("hod").as("peak_hod"), col("cnt").as("peak_count"),
+        expr("""CAST(CAST(cnt AS DECIMAL(38,0)) * 1000000
+                div n_events AS BIGINT)""").as("peak_share_ppm"),
+        expr("""CAST(CAST(cnt AS DECIMAL(38,0)) * 24000000
+                div n_events AS BIGINT)""").as("uniform_lift_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  val q147SeasonalityOracle: String =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS hod
+      |  FROM events),
+      |hist AS (
+      |  SELECT event_type, hod, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM ev GROUP BY event_type, hod),
+      |tot AS (
+      |  SELECT event_type, hod, cnt,
+      |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT)
+      |      AS n_events,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY cnt DESC, hod ASC) AS rk
+      |  FROM hist)
+      |SELECT event_type, n_events, hod AS peak_hod,
+      |  cnt AS peak_count,
+      |  CAST(CAST(cnt AS HUGEINT) * 1000000 // n_events AS BIGINT)
+      |    AS peak_share_ppm,
+      |  CAST(CAST(cnt AS HUGEINT) * 24000000 // n_events AS BIGINT)
+      |    AS uniform_lift_ppm
+      |FROM tot WHERE rk = 1 ORDER BY event_type""".stripMargin
+
+  /** q148 design constants: two-sided α = 5%, power = 80% (the
+    * (z_{α/2} + z_β)² ≈ 7.85 → the classic ×16 rule with the
+    * variance ratio), minimum detectable effect = 5% of the mean. */
+  val PowerRuleNum = 16L
+  val MdeDenom = 20L // δ = mean / 20 = 5%
+
+  /** q148: A/B sample-size planning from observed variance — for
+    * each event type, the per-arm n required to detect a 5% lift of
+    * the mean event value at α = 5%, power 80%:
+    * n = 16·σ²/δ² (the "rule of 16", the δ = σ/√(n/16) inversion of
+    * the two-sample z-test — van Belle's rule; the design
+    * counterpart of q106's CUPED variance reduction: run q148 on the
+    * CUPED-adjusted variance to see the budget CUPED buys). One row
+    * per event_type: (event_type, n_obs, mean_cents, var_c2,
+    * mde_cents, n_per_arm).
+    *
+    * Exact integer protocol (both engines bit-identical): values in
+    * cents; var_c2 = (n·Σx² − (Σx)²) div (n·(n−1)) (floored sample
+    * variance); mde = mean div 20 (floored); n_per_arm =
+    * ceil(16·var/mde²) as (16·var + mde² − 1) div mde². Types with
+    * n < 2 or mde = 0 report n_per_arm = 0 (no basis for a design).
+    *
+    * 100 TB posture: ONE map-side-combined aggregate over
+    * 3-integer partials per type; output is |types| rows. */
+  def q148PowerAnalysis(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events")
+      .select(col("event_type"),
+        Relational.cents(col("value")).as("cents"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("cents")).as("sx"),
+        sum(expr("CAST(cents AS DECIMAL(38,0)) * cents")).as("sx2"))
+      .select(col("event_type"), col("n_obs"),
+        expr("CAST(sx div n_obs AS BIGINT)").as("mean_cents"),
+        expr("""CASE WHEN n_obs < 2 THEN CAST(0 AS BIGINT)
+                ELSE CAST((n_obs * sx2 -
+                    CAST(sx AS DECIMAL(38,0)) * sx)
+                  div (CAST(n_obs AS DECIMAL(38,0)) * (n_obs - 1))
+                  AS BIGINT) END""").as("var_c2"),
+        expr(s"CAST(sx div n_obs div $MdeDenom AS BIGINT)")
+          .as("mde_cents"))
+      .withColumn("n_per_arm", expr(
+        s"""CASE WHEN mde_cents <= 0 OR var_c2 <= 0
+            THEN CAST(0 AS BIGINT)
+            ELSE CAST(($PowerRuleNum * CAST(var_c2 AS DECIMAL(38,0))
+              + CAST(mde_cents AS DECIMAL(38,0)) * mde_cents - 1)
+              div (CAST(mde_cents AS DECIMAL(38,0)) * mde_cents)
+              AS BIGINT) END"""))
+      .orderBy(col("event_type"))
+  }
+
+  val q148PowerAnalysisOracle: String =
+    s"""WITH ev AS (
+       |  SELECT event_type,
+       |    CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events),
+       |agg AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_obs,
+       |    CAST(sum(cents) AS BIGINT) AS sx,
+       |    sum(CAST(cents AS HUGEINT) * cents) AS sx2
+       |  FROM ev GROUP BY event_type),
+       |stats AS (
+       |  SELECT event_type, n_obs,
+       |    CAST(sx // n_obs AS BIGINT) AS mean_cents,
+       |    CASE WHEN n_obs < 2 THEN CAST(0 AS BIGINT)
+       |    ELSE CAST((n_obs * sx2 - CAST(sx AS HUGEINT) * sx)
+       |      // (CAST(n_obs AS HUGEINT) * (n_obs - 1)) AS BIGINT)
+       |    END AS var_c2,
+       |    CAST(sx // n_obs // $MdeDenom AS BIGINT) AS mde_cents
+       |  FROM agg)
+       |SELECT event_type, n_obs, mean_cents, var_c2, mde_cents,
+       |  CASE WHEN mde_cents <= 0 OR var_c2 <= 0
+       |  THEN CAST(0 AS BIGINT)
+       |  ELSE CAST(($PowerRuleNum * CAST(var_c2 AS HUGEINT)
+       |    + CAST(mde_cents AS HUGEINT) * mde_cents - 1)
+       |    // (CAST(mde_cents AS HUGEINT) * mde_cents) AS BIGINT)
+       |  END AS n_per_arm
+       |FROM stats ORDER BY event_type""".stripMargin
+}

@@ -533,4 +533,73 @@ object Similarity {
        |FROM queries LEFT JOIN lh USING (query_id)
        |LEFT JOIN ih USING (query_id)
        |ORDER BY query_id""".stripMargin
+
+  /** Probe-set bound for q141 — a fixed anchor sample, the
+    * contrastive-training convention (a miner runs per training
+    * batch, not per corpus row). */
+  val HardNegAnchors = 32L
+
+  /** q141: hard-negative mining — for each anchor vector
+    * (vec_id < [[HardNegAnchors]]), the top-5 most-cosine-similar
+    * vectors whose LABEL DIFFERS from the anchor's: exactly the
+    * "hardest negatives" a contrastive embedding trainer pairs with
+    * each anchor (the in-batch/mined-negative recipe of SimCLR /
+    * DPR / SBERT — hard negatives dominate gradient signal). Exact
+    * by construction (brute force over the label-mismatched corpus),
+    * which is what a miner calibration run wants; the production
+    * path composes the same scoring with the ann_ivf candidate cut.
+    *
+    * Plan: the q134/annBrute broadcast-probe shape on dense vectors —
+    * anchors broadcast (fixed-size by [[HardNegAnchors]]), ONE
+    * corpus scan, label-mismatch filter INSIDE the join condition so
+    * same-label pairs never materialize, integer milli-dot cosine
+    * ([[cosE6]]), per-anchor top-5 via a bounded partitioned Window.
+    * 100 TB posture: map-side scoring, the only exchange is the
+    * anchor-keyed top-k (32 × 5 rows survive). */
+  def q141HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val b = base(s, dir)
+    val anchors = broadcast(b.filter(col("vec_id") < HardNegAnchors)
+      .select(col("vec_id").as("query_id"),
+        col("label").cast("long").as("qlabel"),
+        col("v").as("qv"), col("sq").as("qsq")))
+    val corpus = b.select(col("vec_id").as("neighbor_id"),
+      col("label").cast("long").as("nlabel"), col("v"), col("sq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_e6").desc, col("neighbor_id").asc)
+    corpus.join(anchors, col("nlabel") =!= col("qlabel"))
+      .withColumn("cos_e6",
+        cosE6(idot(col("qv"), col("v")), col("qsq"), col("sq")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("qlabel"), col("rk"),
+        col("neighbor_id"), col("nlabel"), col("cos_e6"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
+  val q141HardNegativesOracle: String =
+    s"""WITH base AS (
+       |  SELECT vec_id, label, $ivecSql AS v FROM embeddings),
+       |sq AS (
+       |  SELECT vec_id, label, v,
+       |    CAST(list_sum(list_transform(range(1, len(v)+1),
+       |      i -> v[i]*v[i])) AS BIGINT) AS sq
+       |  FROM base),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id,
+       |    CAST(q.label AS BIGINT) AS qlabel,
+       |    c.vec_id AS neighbor_id,
+       |    CAST(c.label AS BIGINT) AS nlabel,
+       |    CAST(floor(CAST(list_sum(list_transform(range(1, len(q.v)+1),
+       |          i -> q.v[i]*c.v[i])) AS DOUBLE)
+       |      / (sqrt(CAST(q.sq AS DOUBLE)) * sqrt(CAST(c.sq AS DOUBLE)))
+       |      * 1e6) AS BIGINT) AS cos_e6
+       |  FROM sq q JOIN sq c
+       |    ON q.vec_id < $HardNegAnchors AND c.label != q.label),
+       |ranked AS (
+       |  SELECT query_id, qlabel, neighbor_id, nlabel, cos_e6,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_e6 DESC, neighbor_id ASC) AS INT) AS rk
+       |  FROM scored)
+       |SELECT query_id, qlabel, rk, neighbor_id, nlabel, cos_e6
+       |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 }

@@ -297,4 +297,123 @@ object Stats {
     * recompute, so any drift in the merge (a lost partial, a stale
     * weight, a double-counted delta) hash-fails. */
   val q127DecayedMvOracle: String = q112DecayedPopularityOracle
+
+  /** q144 resample count — enough for stable 2.5/97.5 percentile
+    * ranks (5 and 195) while the resample table stays a 200-row
+    * aggregate. */
+  val BootstrapB = 200
+
+  /** Poisson(1) CDF thresholds scaled to 2⁴⁸ — P(X ≤ k)·2⁴⁸ for
+    * k = 0..8 (mass beyond 8 is ~1.1e-9 of draws and truncates to
+    * weight 8 IDENTICALLY in both engines). A per-(doc, replicate)
+    * uniform u < T_k ⟺ the Poisson draw is ≤ k. */
+  val PoissonCdfE48: Seq[Long] = Seq(
+    103548857136060L, 207097714272121L, 258872142840152L,
+    276130285696162L, 280444821410164L, 281307728552965L,
+    281451546410098L, 281472091818260L, 281474659994280L)
+
+  /** CASE chain mapping a 48-bit uniform to its Poisson(1) draw —
+    * plain integer literals, valid in BOTH SQL dialects. */
+  private def poissonWeightSql(u: String): String =
+    PoissonCdfE48.zipWithIndex
+      .map { case (t, k) => s"WHEN $u < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 8 END")
+
+  /** q144: nonparametric CI for the corpus mean document length via
+    * the POISSON BOOTSTRAP — the resampling scheme that works in one
+    * distributed pass because each row draws its own independent
+    * Poisson(1) multiplicity per replicate instead of the sequential
+    * multinomial draw classical bootstrap needs (Chamandy, Muralidharan,
+    * Najmi & Naidu 2012, "Estimating uncertainty for massive data
+    * streams"; Kleiner et al.'s BLB is the other standard answer).
+    * One row: (b_resamples, n_docs, point_mean_e6, ci_lo_e6,
+    * ci_hi_e6) — the 95% percentile interval of [[BootstrapB]]
+    * resample means of n_chars.
+    *
+    * Determinism across engines: the "randomness" is md5(doc_id:b)
+    * truncated to 48 bits — the q107 portable-hash rule — compared
+    * against precomputed integer Poisson CDF thresholds
+    * ([[PoissonCdfE48]]); every draw is bit-identical in Spark and
+    * DuckDB, so the oracle gates values, not just shape. Resample
+    * means are exact integers (Σw·x and Σw are BIGINTs; the ratio
+    * widens to DECIMAL(38,0) before the ×10⁶ — the q114 rule).
+    *
+    * 100 TB posture: the corpus×B expansion is map-side codegen
+    * (explode over a literal sequence feeding a partial aggregate);
+    * the only exchange carries ≤ B·partitions partial rows into a
+    * B-row final aggregate, and the percentile pick runs inside ONE
+    * sorted [[BootstrapB]]-element array — no corpus-scale shuffle,
+    * no unpartitioned Window, no driver collect. */
+  def q144BootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), col("n_chars"))
+    val weighted = docs
+      .select(col("doc_id"), col("n_chars"),
+        explode(expr(s"sequence(0, ${BootstrapB - 1})")).as("b"))
+      .withColumn("u", expr(
+        "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':'," +
+          " CAST(b AS STRING))), 1, 12), 16, 10) AS BIGINT)"))
+      .withColumn("w", expr(poissonWeightSql("u")))
+    // a zero-weight resample has no mean — dropped on BOTH engines
+    // (P = e^{-n} per replicate: real for toy fixtures, vanishing at
+    // corpus scale), and the percentile ranks run over the survivors
+    val resamples = weighted.groupBy(col("b"))
+      .agg(sum(col("w") * col("n_chars")).as("sx"),
+        sum(col("w")).as("nw"))
+      .filter(col("nw") > 0)
+      .select(col("b"), expr(
+        """CAST(CAST(sx AS DECIMAL(38,0)) * 1000000 div nw
+           AS BIGINT)""").as("mean_e6"))
+    val ci = resamples
+      .agg(sort_array(collect_list(col("mean_e6"))).as("ms"))
+      .select(
+        expr("""element_at(ms, CAST(greatest(1,
+                size(ms) * 25 div 1000) AS INT))""").as("ci_lo_e6"),
+        expr("""element_at(ms, CAST(greatest(1,
+                size(ms) * 975 div 1000) AS INT))""").as("ci_hi_e6"))
+    val point = docs.agg(count(lit(1)).as("n_docs"),
+      expr("""CAST(CAST(sum(n_chars) AS DECIMAL(38,0)) * 1000000
+              div count(*) AS BIGINT)""").as("point_mean_e6"))
+    point.crossJoin(ci)
+      .select(lit(BootstrapB.toLong).as("b_resamples"), col("n_docs"),
+        col("point_mean_e6"), col("ci_lo_e6"), col("ci_hi_e6"))
+  }
+
+  val q144BootstrapCiOracle: String = {
+    val uSql = s"(${graft.operators.Sketch.hexSql("hx", 12)})"
+    s"""WITH expl AS (
+       |  SELECT doc_id, n_chars, unnest(range(0, $BootstrapB)) AS b
+       |  FROM documents),
+       |hashed AS (
+       |  SELECT n_chars,  b,
+       |    substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+       |      CAST(b AS VARCHAR)), 1, 12) AS hx
+       |  FROM expl),
+       |drawn AS (
+       |  SELECT b, n_chars,
+       |    ${poissonWeightSql(uSql)} AS w
+       |  FROM hashed),
+       |resamples AS (
+       |  SELECT b,
+       |    CAST(CAST(sum(w * n_chars) AS HUGEINT) * 1000000
+       |      // sum(w) AS BIGINT) AS mean_e6
+       |  FROM drawn GROUP BY b HAVING sum(w) > 0),
+       |ranked AS (
+       |  SELECT mean_e6,
+       |    row_number() OVER (ORDER BY mean_e6) AS rk,
+       |    count(*) OVER () AS nv
+       |  FROM resamples),
+       |point AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(CAST(sum(n_chars) AS HUGEINT) * 1000000 // count(*)
+       |      AS BIGINT) AS point_mean_e6
+       |  FROM documents)
+       |SELECT CAST($BootstrapB AS BIGINT) AS b_resamples,
+       |  p.n_docs, p.point_mean_e6,
+       |  (SELECT mean_e6 FROM ranked
+       |    WHERE rk = greatest(1, nv * 25 // 1000)) AS ci_lo_e6,
+       |  (SELECT mean_e6 FROM ranked
+       |    WHERE rk = greatest(1, nv * 975 // 1000)) AS ci_hi_e6
+       |FROM point p""".stripMargin
+  }
 }

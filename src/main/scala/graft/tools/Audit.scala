@@ -164,5 +164,22 @@ object PlanAudit {
       "q136_collocations",
       // q138 broadcasts two 1-row totals (corpus size, Σw) onto the
       // |langs|-row weight table — totals shape.
-      "q138_lang_sampling")
+      "q138_lang_sampling",
+      // q141 broadcasts the fixed anchor sample against one corpus
+      // scan under a label-mismatch predicate — the ann_brute /
+      // q131 sampled-probe brute-force shape; the corpus side never
+      // shuffles.
+      "q141_hard_negatives",
+      // q142's decile report joins the 10-row boundary broadcast and
+      // each prefix scan crossJoins its 1-row doc-count total — the
+      // q119 quantization/totals shape at doc-count scale.
+      "q142_heaps_law",
+      // q144 crossJoins two 1-row aggregates (point estimate × CI
+      // array pick) — totals shape.
+      "q144_bootstrap_ci",
+      // q145 probes the frequency-histogram scan with the 4-row
+      // budget broadcast (nonequi by construction: the cut is the
+      // smallest prefix reaching each budget) and crossJoins the
+      // 1-row totals — the q119 shape at histogram scale.
+      "q145_zipf_coverage")
 }
