@@ -161,6 +161,9 @@ object SparkEntry {
     "q146_burstiness" -> EventStats.q146Burstiness,
     "q147_seasonality" -> EventStats.q147Seasonality,
     "q148_power_analysis" -> EventStats.q148PowerAnalysis,
+    "q149_cusum_changepoint" -> EventStats.q149CusumChangepoint,
+    "q150_revenue_gini" -> OrderStats.q150RevenueGini,
+    "q151_srm_audit" -> EventStats.q151SrmAudit,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -527,6 +530,9 @@ object SparkEntry {
     "q146_burstiness" -> EventStats.q146BurstinessOracle,
     "q147_seasonality" -> EventStats.q147SeasonalityOracle,
     "q148_power_analysis" -> EventStats.q148PowerAnalysisOracle,
+    "q149_cusum_changepoint" -> EventStats.q149CusumChangepointOracle,
+    "q150_revenue_gini" -> OrderStats.q150RevenueGiniOracle,
+    "q151_srm_audit" -> EventStats.q151SrmAuditOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,

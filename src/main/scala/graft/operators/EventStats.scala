@@ -229,4 +229,147 @@ object EventStats {
        |    // (CAST(mde_cents AS HUGEINT) * mde_cents) AS BIGINT)
        |  END AS n_per_arm
        |FROM stats ORDER BY event_type""".stripMargin
+
+  /** q149: CUSUM changepoint detection on the daily event-count
+    * series — the retrospective mean-shift locator (Page 1954;
+    * the offline max-|CUSUM| form every pipeline-health dashboard
+    * runs when a drop must be DATED, not just flagged like q79's
+    * rate anomaly): with S_k = Σ_{i≤k} x_i, the statistic is
+    * max_k |D·S_k − k·T| (the centered partial sum scaled by D to
+    * stay integer — D days, T total events), and the changepoint is
+    * its argmax day. One row: (n_days, n_events, cp_day,
+    * cusum_peak, mean_before_e3, mean_after_e3).
+    *
+    * Exactness without a global sort: the day series comes from ONE
+    * map-side-combined (day)-aggregate; rank k and running sum S_k
+    * are two [[OrderStats.prefixCounts]] bucket scans over the
+    * DAY-COUNT-scale table (hundreds of rows — never an
+    * unpartitioned Window, the q142 discipline); the argmax is
+    * TakeOrderedAndProject(1) with ties to the earliest day.
+    * DECIMAL(38,0) on D·S − k·T (the q114 widening rule: BIGINT²
+    * products at warehouse scale).
+    *
+    * 100 TB posture: one corpus-scale exchange (the day aggregate);
+    * everything after runs on |days| rows. */
+  def q149CusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "events")
+      .select(expr("ts div 86400000000000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+      .select(col("day"), lit(1L).as("one"), col("n"))
+      .localCheckpoint(false) // two scans + the totals read it
+    val rank = OrderStats.prefixCounts(daily, "day", "one")
+      .select(col("day"), col("cum").as("k"))
+    val cums = OrderStats.prefixCounts(daily, "day", "n")
+      .select(col("day"), col("cum").as("s"))
+    val totals = daily.agg(count(lit(1)).as("n_days"),
+      sum(col("n")).as("n_events"))
+    rank.join(cums, "day")
+      .crossJoin(broadcast(totals))
+      .filter(col("k") < col("n_days")) // a shift needs a non-empty tail
+      .select(col("day"), col("k"), col("s"), col("n_days"),
+        col("n_events"),
+        expr("""abs(CAST(n_days AS DECIMAL(38,0)) * s
+                - CAST(k AS DECIMAL(38,0)) * n_events)""")
+          .as("stat"))
+      .orderBy(col("stat").desc, col("day").asc)
+      .limit(1)
+      .select(col("n_days"), col("n_events"), col("day").as("cp_day"),
+        expr("CAST(stat AS BIGINT)").as("cusum_peak"),
+        expr("CAST(CAST(s AS DECIMAL(38,0)) * 1000 div k AS BIGINT)")
+          .as("mean_before_e3"),
+        expr("""CAST(CAST(n_events - s AS DECIMAL(38,0)) * 1000
+                div (n_days - k) AS BIGINT)""").as("mean_after_e3"))
+  }
+
+  val q149CusumChangepointOracle: String =
+    """WITH daily AS (
+      |  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |sc AS (
+      |  SELECT day,
+      |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k,
+      |    CAST(sum(n) OVER (ORDER BY day) AS BIGINT) AS s
+      |  FROM daily),
+      |tot AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(n) AS BIGINT) AS n_events FROM daily),
+      |best AS (
+      |  SELECT day, k, s, n_days, n_events,
+      |    abs(CAST(n_days AS HUGEINT) * s
+      |      - CAST(k AS HUGEINT) * n_events) AS stat
+      |  FROM sc, tot WHERE k < n_days
+      |  ORDER BY stat DESC, day ASC LIMIT 1)
+      |SELECT n_days, n_events, day AS cp_day,
+      |  CAST(stat AS BIGINT) AS cusum_peak,
+      |  CAST(CAST(s AS HUGEINT) * 1000 // k AS BIGINT)
+      |    AS mean_before_e3,
+      |  CAST(CAST(n_events - s AS HUGEINT) * 1000 // (n_days - k)
+      |    AS BIGINT) AS mean_after_e3
+      |FROM best""".stripMargin
+
+  /** χ²(1) critical value at α = 5%, in ppm — 3.841459. */
+  val SrmChi2CritPpm = 3841459L
+
+  /** q151: sample-ratio-mismatch audit — the #1 A/B validity check
+    * (Kohavi et al., "Trustworthy Online Controlled Experiments":
+    * a 50/50 split whose realized unit counts fail a χ² test means
+    * the assignment or logging is broken and EVERY downstream
+    * metric is suspect — run before q106/q148 read anything). Per
+    * event type over q106's deterministic md5 arm hash:
+    * (event_type, n_a, n_b, chi2_ppm, srm_flag) with
+    * χ² = (n_a − n_b)²/(n_a + n_b) for the equal-split design,
+    * flagged against [[SrmChi2CritPpm]] — pure integer ppm, no
+    * float χ² CDF needed because the critical value is a constant.
+    *
+    * Unit = distinct exposed user (assignment counts units, not
+    * events). 100 TB posture: one (type, user)-distinct exchange —
+    * the q113 exact-NDV scale argument — then |types|-row algebra. */
+  def q151SrmAudit(s: SparkSession, dir: String): DataFrame = {
+    val units = Tables.load(s, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+      .withColumn("arm",
+        conv(substring(md5(concat(lit("exp:"),
+          col("user_id").cast("string"))), 1, 6), 16, 10)
+          .cast("long") % 2)
+    units.groupBy(col("event_type"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        expr("""CAST((CAST(n_a - n_b AS DECIMAL(38,0)) * (n_a - n_b))
+                * 1000000 div (n_a + n_b) AS BIGINT)""")
+          .as("chi2_ppm"))
+      .withColumn("srm_flag",
+        when(col("chi2_ppm") >= SrmChi2CritPpm, 1L).otherwise(0L))
+      .orderBy(col("event_type"))
+  }
+
+  val q151SrmAuditOracle: String =
+    s"""WITH units AS (
+       |  SELECT DISTINCT event_type, user_id FROM events),
+       |hx AS (
+       |  SELECT event_type,
+       |    substring(md5('exp:' || CAST(user_id AS VARCHAR)), 1, 6)
+       |      AS hx
+       |  FROM units),
+       |armed AS (
+       |  SELECT event_type,
+       |    CAST((${graft.operators.Sketch.hexSql("hx", 6)})
+       |      AS BIGINT) % 2 AS arm
+       |  FROM hx),
+       |cnt AS (
+       |  SELECT event_type,
+       |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_a,
+       |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_b
+       |  FROM armed GROUP BY event_type)
+       |SELECT event_type, n_a, n_b,
+       |  CAST(CAST(n_a - n_b AS HUGEINT) * (n_a - n_b) * 1000000
+       |    // (n_a + n_b) AS BIGINT) AS chi2_ppm,
+       |  CASE WHEN CAST(CAST(n_a - n_b AS HUGEINT) * (n_a - n_b)
+       |      * 1000000 // (n_a + n_b) AS BIGINT) >= $SrmChi2CritPpm
+       |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+       |    AS srm_flag
+       |FROM cnt ORDER BY event_type""".stripMargin
 }

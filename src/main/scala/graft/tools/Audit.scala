@@ -181,5 +181,11 @@ object PlanAudit {
       // budget broadcast (nonequi by construction: the cut is the
       // smallest prefix reaching each budget) and crossJoins the
       // 1-row totals — the q119 shape at histogram scale.
-      "q145_zipf_coverage")
+      "q145_zipf_coverage",
+      // q149/q150 crossJoin their day-/value-histogram scans with
+      // broadcast 1-row totals (and the prefix-scan bucket
+      // machinery's bounds rows) — the q119 quantization/totals
+      // shape at sub-corpus scale.
+      "q149_cusum_changepoint",
+      "q150_revenue_gini")
 }
