@@ -187,5 +187,10 @@ object PlanAudit {
       // machinery's bounds rows) — the q119 quantization/totals
       // shape at sub-corpus scale.
       "q149_cusum_changepoint",
-      "q150_revenue_gini")
+      "q150_revenue_gini",
+      // q114's bit-index derivation (25-row dimension triangle join)
+      // and the mask-histogram bit-test decodes are non-equi joins
+      // whose broadcast sides are the constant 25-row brand index —
+      // the fact side touches only equi-BHJ + one keyed exchange.
+      "q114_basket_lift")
 }
