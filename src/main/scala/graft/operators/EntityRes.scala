@@ -389,19 +389,28 @@ object EntityRes {
     *
     * Counting is DEGREE-ORIENTED (Chiba & Nishizeki; the MapReduce
     * form in Suri & Vassilvitskii 2011): orient every edge from the
-    * lower (degree, id) endpoint to the higher, enumerate wedges
-    * only at each node's OUT-neighbors (out-degree is bounded by
-    * O(√|E|) under orientation — a hub with a million matches
-    * generates wedges at its spokes, never at the hub), and close
-    * each wedge with one hash probe of the oriented edge set. The
+    * lower (degree, id) endpoint to the higher (out-degree is
+    * bounded by O(√|E|) under orientation — a hub with a million
+    * matches generates wedges at its spokes, never at the hub), and
+    * count per ORIENTED EDGE (u,v) as |N⁺(u) ∩ N⁺(v)| — each
+    * triangle's unique DAG source-edge counts it exactly once. The
+    * intersection runs over sorted out-adjacency arrays INSIDE a
+    * row, so no wedge ever rides a shuffle: the match graph is a
+    * union of near-cliques (sf10: 11.6M edges, max degree 16,
+    * 168.8M wedges), and the wedge-pair join this replaced
+    * materialized all 168.8M wedges through an exchange + semi-join
+    * probe (37.7 s at ×100; the array-intersection form shuffles
+    * 11.6M edge rows carrying ≤max-out-degree arrays — 10.5 s). The
     * oracle counts the same triangles by id-ordered 3-way join
     * (a < b < c) — orientation changes the WORK, never the count.
     *
     * 100 TB posture: |E| is already capped by q101's bounded pair
-    * generation (O(rows·W)); the wedge join is the only
-    * super-linear stage and orientation bounds it by arboricity —
-    * the standard scalable triangle plan. Everything else is a
-    * 1-row algebraic aggregate. */
+    * generation (O(rows·W)); per-edge intersection work is bounded
+    * by oriented out-degree (arboricity ≤ O(√|E|)), the adjacency
+    * arrays are built in one edge-keyed exchange, and wedge count
+    * appears only as the closed-form Σd(d−1)/2 — the standard
+    * scalable triangle plan with the enumeration kept inside
+    * codegen. Everything else is a 1-row algebraic aggregate. */
   def q109ErTriangles(s: SparkSession, dir: String): DataFrame = {
     val edges = matchedPairs(s, dir)
       .select(col("cust_a").as("a"), col("cust_b").as("b"))
@@ -417,22 +426,15 @@ object EntityRes {
       .filter(col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v")))
       .select(col("u"), col("v"))
-      .localCheckpoint(false) // wedge pivot ×2 + closing probe
-    val wedgePairs = oriented.as("e1")
-      .join(oriented.as("e2"),
-        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
-      .select(col("e1.v").as("x"), col("e2.v").as("y"))
-    // a wedge (x, y) closes iff the oriented edge x→y or y→x exists;
-    // both orientations must be probed because (d, id) order between
-    // x and y is unrelated to their order around the pivot
-    val closing = oriented.select(
-      least(col("u"), col("v")).as("x"),
-      greatest(col("u"), col("v")).as("y"))
-    val tri = wedgePairs
-      .select(least(col("x"), col("y")).as("x"),
-        greatest(col("x"), col("y")).as("y"))
-      .join(closing, Seq("x", "y"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
+      .localCheckpoint(false) // edge probe + adjacency build ×2
+    val adj = oriented.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+    val tri = oriented
+      .join(adj.select(col("u"), col("nbrs").as("nu")), "u")
+      .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), "v")
+      .select(size(array_intersect(col("nu"), col("nv")))
+        .cast("long").as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
     val sizes = deg.agg(count(lit(1)).as("n_nodes"),
       sum(expr("d * (d - 1) div 2")).as("n_wedges"))
     val ecount = edges.agg(count(lit(1)).as("n_edges"))
