@@ -164,6 +164,8 @@ object SparkEntry {
     "q149_cusum_changepoint" -> EventStats.q149CusumChangepoint,
     "q150_revenue_gini" -> OrderStats.q150RevenueGini,
     "q151_srm_audit" -> EventStats.q151SrmAudit,
+    "q152_assortativity" -> EntityRes.q152Assortativity,
+    "q153_dedup_recall" -> Dedup.q153DedupRecall,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -533,6 +535,8 @@ object SparkEntry {
     "q149_cusum_changepoint" -> EventStats.q149CusumChangepointOracle,
     "q150_revenue_gini" -> OrderStats.q150RevenueGiniOracle,
     "q151_srm_audit" -> EventStats.q151SrmAuditOracle,
+    "q152_assortativity" -> EntityRes.q152AssortativityOracle,
+    "q153_dedup_recall" -> Dedup.q153DedupRecallOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,

@@ -81,7 +81,15 @@ object Dedup {
     * verify (integer form: 2·|∩| ≥ |∪| ⇔ J ≥ 0.5). Shared by
     * dedup_minhash_lsh (ordered pair report) and q108 (dup-cluster-
     * aware split assignment over these pairs as edges). */
-  private[operators] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashPairsFrom(minhashBase(s, dir))
+
+  /** The checkpointed (doc_id, sh, hashes) shingle/hash intermediate
+    * shared by every minhash consumer — q153 derives its exact-truth
+    * posting side from the SAME barrier (two parallel corpus-sized
+    * checkpoints measured 5× slower at ×100: they evict each other's
+    * blocks and thrash recompute). */
+  private[operators] def minhashBase(s: SparkSession, dir: String): DataFrame = {
     // Exchange barrier after computing the shingle set: without it,
     // CollapseProject inlines `shingles(text)` into all 8 signature
     // expressions (HOFs are interpreted, so no subexpression
@@ -96,13 +104,17 @@ object Dedup {
     // when the DataFrame goes unreachable — repeated runs in one
     // session don't accumulate cache. This intermediate is O(corpus
     // tokens), the thing you'd checkpoint to storage in a 100 TB run.
-    val base = Tables.spread(Tables.load(s, dir, "documents"))
+    Tables.spread(Tables.load(s, dir, "documents"))
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .withColumn("hashes", shingleHashes(col("sh")))
       .repartition(col("doc_id"))
       // lazy: barrier + block reuse on first action, free for
       // plan-only consumers (Explain/Audit)
       .localCheckpoint(false)
+  }
+
+  /** [[minhashPairs]] over an already-built [[minhashBase]]. */
+  private[operators] def minhashPairsFrom(base: DataFrame): DataFrame = {
     // all 8 signature components in one kernel pass over the hash
     // material (the per-component array_min(transform(...)) HOF form
     // ran interpreted, 8 passes per row — same values, see KernelSpec)
@@ -182,6 +194,103 @@ object Dedup {
        |  CAST(n_inter * 100 // n_union AS BIGINT) AS jaccard_pct
        |FROM verified WHERE n_inter * 2 >= n_union
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q153: MinHash-LSH recall calibration — ONE row: (n_truth,
+    * n_found, n_missed, recall_ppm). The LSH banding (4 bands × 2
+    * rows here) is probabilistic: a J≥50% pair agrees on some band
+    * only with probability 1−(1−J²)⁴, so the dedup pillar's central
+    * claim ("banded candidates ⊇ the near-dup pairs we act on")
+    * deserves the same measured calibration q131 gives ANN recall.
+    * Ground truth is EXACT Jaccard over every pair involving a probe
+    * doc (doc_id ≡ 0 mod [[SetSim.ProbeMod]], the q134 convention):
+    * probe postings broadcast against one corpus posting scan,
+    * |∩| counted at the query's only exchange — no shingle string
+    * ever rides a shuffle — then the 2·|∩| ≥ |∪| threshold that
+    * [[minhashPairs]] itself applies. Found = the LSH pairs
+    * restricted to probes, semi-joined against truth (verified LSH
+    * pairs are a subset of truth by construction; the semi-join
+    * keeps the count honest rather than assuming it).
+    *
+    * 100 TB posture: the probe side is 1/97 of corpus postings
+    * (broadcastable by construction — shrink ProbeMod's inverse to
+    * taste at larger corpora); the counting exchange is
+    * Σ_g df(g)·df_probe(g) rows, measured 2.9M at ×100 because the
+    * shingle space is SPARSE (vocab 2.7M, max df 28 — 3-word
+    * shingles do not saturate the way q134's unigram tokens do).
+    * recall_ppm widens to DECIMAL(38,0) per the q114 rule. */
+  def q153DedupRecall(s: SparkSession, dir: String): DataFrame = {
+    // ONE corpus-sized barrier shared with the LSH arm: posts derive
+    // map-side from [[minhashBase]]'s checkpoint (a second parallel
+    // corpus checkpoint measured 5× slower at ×100 — the two evict
+    // each other's blocks and thrash recompute)
+    val base = minhashBase(s, dir)
+    val posts = base
+      .select(col("doc_id"), size(col("sh")).cast("long").as("sz"),
+        explode(col("sh")).as("g"))
+    val probe = broadcast(posts
+      .filter(col("doc_id") % SetSim.ProbeMod === 0)
+      .select(col("doc_id").as("p"), col("sz").as("psz"), col("g")))
+    // each unordered true pair appears once: probe×non-probe as
+    // (doc, p); probe×probe would appear in both orders, so keep
+    // only doc > p there
+    val truth = posts
+      .join(probe, "g")
+      .filter(col("doc_id") =!= col("p"))
+      .filter(col("doc_id") % SetSim.ProbeMod =!= 0 ||
+        col("doc_id") > col("p"))
+      .groupBy(col("doc_id"), col("sz"), col("p"), col("psz"))
+      .agg(count(lit(1)).as("n_inter"))
+      .filter(col("n_inter") * 2 >=
+        col("sz") + col("psz") - col("n_inter"))
+      .select(least(col("doc_id"), col("p")).as("a"),
+        greatest(col("doc_id"), col("p")).as("b"))
+      .localCheckpoint(false) // counted + semi-probed
+    val found = minhashPairsFrom(base)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .filter(col("a") % SetSim.ProbeMod === 0 ||
+        col("b") % SetSim.ProbeMod === 0)
+    val nf = found.join(truth, Seq("a", "b"), "left_semi")
+      .agg(count(lit(1)).as("n_found"))
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(broadcast(nf))
+      .select(col("n_truth"), col("n_found"),
+        (col("n_truth") - col("n_found")).as("n_missed"),
+        expr("""CAST(CASE WHEN n_truth = 0 THEN 1000000
+                  ELSE CAST(n_found AS DECIMAL(38,0)) * 1000000
+                    div n_truth END AS BIGINT)""").as("recall_ppm"))
+  }
+
+  val q153DedupRecallOracle: String =
+    s"""WITH $minhashPairsSqlCtes,
+       |posts AS (
+       |  SELECT doc_id, CAST(len(sh) AS BIGINT) AS sz,
+       |    unnest(sh) AS g
+       |  FROM base),
+       |truth AS (
+       |  SELECT least(c.doc_id, p.doc_id) AS a,
+       |    greatest(c.doc_id, p.doc_id) AS b
+       |  FROM posts c JOIN posts p ON c.g = p.g
+       |    AND p.doc_id % ${SetSim.ProbeMod} = 0
+       |    AND c.doc_id <> p.doc_id
+       |    AND (c.doc_id % ${SetSim.ProbeMod} <> 0
+       |         OR c.doc_id > p.doc_id)
+       |  GROUP BY c.doc_id, c.sz, p.doc_id, p.sz
+       |  HAVING count(*) * 2 >= c.sz + p.sz - count(*)),
+       |found AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM verified
+       |  WHERE n_inter * 2 >= n_union
+       |    AND (doc_a % ${SetSim.ProbeMod} = 0
+       |         OR doc_b % ${SetSim.ProbeMod} = 0)),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+       |nf AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_found FROM found f
+       |  WHERE EXISTS (SELECT 1 FROM truth t
+       |                WHERE t.a = f.a AND t.b = f.b))
+       |SELECT n_truth, n_found, n_truth - n_found AS n_missed,
+       |  CAST(CASE WHEN n_truth = 0 THEN 1000000
+       |    ELSE CAST(n_found AS HUGEINT) * 1000000 // n_truth END
+       |    AS BIGINT) AS recall_ppm
+       |FROM nt CROSS JOIN nf""".stripMargin
 
   val JaccardSketch = 4 // minhash window components used as a pair prefilter
 

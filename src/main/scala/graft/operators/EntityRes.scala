@@ -472,6 +472,87 @@ object EntityRes {
        |  END AS transitivity_e6
        |FROM sizes CROSS JOIN ec CROSS JOIN tri""".stripMargin
 
+  /** q152: degree assortativity of the ER match graph — ONE row:
+    * (n_nodes, n_edges, r_ppm). Newman 2002's r is the Pearson
+    * correlation of (deg u, deg v) over edge endpoints; r > 0 means
+    * duplicates cluster among similarly-connected records (healthy
+    * near-clique matching), r ≪ 0 means hub-and-spoke chains — the
+    * graph-level complement of q109's transitivity (γ says whether
+    * wedges close; r says whether degree classes mix), the same QA
+    * read Newman runs on collaboration vs. internet graphs.
+    *
+    * EXACT WITHOUT A SQRT: over the SYMMETRIZED edge list the two
+    * endpoint marginals coincide (Σx = Σy, Σx² = Σy²), so Pearson's
+    * denominator collapses to M·Σx² − (Σx)² and r is a ratio of
+    * integers — r_ppm = sign·(|M·Σxy − (Σx)²|·10⁶ div (M·Σx² −
+    * (Σx)²)). The sign is applied OUTSIDE the division because Spark
+    * `div` truncates toward zero while DuckDB `//` floors — they
+    * agree only on non-negative operands (the q149 rule). A
+    * regular graph (every degree equal — e.g. a perfect clique
+    * union) has zero variance: r is undefined, reported as 0.
+    *
+    * 100 TB posture: |E| is capped by q101's bounded pair
+    * generation; the plan is the q109 prefix (degree build + two
+    * edge-scale equi-joins) folded into ONE 1-row algebraic
+    * aggregate — no new super-linear stage. Products widen to
+    * DECIMAL(38,0): M·Σxy is ~10²⁹ at warehouse scale, far past
+    * BIGINT (the q114 widening rule). */
+  def q152Assortativity(s: SparkSession, dir: String): DataFrame = {
+    val edges = matchedPairs(s, dir)
+      .select(col("cust_a").as("a"), col("cust_b").as("b"))
+      .localCheckpoint(false) // one pair job; degrees + xy + ecount
+    val bidir = edges.unionByName(
+      edges.select(col("b").as("a"), col("a").as("b")))
+      .toDF("u", "v")
+    val deg = bidir.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val sums = bidir
+      .join(deg.select(col("u"), col("d").as("du")), "u")
+      .join(deg.select(col("u").as("v"), col("d").as("dv")), "v")
+      .agg(count(lit(1)).as("m"),
+        sum(col("du")).as("sx"),
+        sum(expr("CAST(du AS DECIMAL(38,0)) * du")).as("sxx"),
+        sum(expr("CAST(du AS DECIMAL(38,0)) * dv")).as("sxy"))
+    val nn = deg.agg(count(lit(1)).as("n_nodes"))
+    val ec = edges.agg(count(lit(1)).as("n_edges"))
+    nn.crossJoin(broadcast(ec)).crossJoin(broadcast(sums))
+      .withColumn("num", expr(
+        "CAST(m AS DECIMAL(38,0)) * sxy" +
+          " - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("den", expr(
+        "CAST(m AS DECIMAL(38,0)) * sxx" +
+          " - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .select(col("n_nodes"), col("n_edges"),
+        expr("""CAST(CASE WHEN den IS NULL OR den = 0 THEN 0
+                  ELSE (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                    * (abs(num) * 1000000 div den) END
+                AS BIGINT)""").as("r_ppm"))
+  }
+
+  val q152AssortativityOracle: String =
+    s"""WITH $pairsSql,
+       |edges AS (SELECT cust_a AS a, cust_b AS b FROM matched),
+       |bidir AS (
+       |  SELECT a AS u, b AS v FROM edges
+       |  UNION ALL SELECT b AS u, a AS v FROM edges),
+       |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d
+       |        FROM bidir GROUP BY u),
+       |sums AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS m,
+       |    CAST(sum(du.d) AS HUGEINT) AS sx,
+       |    CAST(sum(CAST(du.d AS HUGEINT) * du.d) AS HUGEINT) AS sxx,
+       |    CAST(sum(CAST(du.d AS HUGEINT) * dv.d) AS HUGEINT) AS sxy
+       |  FROM bidir b
+       |  JOIN deg du ON du.u = b.u
+       |  JOIN deg dv ON dv.u = b.v),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+       |ec AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges)
+       |SELECT n_nodes, n_edges,
+       |  CAST(CASE WHEN coalesce(m * sxx - sx * sx, 0) = 0 THEN 0
+       |    ELSE (CASE WHEN m * sxy - sx * sx < 0 THEN -1 ELSE 1 END)
+       |      * (abs(m * sxy - sx * sx) * 1000000
+       |         // (m * sxx - sx * sx)) END AS BIGINT) AS r_ppm
+       |FROM nn CROSS JOIN ec CROSS JOIN sums""".stripMargin
+
   /** q132: missing-link prediction over the ER match graph —
     * neighborhood-Jaccard link scoring (Liben-Nowell & Kleinberg
     * 2003): every NON-adjacent pair with at least one common match

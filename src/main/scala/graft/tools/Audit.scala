@@ -123,6 +123,11 @@ object PlanAudit {
       // q108's final report crossJoins the ~3-row per-split frame
       // with its broadcast 1-row leakage-audit aggregate.
       "q108_split_leakage",
+      // q153's report row crossJoins the 1-row found-count aggregate
+      "q153_dedup_recall",
+      // q152's report row crossJoins three 1-row aggregates —
+      // node count × edge count × the Pearson sufficient statistics
+      "q152_assortativity",
       // q109's report row crossJoins three 1-row aggregates
       // (sizes × edge count × triangle count).
       "q109_er_triangles",

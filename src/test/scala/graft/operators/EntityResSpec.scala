@@ -193,4 +193,43 @@ class EntityResSpec extends AnyFunSuite {
       (3L, "globex international", 1, 0.0)))
     assert(EntityRes.q132LinkPred(s, tri).collect().isEmpty)
   }
+
+  test("q152: an open chain is perfectly disassortative (r = -1); a " +
+      "regular clique has zero degree variance (r reported 0)") {
+    // the q109 open chain 1–2–3: endpoints deg 1, middle deg 2 —
+    // a star with n = 2 spokes, Newman's textbook r = −1 case.
+    // Exact: M=4, Σx=6, Σx²=10, Σxy=8 → num = 32−36 = −4,
+    // den = 40−36 = 4 → r_ppm = −1000000 (sign applied outside the
+    // div, so Spark's truncate and DuckDB's floor cannot diverge).
+    val chain = customersDir(Seq(
+      (1L, "zabcdefghij", 1, 0.0),
+      (2L, "abcdefghij", 1, 0.0),
+      (3L, "abcdefghijkl", 1, 0.0)))
+    val r1 = EntityRes.q152Assortativity(s, chain).collect().head
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2))
+      === ((3L, 2L, -1000000L)))
+
+    // K3: every degree is 2 — zero variance, r undefined → 0
+    val tri = customersDir(Seq(
+      (1L, "globex international", 1, 0.0),
+      (2L, "globex international", 1, 0.0),
+      (3L, "globex international", 1, 0.0)))
+    val r2 = EntityRes.q152Assortativity(s, tri).collect().head
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2))
+      === ((3L, 3L, 0L)))
+  }
+
+  test("q152: disjoint regular components of different degrees mix " +
+      "no degree classes — perfectly assortative (r = +1)") {
+    // q109's clique+pair fixture: K3 (degrees 2) plus a lone matched
+    // pair (degrees 1). Every edge joins equal degrees: M=8, Σx=14,
+    // Σx²=26, Σxy=26 → num = den = 12 → r_ppm = +1000000.
+    val dir = customersDir(Seq(
+      (1L, "acme corp", 1, 0.0), (2L, "acme corp", 1, 0.0),
+      (3L, "acme corp", 1, 0.0),
+      (4L, "zen corp", 2, 0.0), (5L, "zen corp", 2, 0.0)))
+    val r = EntityRes.q152Assortativity(s, dir).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2))
+      === ((5L, 4L, 1000000L)))
+  }
 }
