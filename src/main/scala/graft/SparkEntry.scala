@@ -166,6 +166,7 @@ object SparkEntry {
     "q151_srm_audit" -> EventStats.q151SrmAudit,
     "q152_assortativity" -> EntityRes.q152Assortativity,
     "q153_dedup_recall" -> Dedup.q153DedupRecall,
+    "q154_minhash_scurve" -> Dedup.q154MinhashScurve,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -537,6 +538,7 @@ object SparkEntry {
     "q151_srm_audit" -> EventStats.q151SrmAuditOracle,
     "q152_assortativity" -> EntityRes.q152AssortativityOracle,
     "q153_dedup_recall" -> Dedup.q153DedupRecallOracle,
+    "q154_minhash_scurve" -> Dedup.q154MinhashScurveOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,

@@ -218,7 +218,13 @@ object Dedup {
     * shingle space is SPARSE (vocab 2.7M, max df 28 — 3-word
     * shingles do not saturate the way q134's unigram tokens do).
     * recall_ppm widens to DECIMAL(38,0) per the q114 rule. */
-  def q153DedupRecall(s: SparkSession, dir: String): DataFrame = {
+  /** The two sides of the recall calibration, shared by q153 (the
+    * single ≥50% point) and q154 (the per-decile S-curve): exact
+    * truth pairs (a, b, jacc_e6 ≥ 500000) involving a probe doc, and
+    * the probe-restricted LSH pairs. Both derive from ONE
+    * [[minhashBase]] barrier (see q153's doc). */
+  private def recallSides(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     // ONE corpus-sized barrier shared with the LSH arm: posts derive
     // map-side from [[minhashBase]]'s checkpoint (a second parallel
     // corpus checkpoint measured 5× slower at ×100 — the two evict
@@ -243,12 +249,19 @@ object Dedup {
       .filter(col("n_inter") * 2 >=
         col("sz") + col("psz") - col("n_inter"))
       .select(least(col("doc_id"), col("p")).as("a"),
-        greatest(col("doc_id"), col("p")).as("b"))
+        greatest(col("doc_id"), col("p")).as("b"),
+        expr("n_inter * 1000000 div (sz + psz - n_inter)")
+          .as("jacc_e6"))
       .localCheckpoint(false) // counted + semi-probed
     val found = minhashPairsFrom(base)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
       .filter(col("a") % SetSim.ProbeMod === 0 ||
         col("b") % SetSim.ProbeMod === 0)
+    (truth, found)
+  }
+
+  def q153DedupRecall(s: SparkSession, dir: String): DataFrame = {
+    val (truth, found) = recallSides(s, dir)
     val nf = found.join(truth, Seq("a", "b"), "left_semi")
       .agg(count(lit(1)).as("n_found"))
     truth.agg(count(lit(1)).as("n_truth"))
@@ -291,6 +304,91 @@ object Dedup {
        |    ELSE CAST(n_found AS HUGEINT) * 1000000 // n_truth END
        |    AS BIGINT) AS recall_ppm
        |FROM nt CROSS JOIN nf""".stripMargin
+
+  /** Exact-integer theoretical LSH hit probability per Jaccard
+    * decile bin, in ppm: 1 − (1 − J²)⁴ for the 4-band × 2-row scheme,
+    * evaluated at the bin midpoint with pure BigInt rationals (so
+    * BOTH engines read identical literals — no float crosses an
+    * engine boundary). Bin 10 (exact duplicates) is certainty. */
+  private val SCurveExpectedPpm: Seq[(Long, Long)] =
+    (5L to 10L).map { bin =>
+      val m = BigInt(math.min(bin * 100000L + 50000L, 1000000L))
+      val num = (BigInt(10).pow(12) - m * m).pow(4)
+      bin -> ((BigInt(10).pow(48) - num) / BigInt(10).pow(42)).toLong
+    }
+
+  private def sCurveCaseSql(col: String): String =
+    s"CASE $col " + SCurveExpectedPpm.map { case (b, p) =>
+      s"WHEN $b THEN CAST($p AS BIGINT) "
+    }.mkString + "END"
+
+  /** q154: the measured MinHash-LSH S-curve — per exact-Jaccard
+    * decile bin of the probe-pair truth set (jacc_e6 div 100000 ∈
+    * 5…10): (jacc_decile, n_truth, n_found, recall_ppm,
+    * expected_ppm). q153 reports the single ≥50% recall point; the
+    * banding theory says recall is a sigmoid 1 − (1 − J²)⁴ in J, so
+    * the calibration that actually validates the LSH configuration
+    * is recall PER SIMILARITY BAND against that curve
+    * ([[SCurveExpectedPpm]] — bin-midpoint constants in exact
+    * integer rationals, the q91/q94 sketch-calibration pattern).
+    * Borderline J≈0.5 pairs are EXPECTED to be missed (theory says
+    * 76%); missing an exact duplicate (bin 10, theory 100%) means
+    * the pipeline is broken.
+    *
+    * 100 TB posture: identical to q153 — both sides derive from one
+    * [[minhashBase]] barrier via [[recallSides]]; the bin fold adds
+    * a ≤6-row aggregate. */
+  def q154MinhashScurve(s: SparkSession, dir: String): DataFrame = {
+    val (truth, found) = recallSides(s, dir)
+    val binned = truth
+      .withColumn("jacc_decile", expr("jacc_e6 div 100000"))
+      .join(found.withColumn("hit", lit(1L)), Seq("a", "b"), "left")
+      .groupBy(col("jacc_decile"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+    binned
+      .select(col("jacc_decile"), col("n_truth"), col("n_found"),
+        expr("""CAST(CAST(n_found AS DECIMAL(38,0)) * 1000000
+                div n_truth AS BIGINT)""").as("recall_ppm"),
+        expr(sCurveCaseSql("jacc_decile")).as("expected_ppm"))
+      .orderBy(col("jacc_decile"))
+  }
+
+  val q154MinhashScurveOracle: String =
+    s"""WITH $minhashPairsSqlCtes,
+       |posts AS (
+       |  SELECT doc_id, CAST(len(sh) AS BIGINT) AS sz,
+       |    unnest(sh) AS g
+       |  FROM base),
+       |truth AS (
+       |  SELECT least(c.doc_id, p.doc_id) AS a,
+       |    greatest(c.doc_id, p.doc_id) AS b,
+       |    CAST(count(*) * 1000000 // (c.sz + p.sz - count(*))
+       |      AS BIGINT) AS jacc_e6
+       |  FROM posts c JOIN posts p ON c.g = p.g
+       |    AND p.doc_id % ${SetSim.ProbeMod} = 0
+       |    AND c.doc_id <> p.doc_id
+       |    AND (c.doc_id % ${SetSim.ProbeMod} <> 0
+       |         OR c.doc_id > p.doc_id)
+       |  GROUP BY c.doc_id, c.sz, p.doc_id, p.sz
+       |  HAVING count(*) * 2 >= c.sz + p.sz - count(*)),
+       |found AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM verified
+       |  WHERE n_inter * 2 >= n_union
+       |    AND (doc_a % ${SetSim.ProbeMod} = 0
+       |         OR doc_b % ${SetSim.ProbeMod} = 0)),
+       |binned AS (
+       |  SELECT t.jacc_e6 // 100000 AS jacc_decile,
+       |    CAST(count(*) AS BIGINT) AS n_truth,
+       |    CAST(sum(CASE WHEN f.a IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_found
+       |  FROM truth t LEFT JOIN found f ON f.a = t.a AND f.b = t.b
+       |  GROUP BY 1)
+       |SELECT jacc_decile, n_truth, n_found,
+       |  CAST(CAST(n_found AS HUGEINT) * 1000000 // n_truth
+       |    AS BIGINT) AS recall_ppm,
+       |  ${sCurveCaseSql("jacc_decile")} AS expected_ppm
+       |FROM binned ORDER BY jacc_decile""".stripMargin
 
   val JaccardSketch = 4 // minhash window components used as a pair prefilter
 

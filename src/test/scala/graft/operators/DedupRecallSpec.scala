@@ -57,6 +57,16 @@ class DedupRecallSpec extends AnyFunSuite {
       === ((2L, 2L, 0L, 1000000L)))
   }
 
+  test("q154: exact duplicates land in decile 10 with certainty — " +
+      "measured and theoretical recall both 1e6") {
+    // both fixture dups are J = 1 pairs: one bin-10 row, 2/2 found,
+    // and the bin-midpoint constant for exact dups is certainty
+    val rows = Dedup.q154MinhashScurve(s, docsDir(corpus)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq === Seq((10L, 2L, 2L, 1000000L, 1000000L)))
+  }
+
   test("q153: a corpus whose probes have no near-dups reports " +
       "vacuous full recall, not a division by zero") {
     val lonely = Seq(
