@@ -14,6 +14,13 @@ run / fork := true
 // the forked run JVM must see the caller's stdin (the interactive
 // create-model wizard reads it; sbt swallows it otherwise)
 run / connectInput := true
+// Pass the forked JVM's stdout/stderr through UNDECORATED: the default
+// LoggedOutput strategy prefixes every program line with "[info] ",
+// which is why the driver's bench parser never found the one-line JSON
+// contract (`[info] {"metric":...}` is not valid JSON) — three rounds
+// of BENCH_r*.json `parsed: null` despite the line being present in
+// the captured tail.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

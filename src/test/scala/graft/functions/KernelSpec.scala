@@ -73,4 +73,34 @@ class KernelSpec extends AnyFunSuite {
       hofBucket.as("h")).filter(col("k") =!= col("h")).count()
     assert(d2 == 0)
   }
+
+  test("SignedProjections ≡ folded ±getItem sums (q78's original form)") {
+    // the exact folded-Column formulation q78 shipped before round 11
+    // (the one that blew the 64 KB codegen method limit at 16 planes —
+    // here only 4 planes so it compiles and serves as the reference)
+    val planes = 4
+    val dims = 64
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val signs = Array.tabulate(planes, dims) { (j, i) =>
+      val h = md.digest(s"p$j:$i".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 1) == 1) 1 else -1
+    }
+    val masks = signs.toSeq.map(_.zipWithIndex.foldLeft(0L) {
+      case (m, (sgn, i)) => if (sgn > 0) m | (1L << i) else m
+    })
+    val folded = array((0 until planes).map { j =>
+      (0 until dims).map { i =>
+        val t = col("v").getItem(i)
+        if (signs(j)(i) > 0) t else -t
+      }.reduce(_ + _)
+    }: _*)
+    val v = transform(col("embedding"),
+      x => round(x.cast("double") * 1000).cast("long"))
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), v.as("v"))
+    val d = emb.select(
+      VectorFunctions.signedProjections(col("v"), masks).as("k"),
+      folded.as("h")).filter(not(col("k") === col("h"))).count()
+    assert(d == 0)
+  }
 }
