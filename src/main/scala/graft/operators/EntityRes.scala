@@ -485,9 +485,13 @@ object EntityRes {
     * endpoint marginals coincide (Σx = Σy, Σx² = Σy²), so Pearson's
     * denominator collapses to M·Σx² − (Σx)² and r is a ratio of
     * integers — r_ppm = sign·(|M·Σxy − (Σx)²|·10⁶ div (M·Σx² −
-    * (Σx)²)). The sign is applied OUTSIDE the division because Spark
-    * `div` truncates toward zero while DuckDB `//` floors — they
-    * agree only on non-negative operands (the q149 rule). A
+    * (Σx)²)). The sign is applied OUTSIDE the division so both
+    * operands are non-negative — defense-in-depth, NOT a measured
+    * divergence: the pinned oracle DuckDB (1.0.0) empirically
+    * truncates `//` toward zero exactly like Spark `div`
+    * (`-7 // 2 = -3`, re-measured round 11; an earlier comment here
+    * claimed DuckDB floors, which is false on this version — keeping
+    * signs non-negative makes the query robust to either semantic). A
     * regular graph (every degree equal — e.g. a perfect clique
     * union) has zero variance: r is undefined, reported as 0.
     *
@@ -671,9 +675,6 @@ object EntityRes {
     var removed = 1L
     while (removed > 0) {
       round += 1
-      require(round <= KCoreRounds,
-        s"2-core did not converge in $KCoreRounds peel rounds; raise " +
-          "KCoreRounds AND the oracle unroll together (q45 discipline)")
       val keep = bidir.groupBy(col("u")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= 2).select(col("u"))
         .localCheckpoint(true)
@@ -683,6 +684,16 @@ object EntityRes {
         .localCheckpoint(true)
       val nextSize = next.count()
       removed = size - nextSize
+      // only PRODUCTIVE passes count against the cap: the oracle's 8
+      // unrolled rounds cover 8 peels, and a graph converging in
+      // exactly KCoreRounds peels still needs one extra zero-removal
+      // confirmation pass here — charging that pass to the cap made
+      // Spark throw where the oracle silently succeeded (round-11
+      // advisor finding, off-by-one in the raise-both-together
+      // contract)
+      require(removed == 0 || round <= KCoreRounds,
+        s"2-core did not converge in $KCoreRounds peel rounds; raise " +
+          "KCoreRounds AND the oracle unroll together (q45 discipline)")
       size = nextSize
       bidir = next
     }

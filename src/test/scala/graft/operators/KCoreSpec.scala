@@ -31,6 +31,28 @@ class KCoreSpec extends AnyFunSuite {
     assert(core.count() == 0L)
   }
 
+  test("a graph needing exactly KCoreRounds productive peels converges") {
+    // a path of 2·KCoreRounds+1 nodes loses both degree-1 ends each
+    // pass, so it takes exactly KCoreRounds productive peels to empty
+    // — plus one zero-removal confirmation pass, which must NOT count
+    // against the cap (the oracle's unroll covers KCoreRounds peels;
+    // charging the confirmation pass threw here while the oracle
+    // silently succeeded — round-11 advisor off-by-one)
+    val n = 2 * EntityRes.KCoreRounds + 1
+    val path = (1 until n).map(i => (i.toLong, (i + 1).toLong))
+    val core = EntityRes.kcoreEdges(bidir(path))
+    assert(core.count() == 0L)
+  }
+
+  test("a graph needing KCoreRounds+1 productive peels throws (q45 discipline)") {
+    val n = 2 * (EntityRes.KCoreRounds + 1) + 1
+    val path = (1 until n).map(i => (i.toLong, (i + 1).toLong))
+    val ex = intercept[IllegalArgumentException] {
+      EntityRes.kcoreEdges(bidir(path)).count()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("two disjoint cycles both survive whole") {
     val core = EntityRes.kcoreEdges(
       bidir(Seq((1L, 2L), (2L, 3L), (3L, 1L),
