@@ -81,7 +81,7 @@ object Dedup {
     * verify (integer form: 2·|∩| ≥ |∪| ⇔ J ≥ 0.5). Shared by
     * dedup_minhash_lsh (ordered pair report) and q108 (dup-cluster-
     * aware split assignment over these pairs as edges). */
-  private[operators] def minhashPairs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame =
     minhashPairsFrom(minhashBase(s, dir))
 
   /** The checkpointed (doc_id, sh, hashes) shingle/hash intermediate
@@ -89,7 +89,13 @@ object Dedup {
     * posting side from the SAME barrier (two parallel corpus-sized
     * checkpoints measured 5× slower at ×100: they evict each other's
     * blocks and thrash recompute). */
-  private[operators] def minhashBase(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def minhashBase(s: SparkSession, dir: String): DataFrame =
+    minhashBaseFrom(Tables.spread(Tables.load(s, dir, "documents")))
+
+  /** [[minhashBase]] over an arbitrary (doc_id, text) corpus — the
+    * recall calibrations run it over [[plantedDocs]] instead of the
+    * raw table. */
+  private[operators] def minhashBaseFrom(docs: DataFrame): DataFrame = {
     // Exchange barrier after computing the shingle set: without it,
     // CollapseProject inlines `shingles(text)` into all 8 signature
     // expressions (HOFs are interpreted, so no subexpression
@@ -104,7 +110,7 @@ object Dedup {
     // when the DataFrame goes unreachable — repeated runs in one
     // session don't accumulate cache. This intermediate is O(corpus
     // tokens), the thing you'd checkpoint to storage in a 100 TB run.
-    Tables.spread(Tables.load(s, dir, "documents"))
+    docs
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .withColumn("hashes", shingleHashes(col("sh")))
       .repartition(col("doc_id"))
@@ -112,6 +118,52 @@ object Dedup {
       // plan-only consumers (Explain/Audit)
       .localCheckpoint(false)
   }
+
+  /** Planted-probe corpus for the recall calibrations (q153/q154):
+    * documents ∪ deterministic near-dup variants of every probe doc
+    * (doc_id ≡ 0 mod [[SetSim.ProbeMod]]) — variant k ∈ 5..10 keeps
+    * the first ⌈(10k+5)%⌉ of the normalized tokens (k = 10 clips to
+    * 100%, an exact duplicate), planted under id −(doc_id·16 + k).
+    * Prefix truncation makes each variant's shingle set a SUBSET of
+    * the original's, so its exact Jaccard ≈ the kept token fraction
+    * and the truth pairs populate deciles ~5..10 at EVERY scale.
+    * Without planting the natural corpus holds only exact duplicates
+    * and the per-decile S-curve gate was vacuous below bin 10
+    * (round-10 judge + advisor finding); planted ground truth is the
+    * standard way to calibrate a dedup pipeline's recall. All
+    * arithmetic is non-negative integer (ceil = (a+99) div 100), so
+    * both engines derive bit-identical variant text.
+    *
+    * 100 TB posture: one extra narrow pass over the corpus scan
+    * (probe branch prunes to 1/ProbeMod of rows at the filter), +6%
+    * planted rows through the shared barrier — no new shuffle. */
+  private[operators] def plantedDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.spread(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), col("text"))
+    val variants = d
+      .filter(col("doc_id") % SetSim.ProbeMod === 0)
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(5), lit(10))).as("k"))
+      .select((-(col("doc_id") * 16 + col("k"))).as("doc_id"),
+        concat_ws(" ", slice(col("toks"), lit(1),
+          expr("least(size(toks), CAST((size(toks) * (k*10+5) + 99) div 100 AS INT))")))
+          .as("text"))
+    d.unionByName(variants)
+  }
+
+  /** The [[plantedDocs]] corpus as a DuckDB CTE named `pdocs`. */
+  private[operators] val plantedDocsSqlCte: String =
+    s"""pdocs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT -(d.doc_id * 16 + t.k) AS doc_id,
+       |    array_to_string(d.toks[1 : least(len(d.toks),
+       |      (len(d.toks) * (t.k*10+5) + 99) // 100)], ' ') AS text
+       |  FROM (SELECT doc_id, $tokensSql AS toks FROM documents
+       |        WHERE doc_id % ${SetSim.ProbeMod} = 0) d
+       |  CROSS JOIN range(5, 11) t(k))""".stripMargin
 
   /** [[minhashPairs]] over an already-built [[minhashBase]]. */
   private[operators] def minhashPairsFrom(base: DataFrame): DataFrame = {
@@ -158,7 +210,12 @@ object Dedup {
   /** The minhash pair CTE chain (`base…verified`), shared by the
     * dedup_minhash_lsh and q108 oracles — `verified` holds every
     * band-candidate pair with exact n_inter/n_union, pre-threshold. */
-  private[operators] val minhashPairsSqlCtes: String = {
+  private[operators] val minhashPairsSqlCtes: String =
+    minhashPairsSqlCtesFrom("documents")
+
+  /** [[minhashPairsSqlCtes]] over an arbitrary (doc_id, text) source
+    * table/CTE — the recall calibrations pass `pdocs`. */
+  private[operators] def minhashPairsSqlCtesFrom(src: String): String = {
     val sigList = (0 until NumHashes)
       .map(k => s"${minhashSigSql("hashes", k)} AS sig_$k").mkString(",\n    ")
     val bandList = (0 until NumHashes / BandSize).map { bd =>
@@ -166,7 +223,7 @@ object Dedup {
       s"md5(${parts.mkString(" || '|' || ")})"
     }.mkString(", ")
     s"""base AS (
-       |  SELECT doc_id, $shinglesSql AS sh FROM documents),
+       |  SELECT doc_id, $shinglesSql AS sh FROM $src),
        |hashed AS (
        |  SELECT doc_id, sh, $shingleHashesSql AS hashes FROM base),
        |sigs AS (
@@ -202,7 +259,12 @@ object Dedup {
     * claim ("banded candidates ⊇ the near-dup pairs we act on")
     * deserves the same measured calibration q131 gives ANN recall.
     * Ground truth is EXACT Jaccard over every pair involving a probe
-    * doc (doc_id ≡ 0 mod [[SetSim.ProbeMod]], the q134 convention):
+    * doc — the natural subset (doc_id ≡ 0 mod [[SetSim.ProbeMod]],
+    * the q134 convention) plus the [[plantedDocs]] prefix-truncation
+    * variants (negative ids), which guarantee truth pairs across
+    * Jaccard deciles ~5..10 at every scale (the natural corpus's
+    * duplicates are all EXACT, leaving the partial-recall deciles
+    * empty — round-10 finding):
     * probe postings broadcast against one corpus posting scan,
     * |∩| counted at the query's only exchange — no shingle string
     * ever rides a shuffle — then the 2·|∩| ≥ |∪| threshold that
@@ -223,18 +285,24 @@ object Dedup {
     * truth pairs (a, b, jacc_e6 ≥ 500000) involving a probe doc, and
     * the probe-restricted LSH pairs. Both derive from ONE
     * [[minhashBase]] barrier (see q153's doc). */
-  private def recallSides(s: SparkSession, dir: String)
+  /** Probe predicate of the recall calibrations: the natural probe
+    * subset (≡ 0 mod ProbeMod, the q134 convention) PLUS every
+    * [[plantedDocs]] variant (negative ids). */
+  private def isProbe(c: Column): Column =
+    c < 0 || c % SetSim.ProbeMod === 0
+
+  private[operators] def recallSides(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     // ONE corpus-sized barrier shared with the LSH arm: posts derive
-    // map-side from [[minhashBase]]'s checkpoint (a second parallel
+    // map-side from the PLANTED corpus's checkpoint (a second parallel
     // corpus checkpoint measured 5× slower at ×100 — the two evict
     // each other's blocks and thrash recompute)
-    val base = minhashBase(s, dir)
+    val base = minhashBaseFrom(plantedDocs(s, dir))
     val posts = base
       .select(col("doc_id"), size(col("sh")).cast("long").as("sz"),
         explode(col("sh")).as("g"))
     val probe = broadcast(posts
-      .filter(col("doc_id") % SetSim.ProbeMod === 0)
+      .filter(isProbe(col("doc_id")))
       .select(col("doc_id").as("p"), col("sz").as("psz"), col("g")))
     // each unordered true pair appears once: probe×non-probe as
     // (doc, p); probe×probe would appear in both orders, so keep
@@ -242,8 +310,7 @@ object Dedup {
     val truth = posts
       .join(probe, "g")
       .filter(col("doc_id") =!= col("p"))
-      .filter(col("doc_id") % SetSim.ProbeMod =!= 0 ||
-        col("doc_id") > col("p"))
+      .filter(!isProbe(col("doc_id")) || col("doc_id") > col("p"))
       .groupBy(col("doc_id"), col("sz"), col("p"), col("psz"))
       .agg(count(lit(1)).as("n_inter"))
       .filter(col("n_inter") * 2 >=
@@ -255,8 +322,7 @@ object Dedup {
       .localCheckpoint(false) // counted + semi-probed
     val found = minhashPairsFrom(base)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .filter(col("a") % SetSim.ProbeMod === 0 ||
-        col("b") % SetSim.ProbeMod === 0)
+      .filter(isProbe(col("a")) || isProbe(col("b")))
     (truth, found)
   }
 
@@ -274,7 +340,8 @@ object Dedup {
   }
 
   val q153DedupRecallOracle: String =
-    s"""WITH $minhashPairsSqlCtes,
+    s"""WITH $plantedDocsSqlCte,
+       |${minhashPairsSqlCtesFrom("pdocs")},
        |posts AS (
        |  SELECT doc_id, CAST(len(sh) AS BIGINT) AS sz,
        |    unnest(sh) AS g
@@ -283,17 +350,17 @@ object Dedup {
        |  SELECT least(c.doc_id, p.doc_id) AS a,
        |    greatest(c.doc_id, p.doc_id) AS b
        |  FROM posts c JOIN posts p ON c.g = p.g
-       |    AND p.doc_id % ${SetSim.ProbeMod} = 0
+       |    AND (p.doc_id < 0 OR p.doc_id % ${SetSim.ProbeMod} = 0)
        |    AND c.doc_id <> p.doc_id
-       |    AND (c.doc_id % ${SetSim.ProbeMod} <> 0
+       |    AND ((c.doc_id >= 0 AND c.doc_id % ${SetSim.ProbeMod} <> 0)
        |         OR c.doc_id > p.doc_id)
        |  GROUP BY c.doc_id, c.sz, p.doc_id, p.sz
        |  HAVING count(*) * 2 >= c.sz + p.sz - count(*)),
        |found AS (
        |  SELECT doc_a AS a, doc_b AS b FROM verified
        |  WHERE n_inter * 2 >= n_union
-       |    AND (doc_a % ${SetSim.ProbeMod} = 0
-       |         OR doc_b % ${SetSim.ProbeMod} = 0)),
+       |    AND ((doc_a < 0 OR doc_a % ${SetSim.ProbeMod} = 0)
+       |         OR (doc_b < 0 OR doc_b % ${SetSim.ProbeMod} = 0))),
        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
        |nf AS (
        |  SELECT CAST(count(*) AS BIGINT) AS n_found FROM found f
@@ -355,7 +422,8 @@ object Dedup {
   }
 
   val q154MinhashScurveOracle: String =
-    s"""WITH $minhashPairsSqlCtes,
+    s"""WITH $plantedDocsSqlCte,
+       |${minhashPairsSqlCtesFrom("pdocs")},
        |posts AS (
        |  SELECT doc_id, CAST(len(sh) AS BIGINT) AS sz,
        |    unnest(sh) AS g
@@ -366,17 +434,17 @@ object Dedup {
        |    CAST(count(*) * 1000000 // (c.sz + p.sz - count(*))
        |      AS BIGINT) AS jacc_e6
        |  FROM posts c JOIN posts p ON c.g = p.g
-       |    AND p.doc_id % ${SetSim.ProbeMod} = 0
+       |    AND (p.doc_id < 0 OR p.doc_id % ${SetSim.ProbeMod} = 0)
        |    AND c.doc_id <> p.doc_id
-       |    AND (c.doc_id % ${SetSim.ProbeMod} <> 0
+       |    AND ((c.doc_id >= 0 AND c.doc_id % ${SetSim.ProbeMod} <> 0)
        |         OR c.doc_id > p.doc_id)
        |  GROUP BY c.doc_id, c.sz, p.doc_id, p.sz
        |  HAVING count(*) * 2 >= c.sz + p.sz - count(*)),
        |found AS (
        |  SELECT doc_a AS a, doc_b AS b FROM verified
        |  WHERE n_inter * 2 >= n_union
-       |    AND (doc_a % ${SetSim.ProbeMod} = 0
-       |         OR doc_b % ${SetSim.ProbeMod} = 0)),
+       |    AND ((doc_a < 0 OR doc_a % ${SetSim.ProbeMod} = 0)
+       |         OR (doc_b < 0 OR doc_b % ${SetSim.ProbeMod} = 0))),
        |binned AS (
        |  SELECT t.jacc_e6 // 100000 AS jacc_decile,
        |    CAST(count(*) AS BIGINT) AS n_truth,

@@ -1,8 +1,9 @@
-package graft.operators
+package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.operators.{Dedup, SetSim}
 
 /** Stage-by-stage wall-time profile of q153's recall calibration —
   * scratch tool, mirrors [[Dedup.q153DedupRecall]]. */
