@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Behavior, Bpe, Budget, Clustering, CorpusStats, Dedup, EntityRes, EventStats, Ivfpq, Keywords, Layout, Lm, Multimodal, OrderStats, Overlap, Pipeline, Pipeline2, Pipeline3, Pq, Quality, Redact, Relational, Relational2, Retrieval, SetSim, Similarity, Sketch, Splits, Stats, TextAnalysis, Threshold}
+import graft.operators.{Behavior, Bpe, Budget, Clustering, CorpusStats, Dedup, EntityRes, EventStats, Ivfpq, Keywords, Layout, Lm, Multimodal, OrderStats, Overlap, Pipeline, Pipeline2, Pipeline3, Pq, Privacy, Quality, Redact, Relational, Relational2, Retrieval, SetSim, Similarity, Sketch, Splits, Stats, TextAnalysis, Threshold}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -167,6 +167,8 @@ object SparkEntry {
     "q152_assortativity" -> EntityRes.q152Assortativity,
     "q153_dedup_recall" -> Dedup.q153DedupRecall,
     "q154_minhash_scurve" -> Dedup.q154MinhashScurve,
+    "q155_crossmodal_dedup" -> Multimodal.q155CrossmodalDedup,
+    "q156_dp_release" -> Privacy.q156DpRelease,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -539,6 +541,8 @@ object SparkEntry {
     "q152_assortativity" -> EntityRes.q152AssortativityOracle,
     "q153_dedup_recall" -> Dedup.q153DedupRecallOracle,
     "q154_minhash_scurve" -> Dedup.q154MinhashScurveOracle,
+    "q155_crossmodal_dedup" -> Multimodal.q155CrossmodalDedupOracle,
+    "q156_dp_release" -> Privacy.q156DpReleaseOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,

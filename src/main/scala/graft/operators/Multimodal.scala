@@ -350,13 +350,13 @@ object Multimodal {
     * ships: md5 fingerprints catch byte-identical copies only —
     * the re-encoded or slightly-edited duplicate needs exactly this
     * pixel-space hash + banded join. */
-  def mmPhashDedup(s: SparkSession, dir: String): DataFrame = {
-    val rows = PhashImgs.map { case (id, seed, variant) =>
-      (id, phashPngBytes(seed, variant))
-    }
+  /** Decode PNG payloads and compute the 64-bit average hash — the
+    * batched `mapPartitions` kernel, shared by the batch operator
+    * and the streaming ingest twin ([[graft.streaming.PhashIngest]]).
+    * Input (img_id, payload binary) → (img_id, phash). */
+  private[graft] def phashOf(df: DataFrame): DataFrame = {
     val enc = Encoders.row(phashSchema)
-    import s.implicits._
-    val hashes = s.createDataset(rows).toDF("img_id", "payload")
+    df.toDF("img_id", "payload")
       .repartition(col("img_id"))
       .mapPartitions { it =>
         it.grouped(BatchSize).flatMap { batch =>
@@ -367,14 +367,32 @@ object Multimodal {
           }
         }
       }(enc)
-      .localCheckpoint(false) // band explode + 2 hash-lookup joins
-    // UNSIGNED shift: bit 63 (block 63 ≥ mean) is routinely set, and
-    // a signed div/mod would sign-extend the top band
-    val bands = hashes.select(col("img_id"), col("phash"),
+  }
+
+  /** Band explode of a (img_id, phash, ...) frame: [[PhashBands]]
+    * 16-bit windows as (img_id, phash, band, bv).
+    * UNSIGNED shift: bit 63 (block 63 ≥ mean) is routinely set, and
+    * a signed div/mod would sign-extend the top band. */
+  private[graft] def phashBands(hashes: DataFrame): DataFrame =
+    hashes.select(col("*"),
       posexplode(expr(s"transform(sequence(0, ${PhashBands - 1})," +
         " j -> shiftrightunsigned(phash, CAST(16 * j AS INT))" +
         " & CAST(65535 AS BIGINT))"))
         .as(Seq("band", "bv")))
+
+  /** The deterministic phash-corpus payloads (img_id, png bytes). */
+  private[graft] def phashPayloads(s: SparkSession): DataFrame = {
+    val rows = PhashImgs.map { case (id, seed, variant) =>
+      (id, phashPngBytes(seed, variant))
+    }
+    import s.implicits._
+    s.createDataset(rows).toDF("img_id", "payload")
+  }
+
+  def mmPhashDedup(s: SparkSession, dir: String): DataFrame = {
+    val hashes = phashOf(phashPayloads(s))
+      .localCheckpoint(false) // band explode + 2 hash-lookup joins
+    val bands = phashBands(hashes)
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
@@ -391,7 +409,7 @@ object Multimodal {
 
   /** PNG bytes of one phash-corpus image (the [[pngBytes]] shape,
     * [[phashPixel]] formula). */
-  private[operators] def phashPngBytes(seed: Long, variant: Int): Array[Byte] = {
+  private[graft] def phashPngBytes(seed: Long, variant: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(PhashSide, PhashSide,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     for (x <- 0 until PhashSide; y <- 0 until PhashSide)
@@ -401,14 +419,21 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** The expected pair set in closed form: hashes from [[phashPixel]]
-    * (no PNG in the loop), the same band + Hamming logic as the
-    * engine — constants in SQL, real decode work in the engine (the
-    * mm_decode oracle discipline). */
-  val mmPhashDedupOracle: String = {
-    val hs = PhashImgs.map { case (id, seed, variant) =>
+  /** The expected phash pair set in closed form — hashes from
+    * [[phashPixel]] (no PNG in the loop), the same band + Hamming
+    * logic as the engine. Shared by the mm_phash_dedup and q155
+    * oracles. */
+  /** Closed-form average hashes of the phash corpus — [[phashPixel]]
+    * directly, no PNG decode (the independent arithmetic path the
+    * oracles and the streaming-twin spec compare the engine
+    * against). */
+  private[graft] lazy val phashHashesClosedForm: Seq[(Long, Long)] =
+    PhashImgs.map { case (id, seed, variant) =>
       id -> aHash((x, y) => phashPixel(seed, variant, x, y))
     }
+
+  private[operators] lazy val phashPairsClosedForm: Seq[(Long, Long, Int)] = {
+    val hs = phashHashesClosedForm
     val pairs = for {
       (ia, ha) <- hs; (ib, hb) <- hs
       if ia < ib
@@ -416,13 +441,157 @@ object Multimodal {
         ((ha >>> (16 * j)) & 0xffffL) == ((hb >>> (16 * j)) & 0xffffL))
       ham = java.lang.Long.bitCount(ha ^ hb)
       if ham <= PhashMaxHam
-    } yield s"($ia, $ib, $ham)"
+    } yield (ia, ib, ham)
     require(pairs.nonEmpty, "phash corpus must plant near-dup pairs")
+    pairs
+  }
+
+  /** Constants in SQL, real decode work in the engine (the mm_decode
+    * oracle discipline). */
+  val mmPhashDedupOracle: String = {
+    val rows = phashPairsClosedForm
+      .map { case (a, b, h) => s"($a, $b, $h)" }
     s"""SELECT CAST(img_a AS BIGINT) AS img_a,
        |  CAST(img_b AS BIGINT) AS img_b,
        |  CAST(hamming AS BIGINT) AS hamming
-       |FROM (VALUES ${pairs.mkString(",\n  ")})
+       |FROM (VALUES ${rows.mkString(",\n  ")})
        |  AS t(img_a, img_b, hamming)
+       |ORDER BY img_a, img_b""".stripMargin
+  }
+
+  // ---- q155: cross-modal (image ⊕ caption) duplicate triage --------
+
+  /** Caption assignment of the phash corpus: (img_id, caption source
+    * doc_id, kept token fraction %). Captions are deterministic
+    * prefix truncations of REAL corpus documents (the q153/q154
+    * planting trick), arranged so every cross-modal case occurs:
+    * same image + same caption (re-post), same image + fresh caption
+    * (re-captioned), different image + same caption
+    * (re-illustrated). */
+  val CaptionDefs: Seq[(Long, Long, Long)] = Seq(
+    (1L, 10L, 100L), // base of the edited-image family
+    (2L, 10L, 100L), // small image edit, caption kept → both-dup
+    (3L, 10L, 40L),  // re-encode, caption rewritten (40% ≈ J<0.5) → image-only
+    (4L, 20L, 100L),
+    (5L, 11L, 100L), // near-dup image, unrelated caption → image-only
+    (6L, 30L, 100L),
+    (7L, 30L, 70L),  // re-encode, caption trimmed (70% ≈ J≥0.5) → both-dup
+    (8L, 40L, 100L),
+    (9L, 40L, 100L)) // unrelated image, identical caption → caption-only
+
+  /** q155: cross-modal duplicate triage over (image, caption) pairs —
+    * the curation decision an image+caption training-data pipeline
+    * ships: a pair of items is actionable when its IMAGES are
+    * perceptual near-dups (banded 64-bit average-hash, Hamming ≤
+    * [[PhashMaxHam]] — [[mmPhashDedup]]'s stream) or its CAPTIONS
+    * are near-dups (exact shingle Jaccard ≥ 0.5, the `Dedup`
+    * threshold), and the ACTION depends on which modality matched:
+    * both → `drop_duplicate_pair` (a true re-post, safe to dedup);
+    * image only → `review_recaptioned` (same picture, new text — the
+    * caption diversity you may want to KEEP for contrastive
+    * training); caption only → `review_reillustrated` (same text,
+    * new picture). Neither modality alone makes that call — exactly
+    * why cross-modal dedup is its own operator and not a union of
+    * the two unimodal ones.
+    *
+    * Plan shape: the image side is [[mmPhashDedup]]'s banded
+    * equi-join (pixel decode in the engine); the caption side joins
+    * the 9-row caption map against `documents` (broadcast, pruned
+    * scan), truncates tokens, and runs one shingle-posting equi-join
+    * — never all-pairs on either modality; the combine is ONE
+    * full-outer join on the pair key. 100 TB posture: both pair
+    * streams are banded/blocked candidate generators with exact
+    * confirms, and the full-outer combine is keyed by (a, b) — the
+    * same shape at 10⁹ items. */
+  def q155CrossmodalDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis.tokens
+    val imgPairs = mmPhashDedup(s, dir)
+      .select(col("img_a"), col("img_b"), col("hamming"))
+    import s.implicits._
+    val capMap = s.createDataset(CaptionDefs).toDF("img_id", "cap_doc", "frac")
+    val caps = capMap
+      .join(Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text")), col("cap_doc") === col("doc_id"))
+      .select(col("img_id"), tokens(col("text")).as("toks"), col("frac"))
+      .select(col("img_id"), concat_ws(" ",
+        slice(col("toks"), lit(1),
+          expr("greatest(1, CAST((size(toks) * frac + 99) div 100 AS INT))")))
+        .as("text"))
+    val posts = caps
+      .select(col("img_id"), Dedup.shingles(col("text")).as("sh"))
+      .select(col("img_id"), size(col("sh")).cast("long").as("sz"),
+        explode(col("sh")).as("g"))
+    val capPairs = posts
+      .select(col("img_id").as("ia"), col("sz").as("sza"), col("g"))
+      .join(posts.select(col("img_id").as("ib"), col("sz").as("szb"),
+        col("g")), Seq("g"))
+      .filter(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("sza"), col("ib"), col("szb"))
+      .agg(count(lit(1)).as("n_inter"))
+      .filter(col("n_inter") * 2 >= col("sza") + col("szb") - col("n_inter"))
+      .select(col("ia").as("img_a"), col("ib").as("img_b"),
+        expr("n_inter * 1000000 div (sza + szb - n_inter)")
+          .as("jacc_e6"))
+    imgPairs.as("i")
+      .join(capPairs.as("c"), Seq("img_a", "img_b"), "full_outer")
+      .select(col("img_a"), col("img_b"),
+        when(col("hamming").isNotNull, 1L).otherwise(0L).as("img_dup"),
+        when(col("jacc_e6").isNotNull, 1L).otherwise(0L).as("cap_dup"),
+        coalesce(col("hamming"), lit(-1L)).as("hamming"),
+        coalesce(col("jacc_e6"), lit(-1L)).as("jacc_e6"))
+      .withColumn("action",
+        when(col("img_dup") === 1L && col("cap_dup") === 1L,
+          lit("drop_duplicate_pair"))
+          .when(col("img_dup") === 1L, lit("review_recaptioned"))
+          .otherwise(lit("review_reillustrated")))
+      .orderBy(col("img_a"), col("img_b"))
+  }
+
+  val q155CrossmodalDedupOracle: String = {
+    import graft.operators.TextAnalysis.tokensSql
+    val imgRows = phashPairsClosedForm
+      .map { case (a, b, h) => s"($a, $b, $h)" }.mkString(",\n    ")
+    val capRows = CaptionDefs
+      .map { case (i, d, f) => s"($i, $d, $f)" }.mkString(",\n    ")
+    s"""WITH img_pairs AS (
+       |  SELECT CAST(img_a AS BIGINT) AS img_a,
+       |    CAST(img_b AS BIGINT) AS img_b,
+       |    CAST(hamming AS BIGINT) AS hamming
+       |  FROM (VALUES $imgRows) t(img_a, img_b, hamming)),
+       |caps AS (
+       |  SELECT CAST(t.img_id AS BIGINT) AS img_id,
+       |    array_to_string(d.toks[1 : greatest(1,
+       |      (len(d.toks) * t.frac + 99) // 100)], ' ') AS text
+       |  FROM (VALUES $capRows) t(img_id, cap_doc, frac)
+       |  JOIN (SELECT doc_id, $tokensSql AS toks FROM documents) d
+       |    ON d.doc_id = t.cap_doc),
+       |shs AS (
+       |  SELECT img_id, ${Dedup.shinglesSql} AS sh FROM caps),
+       |posts AS (
+       |  SELECT img_id, CAST(len(sh) AS BIGINT) AS sz, unnest(sh) AS g
+       |  FROM shs),
+       |cap_pairs AS (
+       |  SELECT a.img_id AS img_a, b.img_id AS img_b,
+       |    CAST(count(*) * 1000000 // (a.sz + b.sz - count(*))
+       |      AS BIGINT) AS jacc_e6
+       |  FROM posts a JOIN posts b
+       |    ON a.g = b.g AND a.img_id < b.img_id
+       |  GROUP BY a.img_id, a.sz, b.img_id, b.sz
+       |  HAVING count(*) * 2 >= a.sz + b.sz - count(*))
+       |SELECT coalesce(i.img_a, c.img_a) AS img_a,
+       |  coalesce(i.img_b, c.img_b) AS img_b,
+       |  CAST(CASE WHEN i.img_a IS NOT NULL THEN 1 ELSE 0 END
+       |    AS BIGINT) AS img_dup,
+       |  CAST(CASE WHEN c.img_a IS NOT NULL THEN 1 ELSE 0 END
+       |    AS BIGINT) AS cap_dup,
+       |  coalesce(i.hamming, -1) AS hamming,
+       |  coalesce(c.jacc_e6, -1) AS jacc_e6,
+       |  CASE WHEN i.img_a IS NOT NULL AND c.img_a IS NOT NULL
+       |    THEN 'drop_duplicate_pair'
+       |    WHEN i.img_a IS NOT NULL THEN 'review_recaptioned'
+       |    ELSE 'review_reillustrated' END AS action
+       |FROM img_pairs i FULL OUTER JOIN cap_pairs c
+       |  ON i.img_a = c.img_a AND i.img_b = c.img_b
        |ORDER BY img_a, img_b""".stripMargin
   }
 }
