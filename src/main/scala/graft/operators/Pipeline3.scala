@@ -607,12 +607,20 @@ object Pipeline3 {
         col("n_tokens").between(10, 5000) && col("ttr_pct") >= 30)
       .select(col("doc_id"), col("lang"), col("toks"), col("n_tokens"))
       .localCheckpoint(false) // funnel barrier: documents scanned once
+    // second (sequential) barrier: grams feeds BOTH the df aggregate
+    // and the occurrence semi-join — without it the tokenShingleMd5
+    // kernel + explode run twice from the survivor blocks (measured
+    // 41.2 → 20.3 s at ×100, ProfileQ84). Unlike q153's parallel
+    // corpus checkpoints (which evicted each other's blocks), this one
+    // derives FROM the survivor barrier after it materializes, so the
+    // two never compete for the same read.
     val grams = survivors.select(col("doc_id"),
         col("n_tokens").as("n"),
         graft.functions.TextFunctions.tokenShingleMd5(col("toks"), k)
           .as("sh"))
       .select(col("doc_id"), col("n"),
         posexplode(col("sh")).as(Seq("pos", "sh")))
+      .localCheckpoint(false)
     val dupSh = grams.groupBy(col("sh"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= 2)
