@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Behavior, Bpe, Budget, Clustering, CorpusStats, Dedup, EntityRes, EventStats, Ivfpq, Keywords, Layout, Lm, Multimodal, OrderStats, Overlap, Pipeline, Pipeline2, Pipeline3, Pq, Privacy, Quality, Redact, Relational, Relational2, Retrieval, SetSim, Similarity, Sketch, Splits, Stats, TextAnalysis, Threshold}
+import graft.operators.{Behavior, Bpe, Budget, Clustering, CorpusStats, Dedup, EntityRes, EventStats, Ivfpq, Keywords, Layout, Lm, Multimodal, OrderStats, Overlap, Pipeline, Pipeline2, Pipeline3, Pq, Preference, Privacy, Quality, Redact, Relational, Relational2, Retrieval, SetSim, Similarity, Sketch, Splits, Stats, TextAnalysis, Threshold}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -169,6 +169,9 @@ object SparkEntry {
     "q154_minhash_scurve" -> Dedup.q154MinhashScurve,
     "q155_crossmodal_dedup" -> Multimodal.q155CrossmodalDedup,
     "q156_dp_release" -> Privacy.q156DpRelease,
+    "q157_ngram_coverage" -> CorpusStats.q157NgramCoverage,
+    "q158_bt_rating" -> Preference.q158BtRating,
+    "q159_dedup_threshold_curve" -> Dedup.q159DedupThresholdCurve,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -543,6 +546,9 @@ object SparkEntry {
     "q154_minhash_scurve" -> Dedup.q154MinhashScurveOracle,
     "q155_crossmodal_dedup" -> Multimodal.q155CrossmodalDedupOracle,
     "q156_dp_release" -> Privacy.q156DpReleaseOracle,
+    "q157_ngram_coverage" -> CorpusStats.q157NgramCoverageOracle,
+    "q158_bt_rating" -> Preference.q158BtRatingOracle,
+    "q159_dedup_threshold_curve" -> Dedup.q159DedupThresholdCurveOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,

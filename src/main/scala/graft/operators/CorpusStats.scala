@@ -265,4 +265,74 @@ object CorpusStats {
        |FROM cut c LEFT JOIN sc ON sc.f = c.cut_f, tot t
        |ORDER BY v_budget""".stripMargin
   }
+
+  /** q157: held-out n-gram (3-word) coverage — the context-coverage
+    * audit an n-gram LM or decontamination pipeline runs before
+    * trusting a train/eval split: the TRAIN split's distinct trigram
+    * inventory (doc_id % 10 != 0) is evaluated on the HELD-OUT split
+    * (doc_id % 10 == 0), per language: trigram occurrences, unseen
+    * occurrences and types, unseen_rate_e6. The unigram vocabulary
+    * of this corpus is closed (every held-out WORD appears in train
+    * at every scale — measured before building, the q154 vacuity
+    * lesson), so the value-bearing level is the trigram space, which
+    * is sparse at every scale (the q107/q129 shingle-space regime);
+    * this is also exactly the backoff rate q98's Kneser–Ney
+    * smoothing exists to absorb.
+    *
+    * 100 TB posture: one trigram-keyed distinct exchange builds the
+    * train inventory; the held-out side (1/10 of occurrences) joins
+    * it on the trigram key and folds to #languages rows in one
+    * map-side-combined aggregate. No all-pairs, no windows. */
+  def q157NgramCoverage(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis.tokens
+    val t = tokens(col("text"))
+    val tri = when(size(t) >= 3,
+      transform(sequence(lit(1), size(t) - 2), i =>
+        concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+          element_at(t, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val grams = Tables.spread(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"), explode(tri).as("g"))
+    val seen = grams.filter(col("doc_id") % 10 =!= 0)
+      .select(col("g")).distinct()
+      .withColumn("in_train", lit(1L))
+    grams.filter(col("doc_id") % 10 === 0)
+      .join(seen, Seq("g"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("in_train").isNull, 1L).otherwise(0L))
+          .as("n_unseen"),
+        countDistinct(when(col("in_train").isNull, col("g")))
+          .as("n_unseen_types"))
+      .withColumn("unseen_rate_e6",
+        expr("n_unseen * 1000000 div n_ngrams"))
+      .select(col("lang"), col("n_ngrams"), col("n_unseen"),
+        col("n_unseen_types"), col("unseen_rate_e6"))
+      .orderBy(col("lang"))
+  }
+
+  val q157NgramCoverageOracle: String = {
+    val tri = s"""list_transform(range(1, len(t) - 1),
+       | i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"""
+      .stripMargin.replace("\n", "")
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, $tokensSql AS t FROM documents),
+       |grams AS (
+       |  SELECT doc_id, lang, unnest($tri) AS g FROM toks
+       |  WHERE len(t) >= 3),
+       |seen AS (
+       |  SELECT DISTINCT g FROM grams WHERE doc_id % 10 <> 0),
+       |held AS (
+       |  SELECT gr.lang, gr.g, seen.g IS NOT NULL AS in_train
+       |  FROM grams gr LEFT JOIN seen ON seen.g = gr.g
+       |  WHERE gr.doc_id % 10 = 0)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_ngrams,
+       |  CAST(sum(CASE WHEN in_train THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS n_unseen,
+       |  CAST(count(DISTINCT CASE WHEN in_train THEN NULL ELSE g END)
+       |    AS BIGINT) AS n_unseen_types,
+       |  CAST(sum(CASE WHEN in_train THEN 0 ELSE 1 END) * 1000000
+       |    // count(*) AS BIGINT) AS unseen_rate_e6
+       |FROM held GROUP BY lang ORDER BY lang""".stripMargin
+  }
 }

@@ -458,6 +458,44 @@ object Dedup {
        |  ${sCurveCaseSql("jacc_decile")} AS expected_ppm
        |FROM binned ORDER BY jacc_decile""".stripMargin
 
+  /** q159: dedup threshold cost curve — what a curation run tunes
+    * before committing to a near-dup threshold: for each candidate
+    * threshold (Jaccard % 50..100), the verified pair count at or
+    * above it and the distinct higher-id docs those pairs would
+    * remove (the min-id-survivor convention of [[dedupExact]]).
+    * One extra fold over the SAME verified pair stream
+    * dedup_minhash_lsh already materializes — the curve costs a
+    * 6-way explode of the (tiny) candidate-pair relation, no new
+    * corpus work. Thresholds with zero qualifying pairs emit no row
+    * (both engines agree). */
+  def q159DedupThresholdCurve(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(s, dir)
+      .select(col("doc_b"), col("jaccard_pct"))
+    pairs
+      .select(col("doc_b"), col("jaccard_pct"),
+        explode(array((5 to 10).map(t => lit(t * 10L)): _*))
+          .as("threshold_pct"))
+      .filter(col("jaccard_pct") >= col("threshold_pct"))
+      .groupBy(col("threshold_pct"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_b")).as("n_dup_docs"))
+      .select(col("threshold_pct"), col("n_pairs"), col("n_dup_docs"))
+      .orderBy(col("threshold_pct"))
+  }
+
+  val q159DedupThresholdCurveOracle: String =
+    s"""WITH $minhashPairsSqlCtes,
+       |pairs AS (
+       |  SELECT doc_b, CAST(n_inter * 100 // n_union AS BIGINT)
+       |    AS jaccard_pct
+       |  FROM verified WHERE n_inter * 2 >= n_union),
+       |th AS (SELECT unnest([50,60,70,80,90,100]) AS threshold_pct)
+       |SELECT CAST(threshold_pct AS BIGINT) AS threshold_pct,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(count(DISTINCT doc_b) AS BIGINT) AS n_dup_docs
+       |FROM th JOIN pairs ON jaccard_pct >= threshold_pct
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val JaccardSketch = 4 // minhash window components used as a pair prefilter
 
   /** dedup_ngram_jaccard: character-5-gram Jaccard near-dup pairs.
