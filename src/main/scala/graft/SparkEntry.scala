@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Behavior, Bpe, Budget, Clustering, CorpusStats, Dedup, EntityRes, EventStats, Ivfpq, Keywords, Layout, Lm, Multimodal, OrderStats, Overlap, Pipeline, Pipeline2, Pipeline3, Pq, Preference, Privacy, Quality, Redact, Relational, Relational2, Retrieval, SetSim, Similarity, Sketch, Splits, Stats, TextAnalysis, Threshold}
+import graft.operators.{Allocation, Behavior, Bpe, Budget, Clustering, CorpusStats, Dedup, EntityRes, EventStats, Ivfpq, Keywords, Layout, LinkAnalysis, Lm, Multimodal, NearKey, OrderStats, Overlap, Pipeline, Pipeline2, Pipeline3, Pq, Preference, Privacy, Quality, Redact, Relational, Relational2, Retrieval, SetSim, Similarity, Sketch, Splits, Stats, Survival, TextAnalysis, Threshold}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -172,6 +172,11 @@ object SparkEntry {
     "q157_ngram_coverage" -> CorpusStats.q157NgramCoverage,
     "q158_bt_rating" -> Preference.q158BtRating,
     "q159_dedup_threshold_curve" -> Dedup.q159DedupThresholdCurve,
+    "q160_nearkey_pairs" -> NearKey.q160NearkeyPairs,
+    "q161_repurchase_survival" -> Survival.q161RepurchaseSurvival,
+    "q162_hits_bipartite" -> LinkAnalysis.q162HitsBipartite,
+    "q163_strata_alloc" -> Allocation.q163StrataAlloc,
+    "q164_textrank" -> Keywords.q164Textrank,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -549,6 +554,11 @@ object SparkEntry {
     "q157_ngram_coverage" -> CorpusStats.q157NgramCoverageOracle,
     "q158_bt_rating" -> Preference.q158BtRatingOracle,
     "q159_dedup_threshold_curve" -> Dedup.q159DedupThresholdCurveOracle,
+    "q160_nearkey_pairs" -> NearKey.q160NearkeyPairsOracle,
+    "q161_repurchase_survival" -> Survival.q161RepurchaseSurvivalOracle,
+    "q162_hits_bipartite" -> LinkAnalysis.q162HitsBipartiteOracle,
+    "q163_strata_alloc" -> Allocation.q163StrataAllocOracle,
+    "q164_textrank" -> Keywords.q164TextrankOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,

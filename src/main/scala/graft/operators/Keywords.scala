@@ -204,4 +204,107 @@ object Keywords {
        |JOIN uc b ON b.w = split_part(pair, ' ', 2)
        |CROSS JOIN tot
        |ORDER BY lift_e6 DESC, w1, w2 LIMIT $CollocTopK""".stripMargin
+
+  /** Pinned TextRank power-iteration rounds (oracle unrolls them). */
+  val TrRounds = 3
+  /** Rank scale (uniform init = one unit). */
+  val TrScale = 1000000L
+
+  /** q164: TextRank word ranking (Mihalcea & Tarau 2004) — weighted
+    * PageRank over the word co-occurrence graph (adjacent-token
+    * pairs, self-loops dropped, symmetrized with corpus bigram counts
+    * as weights): the graph-centrality complement to RAKE's
+    * degree/frequency scores and q136's pairwise lift (a word ranks
+    * high when it co-occurs with other high-ranking words, not merely
+    * often).
+    *
+    * Engine-exact iteration, the q65/q158 discipline: ranks are
+    * ×10⁶ integers seeded uniform; each of the [[TrRounds]] pinned
+    * rounds applies
+    *   r'(v) = 150000 + 850·(Σ_{u∼v} w_uv·r(u) div S_u) div 1000
+    * (d = 0.85; S_u = Σ_w w_uw the node strength) with PER-EDGE
+    * truncating division — declared part of the spec and unrolled
+    * identically in the oracle, so both engines compute the same
+    * not-yet-converged iterate bit-for-bit. Every node of the
+    * symmetric graph has an in-edge, so each round re-ranks the full
+    * vocabulary.
+    *
+    * 100 TB posture: ONE corpus-scale exchange (the bigram count,
+    * map-side combined) collapses to the vocabulary-scale edge list;
+    * the rounds join edge/strength/rank tables that are all
+    * vocab-bounded, each behind a per-round barrier (the q158
+    * plan-geometry lesson). Output: (token, rank_e6, strength),
+    * rank-descending. */
+  def q164Textrank(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.load(s, dir, "documents"))
+    val bi = docs
+      .select(explode(graft.functions.TextStatFunctions
+        .tokenNgrams(col("text"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("w"))
+      .select(split(col("bigram"), " ").getItem(0).as("u"),
+        split(col("bigram"), " ").getItem(1).as("v"), col("w"))
+      .filter(col("u") =!= col("v"))
+    val edges = bi.unionByName(bi.select(col("v").as("u"),
+        col("u").as("v"), col("w")))
+      .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+      .localCheckpoint(false) // every round + the strength read it
+    val strength = edges.groupBy(col("u")).agg(sum(col("w")).as("su"))
+      .localCheckpoint(false) // every round + the report read it
+    var r = strength.select(col("u").as("tok"), lit(TrScale).as("r"))
+    for (_ <- 1 to TrRounds) {
+      r = edges
+        .join(r, col("u") === col("tok"))
+        .join(strength, Seq("u"))
+        .select(col("v"),
+          expr("CAST(w AS DECIMAL(38,0)) * r div su").as("c"))
+        .groupBy(col("v"))
+        .agg(sum(col("c")).as("sc"))
+        .select(col("v").as("tok"),
+          expr("CAST(150000 + 850 * sc div 1000 AS BIGINT)").as("r"))
+        .localCheckpoint(false)
+    }
+    r.join(strength, col("tok") === col("u"))
+      .select(col("tok").as("token"), col("r").as("rank_e6"),
+        col("su").as("strength"))
+      .orderBy(col("rank_e6").desc, col("token"))
+  }
+
+  val q164TextrankOracle: String = {
+    def round(n: Int, prev: String): String =
+      s"""c$n AS MATERIALIZED (
+         |  SELECT e.v,
+         |    sum(CAST(e.w AS HUGEINT) * r.r // st.su) AS sc
+         |  FROM e JOIN $prev r ON r.tok = e.u
+         |    JOIN st ON st.u = e.u
+         |  GROUP BY e.v),
+         |r$n AS MATERIALIZED (
+         |  SELECT v AS tok,
+         |    CAST(150000 + 850 * sc // 1000 AS BIGINT) AS r
+         |  FROM c$n)""".stripMargin
+    val rounds = (1 to TrRounds)
+      .map(n => round(n, s"r${n - 1}")).mkString(",\n")
+    s"""WITH toks AS (SELECT $tokensSql AS t FROM documents),
+       |bi0 AS (
+       |  SELECT u, v, CAST(count(*) AS BIGINT) AS w FROM (
+       |    SELECT string_split(bigram, ' ')[1] AS u,
+       |      string_split(bigram, ' ')[2] AS v
+       |    FROM (SELECT unnest(list_transform(
+       |        range(1, greatest(len(t) - 1, 0) + 1),
+       |        i -> t[i] || ' ' || t[i + 1])) AS bigram FROM toks))
+       |  WHERE u <> v GROUP BY 1, 2),
+       |e AS MATERIALIZED (
+       |  SELECT u, v, CAST(sum(w) AS BIGINT) AS w FROM (
+       |    SELECT u, v, w FROM bi0
+       |    UNION ALL SELECT v, u, w FROM bi0)
+       |  GROUP BY 1, 2),
+       |st AS MATERIALIZED (
+       |  SELECT u, CAST(sum(w) AS BIGINT) AS su FROM e GROUP BY 1),
+       |r0 AS MATERIALIZED (
+       |  SELECT u AS tok, CAST($TrScale AS BIGINT) AS r FROM st),
+       |$rounds
+       |SELECT r$TrRounds.tok AS token, r$TrRounds.r AS rank_e6,
+       |  st.su AS strength
+       |FROM r$TrRounds JOIN st ON st.u = r$TrRounds.tok
+       |ORDER BY rank_e6 DESC, token""".stripMargin
+  }
 }

@@ -53,10 +53,17 @@ object EventsStream {
   private def toNanos(df: DataFrame): DataFrame =
     if (df.schema("ts").dataType == LongType) df else normalize(df)
 
-  /** The events file stream with ts in epoch nanos. */
-  def readStream(spark: SparkSession, dir: String): DataFrame =
-    toNanos(spark.readStream
-      .schema(eventsSchema(tsPhysicalType(spark, dir))).parquet(dir))
+  /** The events file stream with ts in epoch nanos.
+    * `maxFilesPerTrigger` is a READER option, threaded here so specs
+    * can force cross-micro-batch state merging. */
+  def readStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r0 = spark.readStream
+      .schema(eventsSchema(tsPhysicalType(spark, dir)))
+    val reader = maxFilesPerTrigger.fold(r0)(n =>
+      r0.option("maxFilesPerTrigger", n.toString))
+    toNanos(reader.parquet(dir))
+  }
 
   /** Batch twin of [[readStream]] (spec cross-checks read through
     * this so stream and batch agree on the ts unit). */

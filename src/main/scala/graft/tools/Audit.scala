@@ -125,6 +125,11 @@ object PlanAudit {
       "q108_split_leakage",
       // q153's report row crossJoins the 1-row found-count aggregate
       "q153_dedup_recall",
+      // q163's remainder ranking is a broadcast non-equi self-join on
+      // the category-cardinality (lang × source) strata table — the
+      // constant-side shape; the corpus collapsed in the stratum
+      // aggregate long before it.
+      "q163_strata_alloc",
       // q152's report row crossJoins three 1-row aggregates —
       // node count × edge count × the Pearson sufficient statistics
       "q152_assortativity",

@@ -44,4 +44,26 @@ class KeywordsSpec extends AnyFunSuite {
       .map(_.getString(0))
     assert(rows === Seq("alpha beta"))
   }
+
+  test("q164: star-graph TextRank unrolls on paper — the hub " +
+      "out-ranks its leaves, digits exact") {
+    // docs "a b" / "a c" / "a d": edges a–b, a–c, a–d (w = 1),
+    // strengths a = 3, leaves = 1. Three rounds of
+    // r' = 150000 + 850·(Σ w·r div S) div 1000 from r0 = 10⁶:
+    //   hub  10⁶ → 2700000 → 1254999 → 2483250
+    //   leaf 10⁶ →  433333 →  915000 →  505583
+    val dir = docsDir(Seq((1L, "a b"), (2L, "a c"), (3L, "a d")))
+    val rows = Keywords.q164Textrank(s, dir).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows === Seq(("a", 2483250L, 3L), ("b", 505583L, 1L),
+      ("c", 505583L, 1L), ("d", 505583L, 1L)), s"got $rows")
+  }
+
+  test("q164: self-loops are dropped — a doc of one repeated token " +
+      "contributes no edge") {
+    val dir = docsDir(Seq((1L, "x x x"), (2L, "p q")))
+    val rows = Keywords.q164Textrank(s, dir).collect().toSeq
+      .map(_.getString(0))
+    assert(rows.toSet === Set("p", "q")) // x never enters the graph
+  }
 }
