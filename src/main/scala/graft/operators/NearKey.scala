@@ -7,30 +7,44 @@ import graft.Tables
 
 /** One-edit near-key detection — the FastSS/SymSpell deletion-
   * neighborhood scheme (Bocek, Hunt, Stiller & Hasse 2007, "Fast
-  * Similarity Search in Large Dictionaries"): two strings are within
-  * edit distance 1 ONLY IF they share a member of their deletion
-  * neighborhoods {s} ∪ {s minus one char}, so blocking on those keys
-  * is a complete candidate generator for distance ≤ 1 — the exact-
-  * recall counterpart to q101's sorted-neighborhood blocking (which
-  * trades far-apart-in-sort-order recall for bounded fan-out).
+  * Similarity Search in Large Dictionaries"), run as a fat-finger
+  * audit over `customer.c_name` (digit typos in entered IDs, the
+  * classic ER hazard) — the exact-recall counterpart to q101's
+  * sorted-neighborhood blocking.
   *
-  * Run here as a fat-finger audit over `customer.c_name`: every pair
-  * of customer names one edit apart (digit typos in entered IDs, the
-  * classic ER hazard) is reported with both keys. Candidates sharing
-  * a deletion key include some distance-2 pairs (deletions at two
-  * DIFFERENT positions), so a `levenshtein ≤ 1` confirm runs on the
-  * candidate stream — both engines implement the same unit-cost DP,
-  * so the gate is engine-exact.
+  * Two scale lessons are baked into this shape, both measured on the
+  * first cut (which joined raw id rows position-blind — the textbook
+  * FastSS candidate set — and emitted one row per ID PAIR):
   *
-  * 100 TB posture: one corpus-scale key explode (≤ len+1 keys/row,
-  * capped at [[NearKey.MaxDelPos]]) behind ONE barrier feeds both
-  * sides of an equi-join on the deletion key; a key of length m can
-  * only match the key itself plus its one-char insertions, so bucket
-  * fan-out is bounded by (m+1)·|alphabet| + 1 — alphabet-bounded,
-  * never corpus-bounded, no all-pairs stage anywhere. The confirmed
-  * pair stream then takes the query's only pair-keyed exchange (the
-  * dedup). Output grows linearly in the corpus (each record has an
-  * alphabet-bounded neighbor count).
+  *  1. REPORT AT THE NAME GRAIN. A duplicated-name corpus makes the
+  *     id-pair stream quadratic in the duplication factor (the ×10
+  *     corpus replicates every name 10×: 262k → 26M output rows,
+  *     ×100 → 2.6G — 54 s at sf1 was almost entirely output). The
+  *     audit answer is per distinct NAME pair with group sizes and
+  *     the implied id-pair count; ONE corpus exchange (the name
+  *     groupBy, map-side combined) collapses everything after to
+  *     name-vocabulary scale.
+  *
+  *  2. POSITION-AWARE CANDIDATES. For edit distance ≤ 1 the shared
+  *     deletion variant is never arbitrary:
+  *       substitution at i  ⟺ del_i(A) = del_i(B)  (same position),
+  *       deletion/insertion ⟺ B = del_i(A)         (identity key
+  *                                                  meets deletion),
+  *     so the substitution arm equi-joins on (key, position) and the
+  *     deletion arm on (identity key × deletion key) — provably
+  *     complete for distance 1 and output-proportional, where the
+  *     position-blind join admits every "delete at DIFFERENT
+  *     positions" shift coincidence (all distance-2 junk). The
+  *     ORACLE deliberately keeps the position-blind formulation +
+  *     levenshtein filter: the gate cross-checks two independent
+  *     exact algorithms (the q134 discipline).
+  *
+  * Keys ride the shuffle as fixed-width xxhash64 values, never
+  * strings; hash collisions only ever ADD candidates and the
+  * `levenshtein ≤ 1` confirm removes them (load-bearing for
+  * collisions, belt-and-braces for the candidate math). Bucket
+  * fan-out is alphabet-bounded. Distance-0 groups (several ids
+  * sharing one name) are reported too — they need no join at all.
   */
 object NearKey {
 
@@ -40,43 +54,84 @@ object NearKey {
     * never fan-out. TPC-H-style names are length 18, far inside. */
   val MaxDelPos = 64
 
-  /** q160: all customer-name pairs within edit distance 1, with both
-    * custkeys. Columns: (cust_a, name_a, cust_b, name_b), cust_a <
-    * cust_b, ordered by the key pair. */
+  /** q160: every distinct customer-name pair within edit distance 1,
+    * with group sizes and the implied id-pair count; plus one row per
+    * duplicated name (distance 0, name_a = name_b). Columns:
+    * (name_a, name_b, n_a, n_b, id_pairs), name_a ≤ name_b, ordered.
+    */
   def q160NearkeyPairs(s: SparkSession, dir: String): DataFrame = {
-    val keys = Tables.load(s, dir, "customer")
-      .select(col("c_custkey"), col("c_name"),
+    val names = Tables.load(s, dir, "customer")
+      .groupBy(col("c_name")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(false) // keys + the dup arm read it
+    val keys = names
+      .select(col("c_name"), col("n"),
         explode(expr(s"sequence(0, least(length(c_name), $MaxDelPos))"))
           .as("p"))
-      .select(col("c_custkey"), col("c_name"),
-        expr("""IF(p = 0, c_name,
-            concat(substring(c_name, 1, p - 1),
-              substring(c_name, p + 1, length(c_name))))""").as("k"))
-      .localCheckpoint(false) // both self-join sides read it
-    keys.select(col("c_custkey").as("cust_a"),
-        col("c_name").as("name_a"), col("k"))
-      .join(keys.select(col("c_custkey").as("cust_b"),
-        col("c_name").as("name_b"), col("k")), Seq("k"))
-      .filter(col("cust_a") < col("cust_b") &&
-        levenshtein(col("name_a"), col("name_b")) <= 1)
-      // repeated chars make one name emit the same deletion key twice
-      // ("…11" minus either '1') — dedup is the query's one pair
-      // exchange
-      .select(col("cust_a"), col("name_a"), col("cust_b"), col("name_b"))
+      .select(col("c_name"), col("n"), col("p"),
+        xxhash64(expr("""IF(p = 0, c_name,
+          concat(substring(c_name, 1, p - 1),
+            substring(c_name, p + 1, length(c_name))))""")).as("kh"))
+    def side(df: DataFrame, sfx: String): DataFrame =
+      df.select(col("c_name").as(s"name_$sfx"), col("n").as(s"n_$sfx"),
+        col("kh"), col("p").as(s"p_$sfx"))
+    val delk = keys.filter(col("p") >= 1)
+    val idk = keys.filter(col("p") === 0)
+    // substitution arm: same deletion position on both sides
+    val subsPairs = side(delk, "a")
+      .join(side(delk, "b").withColumnRenamed("kh", "kh_b"),
+        col("kh") === col("kh_b") && col("p_a") === col("p_b") &&
+          col("name_a") < col("name_b"))
+    // deletion/insertion arm: an identity key meets a deletion key of
+    // another name (canonicalized — both orientations arrive here)
+    val delPairs = side(idk, "a")
+      .join(side(delk, "b").withColumnRenamed("kh", "kh_b"),
+        col("kh") === col("kh_b") && col("name_a") =!= col("name_b"))
+      .select(when(col("name_a") < col("name_b"),
+          struct(col("name_a").as("na"), col("n_a").as("ca"),
+            col("name_b").as("nb"), col("n_b").as("cb")))
+        .otherwise(
+          struct(col("name_b").as("na"), col("n_b").as("ca"),
+            col("name_a").as("nb"), col("n_a").as("cb"))).as("pr"))
+      .select(col("pr.na").as("name_a"), col("pr.ca").as("n_a"),
+        col("pr.nb").as("name_b"), col("pr.cb").as("n_b"))
+    val onePairs = subsPairs
+      .select(col("name_a"), col("n_a"), col("name_b"), col("n_b"))
+      .unionByName(delPairs)
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+      // repeated chars emit the same deletion key at two positions
+      // ("…0012" minus either '0') — dedup is the query's one
+      // pair-keyed exchange, over the name vocabulary only
       .distinct()
-      .orderBy(col("cust_a"), col("cust_b"))
+      .withColumn("id_pairs", col("n_a") * col("n_b"))
+    val dupGroups = names.filter(col("n") >= 2)
+      .select(col("c_name").as("name_a"), col("n").as("n_a"),
+        col("c_name").as("name_b"), col("n").as("n_b"),
+        expr("n * (n - 1) div 2").as("id_pairs"))
+    onePairs.unionByName(dupGroups)
+      .select(col("name_a"), col("name_b"), col("n_a"), col("n_b"),
+        col("id_pairs"))
+      .orderBy(col("name_a"), col("name_b"))
   }
 
   val q160NearkeyPairsOracle: String =
-    s"""WITH keys AS MATERIALIZED (
-       |  SELECT c_custkey, c_name, unnest(list_prepend(c_name,
+    s"""WITH nm AS MATERIALIZED (
+       |  SELECT c_name, CAST(count(*) AS BIGINT) AS n
+       |  FROM customer GROUP BY 1),
+       |keys AS MATERIALIZED (
+       |  SELECT c_name, n, unnest(list_prepend(c_name,
        |    [substr(c_name, 1, i - 1) || substr(c_name, i + 1)
        |     FOR i IN generate_series(1, least(len(c_name), $MaxDelPos))]))
        |    AS k
-       |  FROM customer)
-       |SELECT DISTINCT a.c_custkey AS cust_a, a.c_name AS name_a,
-       |  b.c_custkey AS cust_b, b.c_name AS name_b
-       |FROM keys a JOIN keys b ON a.k = b.k AND a.c_custkey < b.c_custkey
-       |WHERE levenshtein(a.c_name, b.c_name) <= 1
-       |ORDER BY cust_a, cust_b""".stripMargin
+       |  FROM nm),
+       |p1 AS (
+       |  SELECT DISTINCT a.c_name AS name_a, b.c_name AS name_b,
+       |    a.n AS n_a, b.n AS n_b
+       |  FROM keys a JOIN keys b ON a.k = b.k AND a.c_name < b.c_name
+       |  WHERE levenshtein(a.c_name, b.c_name) <= 1)
+       |SELECT name_a, name_b, n_a, n_b,
+       |  CAST(n_a * n_b AS BIGINT) AS id_pairs FROM p1
+       |UNION ALL
+       |SELECT c_name, c_name, n, n, n * (n - 1) // 2
+       |FROM nm WHERE n >= 2
+       |ORDER BY name_a, name_b""".stripMargin
 }
