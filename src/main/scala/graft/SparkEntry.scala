@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Allocation, Behavior, Bpe, Budget, Clustering, CorpusStats, Dedup, EntityRes, EventStats, Ivfpq, Keywords, Layout, LinkAnalysis, Lm, Multimodal, NearKey, OrderStats, Overlap, Pipeline, Pipeline2, Pipeline3, Pq, Preference, Privacy, Quality, Redact, Relational, Relational2, Retrieval, SetSim, Similarity, Sketch, Splits, Stats, Survival, TextAnalysis, Threshold}
+import graft.operators.{Allocation, Behavior, Bpe, Budget, Clustering, CorpusStats, Dedup, EmbStats, EntityRes, EventStats, Ivfpq, Keywords, Layout, LinkAnalysis, Lm, Multimodal, NearKey, OrderStats, Overlap, Pipeline, Pipeline2, Pipeline3, Pq, Preference, Privacy, Quality, Redact, Relational, Relational2, Retrieval, SetSim, Similarity, Sketch, SkewProfile, Splits, Stats, Survival, TextAnalysis, Threshold}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -177,6 +177,8 @@ object SparkEntry {
     "q162_hits_bipartite" -> LinkAnalysis.q162HitsBipartite,
     "q163_strata_alloc" -> Allocation.q163StrataAlloc,
     "q164_textrank" -> Keywords.q164Textrank,
+    "q165_skew_profile" -> SkewProfile.q165SkewProfile,
+    "q166_embedding_isotropy" -> EmbStats.q166EmbeddingIsotropy,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -559,6 +561,8 @@ object SparkEntry {
     "q162_hits_bipartite" -> LinkAnalysis.q162HitsBipartiteOracle,
     "q163_strata_alloc" -> Allocation.q163StrataAllocOracle,
     "q164_textrank" -> Keywords.q164TextrankOracle,
+    "q165_skew_profile" -> SkewProfile.q165SkewProfileOracle,
+    "q166_embedding_isotropy" -> EmbStats.q166EmbeddingIsotropyOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,

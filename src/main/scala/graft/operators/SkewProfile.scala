@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Join/aggregation-key skew profiling — the diagnostic a cluster
+  * deployment runs BEFORE picking the q44/q49 salt factors that this
+  * repo otherwise pins as constants (SCALING.md cap #3: "factors are
+  * constants a deployment would derive from key histograms" — this
+  * operator derives them). For each audited key column: row count,
+  * exact NDV, the hottest key's count and ppm share, and the
+  * recommended salt factor — the smallest power of two s ≥
+  * ⌈top1·P/n⌉ (capped 64), i.e. enough splits that the hottest key's
+  * share of ONE of [[SkewPartitions]] shuffle partitions stays at or
+  * under the average partition's load (Beyond-the-average rule the
+  * AQE skew-join threshold applies at runtime; deriving it offline
+  * lets a static plan pre-salt).
+  *
+  * 100 TB posture: per audited column, ONE keyed exchange with
+  * map-side combine collapses the corpus to per-key counts, then a
+  * 1-row scalar aggregate — the same shape q113's profiler pays per
+  * column; the audit list is a constant, so the whole query is
+  * O(columns) corpus passes with nothing driver-side. */
+object SkewProfile {
+
+  /** Cluster shuffle-partition count the salt recommendation targets
+    * (the stock `spark.sql.shuffle.partitions` default). */
+  val SkewPartitions = 200L
+  /** Salt factors considered (powers of two, the q44/q49 ladder). */
+  val MaxSalt = 64L
+
+  /** Audited (table, key) columns — the repo's join/agg keys. */
+  val AuditKeys: Seq[(String, String)] = Seq(
+    ("lineitem", "l_orderkey"), ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"), ("orders", "o_custkey"))
+
+  /** q165: the key-skew profile. Columns: (tab, key_col, n_rows,
+    * ndv, top1_cnt, top1_share_ppm, rec_salt), one row per audited
+    * key, ordered. */
+  def q165SkewProfile(s: SparkSession, dir: String): DataFrame =
+    AuditKeys.map { case (tab, key) =>
+      Tables.load(s, dir, tab)
+        .groupBy(col(key).as("k"))
+        .agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("n_rows"),
+          count(lit(1)).as("ndv"),
+          max(col("cnt")).as("top1_cnt"))
+        // the ⌈top1·P/n⌉ pressure term feeding the ladder, widened
+        // identically on both engines
+        .withColumn("x", expr(s"""(CAST(top1_cnt AS DECIMAL(38,0))
+          * $SkewPartitions + n_rows - 1) div n_rows"""))
+        .select(lit(tab).as("tab"), lit(key).as("key_col"),
+          col("n_rows"), col("ndv"), col("top1_cnt"),
+          expr("""CAST(CAST(top1_cnt AS DECIMAL(38,0)) * 1000000
+            div n_rows AS BIGINT)""").as("top1_share_ppm"),
+          expr(s"""CAST(CASE
+              WHEN x <= 1 THEN 1 WHEN x <= 2 THEN 2
+              WHEN x <= 4 THEN 4 WHEN x <= 8 THEN 8
+              WHEN x <= 16 THEN 16 WHEN x <= 32 THEN 32
+              ELSE $MaxSalt END AS BIGINT)""").as("rec_salt"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("tab"), col("key_col"))
+
+  val q165SkewProfileOracle: String = {
+    def arm(tab: String, key: String): String =
+      s"""SELECT '$tab' AS tab, '$key' AS key_col,
+         |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |  CAST(count(*) AS BIGINT) AS ndv,
+         |  CAST(max(cnt) AS BIGINT) AS top1_cnt
+         |FROM (SELECT CAST(count(*) AS BIGINT) AS cnt FROM $tab
+         |      GROUP BY $key)""".stripMargin
+    val arms = AuditKeys.map { case (t, k) => arm(t, k) }
+      .mkString("\nUNION ALL\n")
+    s"""WITH s AS ($arms),
+       |x AS (SELECT s.*,
+       |  (CAST(top1_cnt AS HUGEINT) * $SkewPartitions + n_rows - 1)
+       |    // n_rows AS x
+       |  FROM s)
+       |SELECT tab, key_col, n_rows, ndv, top1_cnt,
+       |  CAST(CAST(top1_cnt AS HUGEINT) * 1000000 // n_rows AS BIGINT)
+       |    AS top1_share_ppm,
+       |  CAST(CASE WHEN x <= 1 THEN 1 WHEN x <= 2 THEN 2
+       |    WHEN x <= 4 THEN 4 WHEN x <= 8 THEN 8 WHEN x <= 16 THEN 16
+       |    WHEN x <= 32 THEN 32 ELSE $MaxSalt END AS BIGINT) AS rec_salt
+       |FROM x ORDER BY tab, key_col""".stripMargin
+  }
+}
