@@ -179,6 +179,9 @@ object SparkEntry {
     "q164_textrank" -> Keywords.q164Textrank,
     "q165_skew_profile" -> SkewProfile.q165SkewProfile,
     "q166_embedding_isotropy" -> EmbStats.q166EmbeddingIsotropy,
+    "q167_copurchase_mixing" -> Quality.q167CopurchaseMixing,
+    "q168_acf" -> EventStats.q168Acf,
+    "q169_dim_truncation" -> Similarity.q169DimTruncation,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -201,6 +204,7 @@ object SparkEntry {
     "mm_decode" -> Multimodal.mmDecode,
     "mm_frames" -> Multimodal.mmFrames,
     "mm_phash_dedup" -> Multimodal.mmPhashDedup,
+    "mm_scene_cuts" -> Multimodal.mmSceneCuts,
   )
 
   /** Bench-only twins: timed and reported by [[graft.Bench]] alongside
@@ -563,6 +567,9 @@ object SparkEntry {
     "q164_textrank" -> Keywords.q164TextrankOracle,
     "q165_skew_profile" -> SkewProfile.q165SkewProfileOracle,
     "q166_embedding_isotropy" -> EmbStats.q166EmbeddingIsotropyOracle,
+    "q167_copurchase_mixing" -> Quality.q167CopurchaseMixingOracle,
+    "q168_acf" -> EventStats.q168AcfOracle,
+    "q169_dim_truncation" -> Similarity.q169DimTruncationOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,
@@ -584,5 +591,6 @@ object SparkEntry {
     "mm_decode" -> Multimodal.mmDecodeOracle,
     "mm_frames" -> Multimodal.mmFramesOracle,
     "mm_phash_dedup" -> Multimodal.mmPhashDedupOracle,
+    "mm_scene_cuts" -> Multimodal.mmSceneCutsOracle,
   )
 }

@@ -127,6 +127,80 @@ case class SignedProjections(child: Expression, signBits: Seq[Long])
     copy(child = newChild)
 }
 
+/** Native Catalyst expression for prefix-truncated dot products: ONE
+  * pass over two `array<bigint>` vectors emitting the partial dot at
+  * every cut boundary (`cuts` strictly increasing, e.g. 8/16/32/64) —
+  * the matryoshka-evaluation kernel: scoring a pair under four
+  * dimension budgets costs one loop, not four truncated re-dots.
+  *
+  * Same design constraints as [[SignedProjections]]: the cut list is
+  * a reference object, generated code is constant-size in the number
+  * of cuts, no allocation beyond the output array, and the whole
+  * thing stays inside whole-stage codegen (the `slice` + HOF
+  * composition runs interpreted AND allocates a sliced copy per
+  * budget per pair).
+  */
+case class PrefixDots(left: Expression, right: Expression, cuts: Seq[Int])
+    extends BinaryExpression {
+
+  require(cuts.nonEmpty && cuts == cuts.sorted && cuts.distinct == cuts,
+    s"cuts must be strictly increasing: $cuts")
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "prefix_dots"
+
+  private lazy val cutArr: Array[Int] = cuts.toArray
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(math.min(x.numElements(), y.numElements()),
+      cutArr(cutArr.length - 1))
+    val out = new Array[Long](cutArr.length)
+    var acc = 0L
+    var ci = 0
+    var i = 0
+    while (i < n) {
+      while (ci < cutArr.length && cutArr(ci) == i) { out(ci) = acc; ci += 1 }
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    while (ci < cutArr.length) { out(ci) = acc; ci += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val cs = ctx.addReferenceObj("cuts", cutArr, "int[]")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val ci = ctx.freshName("ci")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min(
+         |  java.lang.Math.min($a.numElements(), $b.numElements()),
+         |  $cs[$cs.length - 1]);
+         |long[] $out = new long[$cs.length];
+         |long $acc = 0L;
+         |int $ci = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  while ($ci < $cs.length && $cs[$ci] == $i) {
+         |    $out[$ci] = $acc; $ci++;
+         |  }
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |while ($ci < $cs.length) { $out[$ci] = $acc; $ci++; }
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column API for [[LongArrayDot]] (classic-API bridge: Spark 4's
     * `Column` wraps ColumnNodes, not Expressions). */
@@ -137,4 +211,8 @@ object VectorFunctions {
     * signed sums, one bitmask long per plane (bit i = sign of dim i). */
   def signedProjections(v: Column, signBits: Seq[Long]): Column =
     Bridge.column(SignedProjections(Bridge.expression(v), signBits))
+
+  /** Column API for [[PrefixDots]]: partial dots of a·b at each cut. */
+  def prefixDots(a: Column, b: Column, cuts: Seq[Int]): Column =
+    Bridge.column(PrefixDots(Bridge.expression(a), Bridge.expression(b), cuts))
 }

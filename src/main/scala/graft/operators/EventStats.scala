@@ -372,4 +372,93 @@ object EventStats {
        |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
        |    AS srm_flag
        |FROM cnt ORDER BY event_type""".stripMargin
+
+  /** Maximum lag for q168 — two weeks of daily lags covers the
+    * weekly cycle (lag 7) and its harmonic (lag 14). */
+  val AcfMaxLag = 14
+
+  /** q168: autocorrelation function of the daily event-count series —
+    * exact integer ACF at lags 1..[[AcfMaxLag]]: (lag, n_terms,
+    * acf_ppm). The dependence-structure companion to q147 (which
+    * finds the intra-day peak) and q149 (which dates a level shift):
+    * a lag-7 spike is the weekly cycle, slow geometric decay is
+    * trend/level persistence, all-near-zero is white arrivals — the
+    * Box–Jenkins identification read, as a corpus query.
+    *
+    * Exact without floats: with S = Σx and n days, the centered value
+    * scaled by n is c_t = n·x_t − S (an integer), and
+    * ACF(L) = Σ_t c_t·c_{t+L} / Σ_t c_t² — the n² factors cancel, so
+    * the ppm result is one sign-outside truncating division of two
+    * integer sums (products widen to DECIMAL(38,0)/HUGEINT: c_t is
+    * ~n·x, so c² passes 2⁶³ beyond ~10⁵ daily events on a ~10³-day
+    * span). The series is DENSIFIED over [min_day, max_day] (missing
+    * days are true zeros — lag alignment needs the calendar grid, not
+    * the observed-row order; q149's CUSUM is rank-based and does not).
+    *
+    * Plan shape: one map-side-combined day aggregate (the q149
+    * grain), a sequence-explode densify bounded by the day span, then
+    * ONE day-keyed self-equi-join on (day + lag = day₂) — the probe
+    * side is the day table replicated ×[[AcfMaxLag]], still
+    * day-grain. Nothing downstream exceeds |lags| rows. At 100 TB
+    * the corpus-scale work is exactly the daily aggregate; the ACF
+    * itself runs on thousands of rows regardless of corpus size. */
+  def q168Acf(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "events")
+      .select(expr("ts div 86400000000000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("x"))
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val series = bounds
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
+    val tot = series.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val c = series.crossJoin(broadcast(tot))
+      .select(col("day"),
+        expr("CAST(n AS DECIMAL(38,0)) * x - sx").as("c"))
+      .localCheckpoint(false) // the den aggregate + both join sides
+    val den = c.agg(sum(expr("c * c")).as("den"))
+    val probe = c.select(
+        explode(sequence(lit(1L), lit(AcfMaxLag.toLong))).as("lag"),
+        col("day"), col("c"))
+      .withColumn("k", col("day") + col("lag"))
+    probe.join(c.select(col("day").as("k"), col("c").as("c2")), "k")
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_terms"), sum(expr("c * c2")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_terms"),
+        expr("""CAST(CASE WHEN den IS NULL OR den = 0 THEN 0
+                ELSE (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                  * (abs(num) * 1000000 div den) END AS BIGINT)""")
+          .as("acf_ppm"))
+      .orderBy(col("lag"))
+  }
+
+  val q168AcfOracle: String =
+    s"""WITH daily AS (
+       |  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS day,
+       |    CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1),
+       |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+       |days AS (SELECT unnest(range(d0, d1 + 1)) AS day FROM b),
+       |s AS (
+       |  SELECT days.day, coalesce(x, 0) AS x
+       |  FROM days LEFT JOIN daily ON daily.day = days.day),
+       |t AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+       |        CAST(sum(x) AS HUGEINT) AS sx FROM s),
+       |c AS (SELECT day, n * x - sx AS c FROM s, t),
+       |den AS (SELECT sum(c * c) AS den FROM c),
+       |lags AS (SELECT CAST(unnest(range(1, ${AcfMaxLag + 1}))
+       |           AS BIGINT) AS lag),
+       |num AS (
+       |  SELECT lag, CAST(count(*) AS BIGINT) AS n_terms,
+       |    sum(a.c * b2.c) AS num
+       |  FROM lags CROSS JOIN c a
+       |  JOIN c b2 ON b2.day = a.day + lag
+       |  GROUP BY lag)
+       |SELECT lag, n_terms,
+       |  CAST(CASE WHEN den IS NULL OR den = 0 THEN 0
+       |    ELSE (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+       |      * (abs(num) * 1000000 // den) END AS BIGINT) AS acf_ppm
+       |FROM num CROSS JOIN den
+       |ORDER BY lag""".stripMargin
 }

@@ -6,6 +6,7 @@ import java.security.MessageDigest
 import javax.imageio.ImageIO
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -593,5 +594,167 @@ object Multimodal {
        |FROM img_pairs i FULL OUTER JOIN cap_pairs c
        |  ON i.img_a = c.img_a AND i.img_b = c.img_b
        |ORDER BY img_a, img_b""".stripMargin
+  }
+
+  // ---- mm_scene_cuts: temporal segmentation of a frame stream ------
+
+  /** Hamming threshold separating within-scene jitter from a scene
+    * change: consecutive frames of one scene differ by a small moving
+    * highlight (≤ a few hash bits); a scene change swaps the whole
+    * base pattern (tens of bits). */
+  val SceneCutHam = 16
+
+  /** The deterministic frame corpus: (video_id, scenes as (pattern
+    * seed, frame count)). Distinct seeds are unrelated patterns —
+    * video 1 has one cut, video 2 none, video 3 two. */
+  val SceneVids: Seq[(Long, Seq[(Long, Int)])] = Seq(
+    (1L, Seq((60L, 4), (61L, 3))),
+    (2L, Seq((70L, 5))),
+    (3L, Seq((80L, 2), (81L, 2), (82L, 3))))
+
+  /** Per-frame pixels: the scene's base pattern ([[pixelRgb]] per
+    * seed) with ONE brightened [[PhashGrid]]-block whose position
+    * walks with the global frame index — the intra-scene motion that
+    * makes consecutive same-scene hashes near-but-not-equal. */
+  private def scenePixel(seed: Long, f: Int, x: Int, y: Int): Int = {
+    val base = pixelRgb(seed, x, y)
+    val bs = PhashSide / PhashGrid
+    val bx = ((f * 3) % PhashGrid) * bs
+    val by = ((f * 5) % PhashGrid) * bs
+    if (x >= bx && x < bx + bs && y >= by && y < by + bs) {
+      val r = math.min(((base >> 16) & 0xff) + 96, 255)
+      val g = math.min(((base >> 8) & 0xff) + 96, 255)
+      val b = math.min((base & 0xff) + 96, 255)
+      (r << 16) | (g << 8) | b
+    } else base
+  }
+
+  /** (video_id, frame_idx, seed) of every frame, flattened. */
+  private lazy val sceneFrames: Seq[(Long, Int, Long)] =
+    SceneVids.flatMap { case (vid, scenes) =>
+      scenes.flatMap { case (seed, n) => Seq.fill(n)(seed) }
+        .zipWithIndex.map { case (seed, f) => (vid, f, seed) }
+    }
+
+  /** Closed-form frame hashes — [[scenePixel]] directly, no PNG (the
+    * independent arithmetic path the oracle compares the engine's
+    * real decode against). Build-time sanity: the corpus must
+    * exercise BOTH branches of the cut predicate. */
+  private[operators] lazy val sceneHashesClosedForm: Seq[(Long, Int, Long)] = {
+    val hs = sceneFrames.map { case (vid, f, seed) =>
+      (vid, f, aHash((x, y) => scenePixel(seed, f, x, y)))
+    }
+    val hams = hs.groupBy(_._1).values.flatMap { fr =>
+      fr.sortBy(_._2).sliding(2).collect {
+        case Seq((_, _, a), (_, _, b)) => java.lang.Long.bitCount(a ^ b)
+      }
+    }.toSeq
+    require(hams.exists(_ > SceneCutHam) && hams.exists(_ <= SceneCutHam),
+      s"scene corpus must plant both cuts and non-cuts; hams=$hams")
+    hs
+  }
+
+  private val sceneHashSchema: StructType = StructType(Seq(
+    StructField("video_id", LongType, nullable = false),
+    StructField("frame_idx", LongType, nullable = false),
+    StructField("phash", LongType, nullable = false)))
+
+  /** mm_scene_cuts: shot-boundary detection over a decoded frame
+    * stream — decode every frame PNG, hash its PIXELS ([[aHash]]),
+    * and date the scene changes: a frame opens a new scene when its
+    * perceptual hash is more than [[SceneCutHam]] bits from its
+    * predecessor (the Hamming-on-perceptual-hash shot detector —
+    * the classic pairwise-dissimilarity formulation of shot-boundary
+    * detection, e.g. Boreczky & Rowe 1996, with the frame comparison
+    * collapsed to a 64-bit fingerprint). One row per frame:
+    * (video_id, frame_idx, hamming, is_cut, scene_idx); frame 0
+    * reports hamming = −1 and opens scene 0.
+    *
+    * 100 TB posture: decode+hash is the batched `mapPartitions`
+    * kernel shared with [[mmPhashDedup]] — map-only over frame
+    * splits, only the 8-byte hash rides the shuffle; the temporal
+    * logic is ONE video-partitioned window (lag + running cut count),
+    * never a self-join, so per-video state is O(1) and videos
+    * parallelize freely. The oracle holds the closed-form hashes
+    * (DuckDB cannot decode PNGs — the mm_decode discipline) but runs
+    * the ENTIRE temporal pipeline (lag, xor popcount, cut flag,
+    * running scene index) independently in SQL. */
+  def mmSceneCuts(s: SparkSession, dir: String): DataFrame = {
+    val rows = sceneFrames.map { case (vid, f, seed) =>
+      (vid, f.toLong, scenePngBytes(seed, f))
+    }
+    import s.implicits._
+    val enc = Encoders.row(sceneHashSchema)
+    val hashes = s.createDataset(rows)
+      .toDF("video_id", "frame_idx", "payload")
+      .repartition(col("video_id"))
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.map { row =>
+            val img = ImageIO.read(
+              new ByteArrayInputStream(row.getAs[Array[Byte]](2)))
+            Row(row.getLong(0), row.getLong(1),
+              aHash((x, y) => img.getRGB(x, y) & 0xffffff))
+          }
+        }
+      }(enc)
+    val byVid = Window.partitionBy(col("video_id"))
+      .orderBy(col("frame_idx").asc)
+    hashes
+      .withColumn("prev", lag(col("phash"), 1).over(byVid))
+      .withColumn("hamming",
+        when(col("prev").isNull, lit(-1L))
+          .otherwise(expr("CAST(bit_count(phash ^ prev) AS BIGINT)")))
+      .withColumn("is_cut",
+        when(col("hamming") > SceneCutHam, lit(1L)).otherwise(lit(0L)))
+      .withColumn("scene_idx", sum(col("is_cut"))
+        .over(byVid.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("video_id"), col("frame_idx"), col("hamming"),
+        col("is_cut"), col("scene_idx"))
+      .orderBy(col("video_id"), col("frame_idx"))
+  }
+
+  /** PNG bytes of one scene frame ([[scenePixel]] formula). */
+  private[graft] def scenePngBytes(seed: Long, f: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(PhashSide, PhashSide,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until PhashSide; y <- 0 until PhashSide)
+      img.setRGB(x, y, scenePixel(seed, f, x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Hash constants in SQL, the temporal pipeline re-derived in SQL
+    * (decode work stays in the engine). */
+  val mmSceneCutsOracle: String = {
+    val rows = sceneHashesClosedForm
+      .map { case (vid, f, h) => s"($vid, $f, CAST($h AS BIGINT))" }
+    s"""WITH h AS (
+       |  SELECT CAST(video_id AS BIGINT) AS video_id,
+       |    CAST(frame_idx AS BIGINT) AS frame_idx, phash
+       |  FROM (VALUES ${rows.mkString(",\n  ")})
+       |    t(video_id, frame_idx, phash)),
+       |l AS (
+       |  SELECT video_id, frame_idx, phash,
+       |    lag(phash) OVER (PARTITION BY video_id ORDER BY frame_idx)
+       |      AS prev
+       |  FROM h),
+       |f AS (
+       |  SELECT video_id, frame_idx,
+       |    CASE WHEN prev IS NULL THEN CAST(-1 AS BIGINT)
+       |      ELSE CAST(bit_count(xor(phash, prev)) AS BIGINT) END
+       |      AS hamming
+       |  FROM l),
+       |c AS (
+       |  SELECT video_id, frame_idx, hamming,
+       |    CASE WHEN hamming > $SceneCutHam THEN CAST(1 AS BIGINT)
+       |      ELSE CAST(0 AS BIGINT) END AS is_cut
+       |  FROM f)
+       |SELECT video_id, frame_idx, hamming, is_cut,
+       |  CAST(sum(is_cut) OVER (PARTITION BY video_id ORDER BY frame_idx
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS scene_idx
+       |FROM c
+       |ORDER BY video_id, frame_idx""".stripMargin
   }
 }

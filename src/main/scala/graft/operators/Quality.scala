@@ -662,4 +662,144 @@ object Quality {
        |    AS rows_k_lt5,
        |  min(l) AS min_l
        |FROM qi GROUP BY nation ORDER BY nation""".stripMargin
+
+  /** q167: brand mixing matrix of the co-purchase graph —
+    * Newman's categorical mixing analysis ("Mixing patterns in
+    * networks", 2003) applied to the part–part graph induced by
+    * orders: every ordered pair of DISTINCT line items in one order
+    * is a directed endpoint pair labeled by the two parts'
+    * brands. One row per observed (brand_a, brand_b) cell:
+    * endpoint count, share of all endpoints, the share expected
+    * under independent mixing (a_g·a_h/T²), the ratio of the two as
+    * lift, plus the global categorical assortativity
+    * r = (T·tr E − Σ a_g²)/(T² − Σ a_g²) in ppm repeated per row
+    * (the headline scalar annotated on its evidence matrix).
+    *
+    * This is the attribute-homophily audit q152 runs for DEGREE, at
+    * the attribute grain: do purchases mix across brands
+    * (lift ≈ 1 off-diagonal) or concentrate within one (diagonal
+    * lift ≫ 1 — the single-vendor-basket signature)? Distinct from
+    * q114's association rules: q114 reports per-brand-PAIR set
+    * support/confidence over baskets; this reports the closed
+    * endpoint-distribution algebra of the whole graph against its
+    * independence baseline.
+    *
+    * Plan shape: lineitem⋈part on the part key (both corpus-scale —
+    * a shuffle join by design; the part side is NOT broadcastable at
+    * warehouse scale), ONE (order, brand) map-side-combined count,
+    * then a self-equi-join on the order key (≤ |brands| rows per
+    * order, so fan-out is bounded by a dimension constant, and the
+    * two sides are the same exchange — ReuseExchange dedups it), and
+    * a ≤ |brands|²-row global aggregate. Everything downstream is
+    * 25-row algebra on broadcast marginals. Multiplicities within an
+    * order are counted exactly: c_g·c_h directed pairs across
+    * brands, c_g·(c_g−1) within.
+    *
+    * Products widen to DECIMAL(38,0)/HUGEINT (T² and a_g·a_h pass
+    * 2⁶³ at warehouse scale — the q114 widening rule); sign is
+    * applied OUTSIDE the truncating division (the q152 convention). */
+  def q167CopurchaseMixing(s: SparkSession, dir: String): DataFrame = {
+    val om = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey"), col("p_brand"))
+      .agg(count(lit(1)).as("c"))
+    val e = om.as("a")
+      .join(om.as("b"), "l_orderkey")
+      .select(col("a.p_brand").as("brand_a"), col("b.p_brand").as("brand_b"),
+        when(col("a.p_brand") === col("b.p_brand"),
+          col("a.c") * (col("a.c") - 1))
+          .otherwise(col("a.c") * col("b.c")).as("w"))
+      .groupBy(col("brand_a"), col("brand_b"))
+      .agg(sum(col("w")).as("n_endpoints"))
+      .filter(col("n_endpoints") > 0)
+      .localCheckpoint(false) // marginals + total + trace + output read it
+    val marg = e.groupBy(col("brand_a").as("g"))
+      .agg(sum(col("n_endpoints")).as("ag"))
+    val tot = e.agg(sum(col("n_endpoints")).as("t_endpoints"))
+    val trace = e.filter(col("brand_a") === col("brand_b"))
+      .agg(coalesce(sum(col("n_endpoints")), lit(0L)).as("diag"))
+    val sq = marg.agg(
+      sum(expr("CAST(ag AS DECIMAL(38,0)) * ag")).as("sumsq"))
+    val r = tot.crossJoin(broadcast(trace)).crossJoin(broadcast(sq))
+      .select(col("t_endpoints"),
+        expr("""CAST(CASE
+                WHEN CAST(t_endpoints AS DECIMAL(38,0)) * t_endpoints
+                     - sumsq = 0 THEN 0
+                ELSE (CASE WHEN CAST(t_endpoints AS DECIMAL(38,0)) * diag
+                             - sumsq < 0 THEN -1 ELSE 1 END)
+                  * (abs(CAST(t_endpoints AS DECIMAL(38,0)) * diag - sumsq)
+                     * 1000000
+                     div (CAST(t_endpoints AS DECIMAL(38,0)) * t_endpoints
+                          - sumsq))
+                END AS BIGINT)""").as("r_ppm"))
+    e.join(broadcast(marg.select(col("g").as("brand_a"),
+        col("ag").as("a_g"))), "brand_a")
+      .join(broadcast(marg.select(col("g").as("brand_b"),
+        col("ag").as("a_h"))), "brand_b")
+      .crossJoin(broadcast(r))
+      .select(col("brand_a"), col("brand_b"), col("n_endpoints"),
+        expr("CAST(CAST(n_endpoints AS DECIMAL(38,0)) * 1000000" +
+          " div t_endpoints AS BIGINT)").as("share_ppm"),
+        expr("CAST(CAST(a_g AS DECIMAL(38,0)) * a_h * 1000000" +
+          " div (CAST(t_endpoints AS DECIMAL(38,0)) * t_endpoints)" +
+          " AS BIGINT)").as("expected_ppm"),
+        expr("CAST(CAST(n_endpoints AS DECIMAL(38,0)) * t_endpoints" +
+          " * 1000000 div (CAST(a_g AS DECIMAL(38,0)) * a_h)" +
+          " AS BIGINT)").as("lift_ppm"),
+        col("t_endpoints"), col("r_ppm"))
+      .orderBy(col("brand_a"), col("brand_b"))
+  }
+
+  val q167CopurchaseMixingOracle: String =
+    """WITH om AS (
+      |  SELECT l_orderkey AS ok, p_brand AS g,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  GROUP BY 1, 2),
+      |e AS (
+      |  SELECT a.g AS brand_a, b.g AS brand_b,
+      |    CAST(sum(CASE WHEN a.g = b.g THEN a.c * (a.c - 1)
+      |                  ELSE a.c * b.c END) AS BIGINT) AS n_endpoints
+      |  FROM om a JOIN om b ON a.ok = b.ok
+      |  GROUP BY 1, 2
+      |  HAVING sum(CASE WHEN a.g = b.g THEN a.c * (a.c - 1)
+      |             ELSE a.c * b.c END) > 0),
+      |marg AS (
+      |  SELECT brand_a AS g, CAST(sum(n_endpoints) AS BIGINT) AS ag
+      |  FROM e GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_endpoints) AS BIGINT) AS t_endpoints
+      |        FROM e),
+      |tr AS (SELECT CAST(coalesce(sum(n_endpoints), 0) AS BIGINT)
+      |         AS diag
+      |       FROM e WHERE brand_a = brand_b),
+      |s2 AS (SELECT sum(CAST(ag AS HUGEINT) * ag) AS sumsq FROM marg),
+      |r AS (
+      |  SELECT t_endpoints,
+      |    CAST(CASE
+      |      WHEN CAST(t_endpoints AS HUGEINT) * t_endpoints - sumsq = 0
+      |        THEN 0
+      |      ELSE (CASE WHEN CAST(t_endpoints AS HUGEINT) * diag - sumsq
+      |                   < 0 THEN -1 ELSE 1 END)
+      |        * (abs(CAST(t_endpoints AS HUGEINT) * diag - sumsq)
+      |           * 1000000
+      |           // (CAST(t_endpoints AS HUGEINT) * t_endpoints - sumsq))
+      |      END AS BIGINT) AS r_ppm
+      |  FROM tot, tr, s2)
+      |SELECT e.brand_a, e.brand_b, e.n_endpoints,
+      |  CAST(CAST(n_endpoints AS HUGEINT) * 1000000 // t_endpoints
+      |    AS BIGINT) AS share_ppm,
+      |  CAST(CAST(ma.ag AS HUGEINT) * mb.ag * 1000000
+      |    // (CAST(t_endpoints AS HUGEINT) * t_endpoints) AS BIGINT)
+      |    AS expected_ppm,
+      |  CAST(CAST(n_endpoints AS HUGEINT) * t_endpoints * 1000000
+      |    // (CAST(ma.ag AS HUGEINT) * mb.ag) AS BIGINT) AS lift_ppm,
+      |  t_endpoints, r_ppm
+      |FROM e
+      |JOIN marg ma ON ma.g = e.brand_a
+      |JOIN marg mb ON mb.g = e.brand_b
+      |CROSS JOIN r
+      |ORDER BY e.brand_a, e.brand_b""".stripMargin
 }

@@ -618,4 +618,144 @@ object Similarity {
        |  FROM scored)
        |SELECT query_id, qlabel, rk, neighbor_id, nlabel, cos_e6
        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
+  /** Dimension budgets for q169 — prefix cuts of the 64-dim table;
+    * the last cut IS the full dimensionality, so the dims=64 row is
+    * a built-in identity check (agree = n_queries by construction on
+    * both engines). */
+  val TruncDims: Seq[Int] = Seq(8, 16, 32, 64)
+
+  /** q169: embedding dimension-truncation quality — retrieval
+    * agreement of PREFIX-truncated cosine against full-dimension
+    * cosine, per budget: (dims, n_queries, top1_agree, hits_at3,
+    * recall3_ppm). This is the storage-design measurement behind
+    * matryoshka-style truncation (Kusupati et al. 2022): a 100 TB
+    * embedding table that keeps recall@3 at 16 of 64 dims cuts scan
+    * bytes and ANN index size 4× — and the measurement must come
+    * from the corpus itself, not the model card.
+    *
+    * Plan shape: the annBrute broadcast-probe skeleton (10 probes
+    * broadcast, ONE corpus scan), with ALL four budgets scored in a
+    * single pass by the codegen'd [[graft.functions.PrefixDots]]
+    * kernel — one loop emits the partial dot at every cut, and
+    * per-side prefix norms ride the base relation the same way
+    * (prefixDots(v, v, cuts)). The `slice`+HOF alternative is
+    * interpreted and allocates a truncated copy per (pair, budget):
+    * the repo's own q132 measurement is that HOF plans LOSE. Ranking
+    * is a (query, dims)-partitioned bounded window; everything after
+    * is ≤ 40-row algebra.
+    *
+    * Exactness: prefix dots and prefix square norms are exact
+    * integers; cos_e6 is the shared three-IEEE-op [[cosE6]] form on
+    * identical inputs, bit-identical across engines. */
+  def q169DimTruncation(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.prefixDots
+    val dimsLit = typedLit(TruncDims.map(_.toLong))
+    val b = base(s, dir)
+      .withColumn("psq", prefixDots(col("v"), col("v"), TruncDims))
+    val q = broadcast(b.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("psq").as("qpsq")))
+    val pool = b.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("v"), col("psq"))
+    val w = Window.partitionBy(col("query_id"), col("dims"))
+      .orderBy(col("cos_e6").desc, col("neighbor_id").asc)
+    val ranked = pool.crossJoin(q)
+      .select(col("query_id"), col("neighbor_id"), col("psq"), col("qpsq"),
+        posexplode(prefixDots(col("qv"), col("v"), TruncDims))
+          .as(Seq("ci", "dot")))
+      .select(col("query_id"), col("neighbor_id"),
+        element_at(dimsLit, col("ci") + 1).as("dims"),
+        cosE6(col("dot"),
+          element_at(col("qpsq"), col("ci") + 1),
+          element_at(col("psq"), col("ci") + 1)).as("cos_e6"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("dims"), col("rk"), col("neighbor_id"))
+      .localCheckpoint(false) // the full-dims baseline + 4 arms read it
+    val full = ranked.filter(col("dims") === TruncDims.last.toLong)
+      .select(col("query_id"), col("rk").as("frk"),
+        col("neighbor_id"))
+    val hits3 = ranked
+      .join(full.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .groupBy(col("dims")).agg(count(lit(1)).as("hits_at3"))
+    val top1 = ranked.filter(col("rk") === 1)
+      .join(full.filter(col("frk") === 1)
+        .select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .groupBy(col("dims")).agg(count(lit(1)).as("top1_agree"))
+    val nq = q.agg(count(lit(1)).as("n_queries"))
+    // anchor on the budget list: a zero-recall arm must still report
+    // (its absence would read as "not measured", not "recall 0")
+    s.range(1).select(explode(dimsLit).as("dims"))
+      .join(hits3, Seq("dims"), "left")
+      .join(top1, Seq("dims"), "left")
+      .crossJoin(broadcast(nq))
+      .select(col("dims"), col("n_queries"),
+        coalesce(col("top1_agree"), lit(0L)).as("top1_agree"),
+        coalesce(col("hits_at3"), lit(0L)).as("hits_at3"),
+        expr("coalesce(hits_at3, 0L) * 1000000 div (n_queries * 3)")
+          .as("recall3_ppm"))
+      .orderBy(col("dims"))
+  }
+
+  /** Oracle: brute force per budget over prefix list slices — an
+    * independent truncated-scoring formulation (list slicing + HOF
+    * sums) cross-checking the kernel's single-pass partials. */
+  val q169DimTruncationOracle: String = {
+    val dimsVals = TruncDims.map(d => s"($d)").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT vec_id, $ivecSql AS v FROM embeddings),
+       |dims AS (SELECT CAST(d AS BIGINT) AS dims FROM (VALUES $dimsVals) t(d)),
+       |pre AS (
+       |  SELECT vec_id, dims,
+       |    list_transform(range(1, CAST(dims AS INT) + 1), i -> v[i]) AS pv
+       |  FROM base, dims),
+       |sq AS (
+       |  SELECT vec_id, dims, pv,
+       |    CAST(list_sum(list_transform(range(1, len(pv)+1),
+       |      i -> pv[i]*pv[i])) AS BIGINT) AS sq
+       |  FROM pre),
+       |scored AS (
+       |  SELECT q.dims, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST(floor(CAST(list_sum(list_transform(range(1, len(q.pv)+1),
+       |          i -> q.pv[i]*c.pv[i])) AS DOUBLE)
+       |      / (sqrt(CAST(q.sq AS DOUBLE)) * sqrt(CAST(c.sq AS DOUBLE)))
+       |      * 1e6) AS BIGINT) AS cos_e6
+       |  FROM sq q JOIN sq c
+       |    ON q.dims = c.dims AND q.vec_id < 10 AND c.vec_id >= 10),
+       |ranked AS (
+       |  SELECT dims, query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY dims, query_id
+       |      ORDER BY cos_e6 DESC, neighbor_id ASC) AS rk
+       |  FROM scored),
+       |top3 AS (SELECT * FROM ranked WHERE rk <= 3),
+       |full3 AS (
+       |  SELECT query_id, neighbor_id, rk AS frk FROM top3
+       |  WHERE dims = ${TruncDims.last}),
+       |h3 AS (
+       |  SELECT t.dims, CAST(count(*) AS BIGINT) AS hits_at3
+       |  FROM top3 t JOIN full3 f
+       |    ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+       |  GROUP BY t.dims),
+       |t1 AS (
+       |  SELECT t.dims, CAST(count(*) AS BIGINT) AS top1_agree
+       |  FROM top3 t JOIN full3 f
+       |    ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+       |    AND t.rk = 1 AND f.frk = 1
+       |  GROUP BY t.dims),
+       |nq AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_queries
+       |  FROM embeddings WHERE vec_id < 10)
+       |SELECT dims.dims, n_queries,
+       |  coalesce(top1_agree, 0) AS top1_agree,
+       |  coalesce(hits_at3, 0) AS hits_at3,
+       |  CAST(coalesce(hits_at3, 0) * 1000000 // (n_queries * 3)
+       |    AS BIGINT) AS recall3_ppm
+       |FROM dims LEFT JOIN h3 ON h3.dims = dims.dims
+       |LEFT JOIN t1 ON t1.dims = dims.dims
+       |CROSS JOIN nq
+       |ORDER BY dims.dims""".stripMargin
+  }
 }

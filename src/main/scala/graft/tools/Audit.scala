@@ -202,5 +202,20 @@ object PlanAudit {
       // and the mask-histogram bit-test decodes are non-equi joins
       // whose broadcast sides are the constant 25-row brand index —
       // the fact side touches only equi-BHJ + one keyed exchange.
-      "q114_basket_lift")
+      "q114_basket_lift",
+      // q166 crossJoins the 64-row per-dimension stats with its
+      // broadcast 1-row corpus variance total — totals shape.
+      "q166_embedding_isotropy",
+      // q167 crossJoins the ≤|brands|² mixing cells with two 1-row
+      // broadcasts (endpoint total, assortativity scalar) — totals
+      // shape; the fact side collapsed in the (order, brand) count.
+      "q167_copurchase_mixing",
+      // q168 crossJoins the day series with its broadcast 1-row
+      // (n, Σx) totals and the lag table with the 1-row denominator
+      // — the q149 day-grain totals shape.
+      "q168_acf",
+      // q169's scoring is ann_brute's own shape (≤10-row broadcast
+      // probe set against one corpus scan), and the 4-row budget
+      // report crossJoins the 1-row probe count — totals shape.
+      "q169_dim_truncation")
 }

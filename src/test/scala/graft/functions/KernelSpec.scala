@@ -103,4 +103,29 @@ class KernelSpec extends AnyFunSuite {
       folded.as("h")).filter(not(col("k") === col("h"))).count()
     assert(d == 0)
   }
+
+  test("PrefixDots ≡ per-cut slice+aggregate HOFs (incl. short vectors)") {
+    val cuts = Seq(8, 16, 32, 64)
+    val hof = array(cuts.map { c =>
+      expr(s"aggregate(zip_with(slice(a, 1, $c), slice(b, 1, $c)," +
+        " (x, y) -> x * y), 0L, (acc, x) -> acc + x)")
+    }: _*)
+    val v = transform(col("embedding"),
+      x => round(x.cast("double") * 1000).cast("long"))
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(v.as("a"), reverse(v).as("b"))
+    val d = emb.select(
+      VectorFunctions.prefixDots(col("a"), col("b"), cuts).as("k"),
+      hof.as("h")).filter(not(col("k") === col("h"))).count()
+    assert(d == 0)
+    // vectors shorter than the last cut: trailing cuts repeat the
+    // full dot (slice past the end is the same prefix)
+    import spark.implicits._
+    val short = Seq((Seq(2L, 3L, 4L), Seq(5L, 6L, 7L)))
+      .toDF("a", "b")
+    val got = short.select(
+      VectorFunctions.prefixDots(col("a"), col("b"), cuts))
+      .collect().head.getSeq[Long](0)
+    assert(got == Seq(56L, 56L, 56L, 56L))
+  }
 }

@@ -43,4 +43,21 @@ class AnnRecallSpec extends AnyFunSuite {
       assert(r.getLong(1) <= 3 && r.getLong(2) <= 3)
     }
   }
+
+  test("q169: the full-dimension arm is an identity (agreement by " +
+      "construction) and every arm is bounded by the probe budget") {
+    val rows = Similarity.q169DimTruncation(s, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == Similarity.TruncDims.map(_.toLong),
+      "one row per dimension budget, ascending")
+    val byDims = rows.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val full = byDims(Similarity.TruncDims.last.toLong)
+    assert(full == (10L, 10L, 30L, 1000000L),
+      s"dims=64 must agree with itself exactly: $full")
+    byDims.values.foreach { case (nq, t1, h3, rp) =>
+      assert(nq == 10L && t1 <= 10L && h3 <= 30L)
+      assert(rp == h3 * 1000000L / 30L)
+    }
+  }
 }

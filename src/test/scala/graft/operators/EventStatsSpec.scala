@@ -91,4 +91,35 @@ class EventStatsSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(5)).toMap
     assert(got == Map("solo" -> 0L, "free" -> 0L))
   }
+
+  test("q168: exact ACF on an alternating series (negative lag-1, " +
+      "positive lag-2)") {
+    // daily counts over days 0..3: x = [2,4,2,4] (ts in day units of
+    // 86400s). S=12, n=4, c = 4x−12 = [−4,4,−4,4], den = 64.
+    // lag1: Σ c_t·c_{t+1} = −48 → −750000; lag2: 32 → 500000.
+    val rows = for {
+      (day, cnt) <- Seq((0L, 2), (1L, 4), (2L, 2), (3L, 4))
+      k <- 0 until cnt
+    } yield ((day * 10 + k).toLong, day * 86400L, 1L, "e", 0.0)
+    val dir = eventsDir(rows)
+    val got = EventStats.q168Acf(s, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got(1L) == (3L, -750000L), s"lag1 ${got(1L)}")
+    assert(got(2L) == (2L, 500000L), s"lag2 ${got(2L)}")
+    assert(got(3L) == (1L, -250000L), s"lag3 ${got(3L)}")
+    assert(!got.contains(4L), "no lag-4 terms exist on a 4-day span")
+  }
+
+  test("q168: missing days are densified as true zeros") {
+    // events on days 0 and 2 only → series [1,0,1]: S=2, n=3,
+    // c = 3x−2 = [1,−2,1], den=6; lag1: −4 → −666666; lag2: 1 → 166666
+    val dir = eventsDir(Seq(
+      (1L, 0L, 1L, "e", 0.0), (2L, 2 * 86400L, 1L, "e", 0.0)))
+    val got = EventStats.q168Acf(s, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got(1L) == (2L, -666666L), s"lag1 ${got(1L)}")
+    assert(got(2L) == (1L, 166666L), s"lag2 ${got(2L)}")
+  }
 }

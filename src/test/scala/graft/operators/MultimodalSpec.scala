@@ -65,6 +65,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.forall { case (a, b, _) => seed(a) == seed(b) })
   }
 
+  test("mm_scene_cuts: real PNG decode reproduces the closed-form " +
+      "hash stream, and the temporal logic dates the planted cuts") {
+    import org.apache.spark.sql.functions._
+    val got = Multimodal.mmSceneCuts(SparkSpec.spark, "unused")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // expectation derived INDEPENDENTLY from the closed-form hashes
+    val expected = Multimodal.sceneHashesClosedForm
+      .groupBy(_._1).toSeq.flatMap { case (vid, fr) =>
+        val sorted = fr.sortBy(_._2)
+        var scene = 0L
+        sorted.zipWithIndex.map { case ((_, f, h), i) =>
+          val ham = if (i == 0) -1L
+            else java.lang.Long.bitCount(sorted(i - 1)._3 ^ h).toLong
+          val cut = if (ham > Multimodal.SceneCutHam) 1L else 0L
+          scene += cut
+          (vid, f.toLong) -> (ham, cut, scene)
+        }
+      }.toMap
+    assert(got == expected)
+    // the fixture plants exactly 1 + 0 + 2 scene changes
+    val cutsPerVid = got.toSeq.groupBy(_._1._1)
+      .map { case (v, rs) => v -> rs.map(_._2._2).sum }
+    assert(cutsPerVid == Map(1L -> 1L, 2L -> 0L, 3L -> 2L), s"$cutsPerVid")
+  }
+
   test("mm_frames emits exactly FrameCount bounded slices per payload") {
     import org.apache.spark.sql.functions._
     val f = Multimodal.mmFrames(SparkSpec.spark, "/root/testdata/sf0.001")
