@@ -182,6 +182,7 @@ object SparkEntry {
     "q167_copurchase_mixing" -> Quality.q167CopurchaseMixing,
     "q168_acf" -> EventStats.q168Acf,
     "q169_dim_truncation" -> Similarity.q169DimTruncation,
+    "q170_pca_power" -> EmbStats.q170PcaPower,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -570,6 +571,7 @@ object SparkEntry {
     "q167_copurchase_mixing" -> Quality.q167CopurchaseMixingOracle,
     "q168_acf" -> EventStats.q168AcfOracle,
     "q169_dim_truncation" -> Similarity.q169DimTruncationOracle,
+    "q170_pca_power" -> EmbStats.q170PcaPowerOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,

@@ -201,6 +201,62 @@ case class PrefixDots(left: Expression, right: Expression, cuts: Seq[Int])
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression for the per-row Gram contribution: the
+  * flattened outer product v·vᵀ of one `array<bigint>` vector —
+  * element k = v(k div n)·v(k mod n), n = `dims`. One codegen loop,
+  * one output array; the composable alternative (posexplode +
+  * interpreted `transform` per exploded row) allocates n
+  * intermediate arrays per input row. Feeds the second-moment
+  * aggregate of exact-PCA queries: explode once, aggregate by flat
+  * index with map-side combine, so only dims² partials per partition
+  * ever shuffle. */
+case class OuterProducts(child: Expression, dims: Int)
+    extends UnaryExpression {
+
+  require(dims > 0 && dims <= 128, s"dims out of range: $dims")
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "outer_products"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dims)
+    val out = new Array[Long](dims * dims)
+    var i = 0
+    while (i < n) {
+      val x = v.getLong(i)
+      var j = 0
+      while (j < n) { out(i * dims + j) = x * v.getLong(j); j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val x = ctx.freshName("x")
+      s"""
+         |int $n = java.lang.Math.min($v.numElements(), $dims);
+         |long[] $out = new long[$dims * $dims];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $x = $v.getLong($i);
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $out[$i * $dims + $j] = $x * $v.getLong($j);
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column API for [[LongArrayDot]] (classic-API bridge: Spark 4's
     * `Column` wraps ColumnNodes, not Expressions). */
@@ -215,4 +271,8 @@ object VectorFunctions {
   /** Column API for [[PrefixDots]]: partial dots of a·b at each cut. */
   def prefixDots(a: Column, b: Column, cuts: Seq[Int]): Column =
     Bridge.column(PrefixDots(Bridge.expression(a), Bridge.expression(b), cuts))
+
+  /** Column API for [[OuterProducts]]: v → flattened v·vᵀ (dims²). */
+  def outerProducts(v: Column, dims: Int): Column =
+    Bridge.column(OuterProducts(Bridge.expression(v), dims))
 }

@@ -217,5 +217,10 @@ object PlanAudit {
       // q169's scoring is ann_brute's own shape (≤10-row broadcast
       // probe set against one corpus scan), and the 4-row budget
       // report crossJoins the 1-row probe count — totals shape.
-      "q169_dim_truncation")
+      "q169_dim_truncation",
+      // q170's Gram assembly and every power-iteration round crossJoin
+      // 1-row broadcasts (n, max|G|, per-round max|raw|, sign pick)
+      // onto dims²-row frames — totals shape; the corpus collapsed in
+      // the one flat-index aggregate long before any of them.
+      "q170_pca_power")
 }

@@ -128,4 +128,22 @@ class KernelSpec extends AnyFunSuite {
       .collect().head.getSeq[Long](0)
     assert(got == Seq(56L, 56L, 56L, 56L))
   }
+
+  test("OuterProducts ≡ flattened nested-transform HOF on real vectors") {
+    val d = 64
+    val hof = expr(s"flatten(transform(v, x -> transform(v, y -> x * y)))")
+    val v = transform(col("embedding"),
+      x => round(x.cast("double") * 1000).cast("long"))
+    val diff = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(v.as("v"))
+      .select(VectorFunctions.outerProducts(col("v"), d).as("k"), hof.as("h"))
+      .filter(not(col("k") === col("h"))).count()
+    assert(diff == 0)
+    // a short vector zero-pads the remaining cells
+    import spark.implicits._
+    val got = Seq(Tuple1(Seq(2L, 3L))).toDF("v")
+      .select(VectorFunctions.outerProducts(col("v"), 3))
+      .collect().head.getSeq[Long](0)
+    assert(got == Seq(4L, 6L, 0L, 6L, 9L, 0L, 0L, 0L, 0L))
+  }
 }

@@ -40,4 +40,46 @@ class EmbStatsSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((0L, 1750000L, 200000L),
       (1L, 500000L, 800000L)), s"got ${rows.toSeq}")
   }
+
+  test("q170: rank-1 data recovers its own direction as an exact " +
+      "power-iteration fixpoint") {
+    // Rows ±(1,2)·c with zero column sums → G ∝ [[20,40],[40,80]]
+    // (rank 1, direction (1,2)). gs = G·10⁶ div 80·u = [[250000,
+    // 500000],[500000,1000000]]; every round maps any positive
+    // vector to the (500000, 1000000) fixpoint exactly (the ratios
+    // are dyadic — no truncation residue). All other dims stay 0;
+    // the sign pick lands on dim 1, already positive.
+    val dir = fixtureDir(Seq(
+      Seq(1.0f, 2.0f), Seq(-1.0f, -2.0f),
+      Seq(3.0f, 6.0f), Seq(-3.0f, -6.0f)))
+    val rows = EmbStats.q170PcaPower(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows(0L) == 500000L, s"dim0 ${rows(0L)}")
+    assert(rows(1L) == 1000000L, s"dim1 ${rows(1L)}")
+    assert((2L until 64L).forall(d => rows.getOrElse(d, 0L) == 0L))
+    assert(rows.size == EmbStats.PcaDims)
+  }
+
+  test("q170: the sign convention flips a negative-leading iterate " +
+      "and a constant corpus reports all zeros") {
+    // Rows ±(−3,1,1,1,1)·c: u·r0 > 0, so the un-flipped iterate
+    // carries dim 0 NEGATIVE at the largest magnitude — the output
+    // must flip it to +10⁶, dims 1–4 equal and negative, rest 0.
+    val dir = fixtureDir(Seq(
+      Seq(-3.0f, 1.0f, 1.0f, 1.0f, 1.0f),
+      Seq(3.0f, -1.0f, -1.0f, -1.0f, -1.0f),
+      Seq(-6.0f, 2.0f, 2.0f, 2.0f, 2.0f),
+      Seq(6.0f, -2.0f, -2.0f, -2.0f, -2.0f)))
+    val rows = EmbStats.q170PcaPower(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows(0L) == 1000000L, s"dim0 ${rows(0L)} must flip positive")
+    val tail = (1L to 4L).map(rows)
+    assert(tail.forall(_ < 0L) && tail.distinct.size == 1,
+      s"dims 1-4 must be equal and negative: $tail")
+    assert((5L until 64L).forall(d => rows(d) == 0L))
+    // zero variance: every vector identical → G = 0 → all-zero output
+    val dir2 = fixtureDir(Seq(Seq(1.0f, 1.0f), Seq(1.0f, 1.0f)))
+    val z = EmbStats.q170PcaPower(s, dir2).collect()
+    assert(z.forall(_.getLong(1) == 0L))
+  }
 }
