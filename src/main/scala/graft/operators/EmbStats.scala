@@ -91,8 +91,15 @@ object EmbStats {
     * concatenated onto it, and a single flat-index aggregate with
     * map-side combine reduces the corpus to dims²+dims+1 partials
     * per partition — only those ever shuffle, at ANY corpus size.
-    * G is then pre-scaled to ppm by its own max |entry| (G·r would
-    * pass DECIMAL(38,0) at warehouse row counts otherwise); each
+    * G's own assembly `n²·X − n·S_i·S_j` is bounded by ~n³·maxv²
+    * (maxv = 10³ milli-units here), so DECIMAL(38,0) holds up to
+    * n ≈ 5·10¹⁰ rows — ~25× past the 100 TB corpus — and beyond that
+    * Spark's non-ANSI decimal yields silent NULLs where DuckDB's
+    * HUGEINT errors loudly; the guard below turns that into a loud
+    * error on this side too. G is then pre-scaled to ppm by its own
+    * max |entry| (G·r would pass DECIMAL(38,0) at warehouse row
+    * counts otherwise — the pre-scale protects the matvec, NOT G's
+    * assembly, hence the separate bound above); each
     * round is a dims²-row join + aggregate with 1-row max
     * renormalization. All divisions truncate with the sign OUTSIDE
     * (the q152 convention); zero-variance corpora report all-zero
@@ -124,8 +131,14 @@ object EmbStats {
       .join(broadcast(sVec.select(col("dim").as("dj"), col("s").as("sj"))),
         "dj")
       .crossJoin(broadcast(nRow))
+      // inputs are non-null sums, so a NULL here is exactly decimal
+      // overflow (n³·maxv² past DECIMAL(38,0)) — raise instead of
+      // letting max() skip it and renormalize a corrupted G
       .select(col("di"), col("dj"),
-        expr("n * n * x - n * si * sj").as("gv"))
+        expr("""CASE WHEN (n * n * x - n * si * sj) IS NULL
+                THEN raise_error('q170: Gram assembly overflowed ' ||
+                  'DECIMAL(38,0); corpus exceeds the n^3*maxv^2 bound')
+                ELSE n * n * x - n * si * sj END""").as("gv"))
     val gm = g.agg(max(abs(col("gv"))).as("gmax"))
     val gs = g.crossJoin(broadcast(gm))
       .select(col("di"), col("dj"),

@@ -401,7 +401,14 @@ object EventStats {
     * side is the day table replicated ×[[AcfMaxLag]], still
     * day-grain. Nothing downstream exceeds |lags| rows. At 100 TB
     * the corpus-scale work is exactly the daily aggregate; the ACF
-    * itself runs on thousands of rows regardless of corpus size. */
+    * itself runs on thousands of rows regardless of corpus size.
+    *
+    * Output shape: a lag with ZERO overlapping day pairs (day span ≤
+    * lag) is ABSENT from the output, not an acf_ppm = 0 row — an
+    * n_terms = 0 ACF is 0/0, undefined, and the q169 discipline
+    * applies: an absent row reads as "not measured". Consumers must
+    * not anchor on a fixed [[AcfMaxLag]]-row result; both engines
+    * drop such lags identically (inner join on the term count). */
   def q168Acf(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.load(s, dir, "events")
       .select(expr("ts div 86400000000000").as("day"))

@@ -79,11 +79,15 @@ object Ivfpq {
         (col("ssq") - lit(2L) * Similarity.idot(col("sv"), col("cv"))
           + col("csq")).as("pd"))
 
-    // scoring: only codes in probed cells match the distance table
-    val scored = codes
-      .join(broadcast(dt),
-        codes("cell") === dt("cell") && codes("m") === dt("m") &&
-          codes("code") === dt("cent_id"))
+    // scoring: only codes in probed cells match the distance table.
+    // Explicit aliases qualify the keys — both frames descend from
+    // the same base scan, and leaning on Spark's dataset-id self-join
+    // fallback logs `trivially true equals predicate` warnings.
+    val scored = codes.alias("enc")
+      .join(broadcast(dt.alias("adc")),
+        col("enc.cell") === col("adc.cell") &&
+          col("enc.m") === col("adc.m") &&
+          col("enc.code") === col("adc.cent_id"))
       .filter(col("qid") =!= col("vec_id"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("pd")).as("adist"))

@@ -141,10 +141,15 @@ object Pq {
           + col("csq")).as("pd"))
 
     // scoring: codes never rescan vectors — equi-join on
-    // (subspace, code) against the broadcast table, sum M lookups
-    val scored = codes
-      .join(broadcast(dt),
-        codes("m") === dt("m") && codes("code") === dt("cent_id"))
+    // (subspace, code) against the broadcast table, sum M lookups.
+    // Both frames descend from the same base scan, so the join keys
+    // are qualified through explicit aliases: relying on Spark's
+    // dataset-id self-join disambiguation emits `trivially true
+    // equals predicate` warnings and is fragile across upgrades.
+    val scored = codes.alias("enc")
+      .join(broadcast(dt.alias("adc")),
+        col("enc.m") === col("adc.m") &&
+          col("enc.code") === col("adc.cent_id"))
       .filter(col("qid") =!= col("vec_id"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("pd")).as("adist"))

@@ -59,8 +59,13 @@ object StreamSeasonality {
       val n = rows.map(_._3).sum
       val (_, peakHod, peakCnt) =
         rows.minBy { case (_, hod, cnt) => (-cnt, hod) }
-      val share = (BigInt(peakCnt) * 1000000 / BigInt(n)).toLong
-      val lift = (BigInt(peakCnt) * 24000000 / BigInt(n)).toLong
+      // all-zero histogram (allowed by the require): report 0 share
+      // and 0 lift rather than dividing by zero — the
+      // StreamBenford.report convention
+      val share =
+        if (n == 0) 0L else (BigInt(peakCnt) * 1000000 / BigInt(n)).toLong
+      val lift =
+        if (n == 0) 0L else (BigInt(peakCnt) * 24000000 / BigInt(n)).toLong
       (t, n, peakHod, peakCnt, share, lift)
     }
 }
