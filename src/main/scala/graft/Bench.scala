@@ -25,6 +25,9 @@ object Bench {
   private[graft] def shortName(n: String): String =
     if (n == "q49_skew_naive") "q49n"
     else if (n == "q49_skew_salted") "q49s"
+    // bench-only twin of q107_containment — the bare prefix would
+    // collide with the real q107's key in the stdout JSON map
+    else if (n == "q107_sketch_only") "q107sk"
     else if (n.matches("q\\d+_.*")) n.takeWhile(_ != '_')
     else n
 

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Allocation, Behavior, Bpe, Budget, Clustering, CorpusStats, Dedup, EmbStats, EntityRes, EventStats, Ivfpq, Keywords, Layout, LinkAnalysis, Lm, Multimodal, NearKey, OrderStats, Overlap, Pipeline, Pipeline2, Pipeline3, Pq, Preference, Privacy, Quality, Redact, Relational, Relational2, Retrieval, SetSim, Similarity, Sketch, SkewProfile, Splits, Stats, Survival, TextAnalysis, Threshold}
+import graft.operators.{Allocation, Audio, Behavior, Bpe, Budget, Clustering, CorpusStats, Dedup, EmbStats, EntityRes, EventStats, Ivfpq, Keywords, Layout, LinkAnalysis, Lm, Multimodal, NearKey, OrderStats, Overlap, Pipeline, Pipeline2, Pipeline3, Pq, Preference, Privacy, Quality, Redact, Relational, Relational2, Retrieval, SetSim, Similarity, Sketch, Shards, SkewProfile, Splits, Stats, Survival, TextAnalysis, Threshold, UnigramLm}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -183,6 +183,10 @@ object SparkEntry {
     "q168_acf" -> EventStats.q168Acf,
     "q169_dim_truncation" -> Similarity.q169DimTruncation,
     "q170_pca_power" -> EmbStats.q170PcaPower,
+    "q171_shard_layout" -> Shards.q171ShardLayout,
+    "q172_shard_manifest" -> Shards.q172ShardManifest,
+    "q173_containment_sketch" -> Dedup.q173ContainmentSketch,
+    "q174_unigram_lm" -> UnigramLm.q174UnigramLm,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -206,6 +210,7 @@ object SparkEntry {
     "mm_frames" -> Multimodal.mmFrames,
     "mm_phash_dedup" -> Multimodal.mmPhashDedup,
     "mm_scene_cuts" -> Multimodal.mmSceneCuts,
+    "mm_audio_dedup" -> Audio.mmAudioDedup,
   )
 
   /** Bench-only twins: timed and reported by [[graft.Bench]] alongside
@@ -217,6 +222,7 @@ object SparkEntry {
   def benchExtras: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_skew_naive" -> Relational2.q49SkewAggNaive,
     "q49_skew_salted" -> Relational2.q49SkewAggSalted,
+    "q107_sketch_only" -> Dedup.q107SketchOnly,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -572,6 +578,10 @@ object SparkEntry {
     "q168_acf" -> EventStats.q168AcfOracle,
     "q169_dim_truncation" -> Similarity.q169DimTruncationOracle,
     "q170_pca_power" -> EmbStats.q170PcaPowerOracle,
+    "q171_shard_layout" -> Shards.q171ShardLayoutOracle,
+    "q172_shard_manifest" -> Shards.q172ShardManifestOracle,
+    "q173_containment_sketch" -> Dedup.q173ContainmentSketchOracle,
+    "q174_unigram_lm" -> UnigramLm.q174UnigramLmOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,
@@ -594,5 +604,6 @@ object SparkEntry {
     "mm_frames" -> Multimodal.mmFramesOracle,
     "mm_phash_dedup" -> Multimodal.mmPhashDedupOracle,
     "mm_scene_cuts" -> Multimodal.mmSceneCutsOracle,
+    "mm_audio_dedup" -> Audio.mmAudioDedupOracle,
   )
 }

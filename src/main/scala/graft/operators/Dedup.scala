@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1013,15 +1014,18 @@ object Dedup {
     * re-join spilled (372 s warm, the one 15×-gate breach) — this
     * posting-count form removes the array arm entirely. Dropped
     * boilerplate is surfaced by an observed metric, never silent. */
-  def q107Containment(s: SparkSession, dir: String): DataFrame = {
-    // No barrier checkpoints here, deliberately: inv and the gate
-    // join are corpus-scale at ×100 (two resident MEMORY_AND_DISK
-    // copies OOM'd an 8 GB bench heap mid-suite), and every repeated
-    // subtree below — inv's distinct exchange, dfAll's aggregation
-    // exchange, the gate join's two shuffles — is IDENTICAL across
-    // the consumers, so ReuseExchange runs each once; only the cheap
-    // post-shuffle operators re-execute per consumer.
-    val inv = Tables.spread(Tables.load(s, dir, "documents"))
+  /** The shared df-gated 48-bit shingle posting stream
+    * (doc_id, s, c) feeding q107/q173 — see q107's scaladoc for the
+    * boilerplate-cap argument. NO barrier checkpoint, deliberately:
+    * inv and the gate join are corpus-scale at ×100 (two resident
+    * MEMORY_AND_DISK copies OOM'd an 8 GB bench heap mid-suite), and
+    * every repeated subtree — inv's distinct exchange, dfAll's
+    * aggregation exchange, the gate join's two shuffles — is
+    * IDENTICAL across consumers, so ReuseExchange runs each once;
+    * only the cheap post-shuffle operators re-execute per consumer. */
+  private def gatedPostings(docs: DataFrame,
+      metric: String): DataFrame = {
+    val inv = docs
       .select(col("doc_id"), explode(shingles(col("text"))).as("w"))
       .select(col("doc_id"),
         expr("CAST(conv(substring(md5(w), 1, 12), 16, 10) AS BIGINT)")
@@ -1032,12 +1036,18 @@ object Dedup {
     // over-cap shingle). The cap metrics are computed on the join
     // OUTPUT (q101-style max-based so a re-read of the stream
     // cannot double-count).
-    val keep = inv.join(dfAll, "s")
-      .observe("q107_containment_df_cap",
+    inv.join(dfAll, "s")
+      .observe(metric,
         coalesce(max(col("c")), lit(0L)).as("max_df"),
         coalesce(max(when(col("c") > ContainDfCap, col("c"))
           .otherwise(0L)), lit(0L)).as("max_dropped_df"))
       .filter(col("c") <= ContainDfCap)
+  }
+
+  def q107Containment(s: SparkSession, dir: String): DataFrame = {
+    val keep = gatedPostings(
+      Tables.spread(Tables.load(s, dir, "documents")),
+      "q107_containment_df_cap")
     val sizes = keep.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("nsz"))
     // posting list per shared shingle is ≤ [[ContainDfCap]] ids BY
@@ -1106,6 +1116,331 @@ object Dedup {
        |FROM ver
        |WHERE n_inter * $ContainDen >= least(na, nb) * $ContainNum
        |ORDER BY inner_id, outer_id""".stripMargin
+
+  // ---- q173: KMV containment estimate next to the exact arm --------
+
+  /** Bottom-k sketch size for the q173 containment estimator. 32 is
+    * chosen BELOW this corpus's median gated-shingle count (52 at
+    * sf0.1), so the KMV path is genuinely exercised — a k above the
+    * doc size degenerates to complete sketches and the calibration
+    * table would gate nothing. Real corpora (10³–10⁴ shingles/doc)
+    * run k = 256–1024 for ~2–6% relative error; a parameter, not a
+    * shape change. */
+  val ContainKmvK = 32
+  /** 48-bit hash space (the q107 shingle keys) and the KMV union
+    * numerator (k−1)·2⁴⁸ — the q103 estimator constants at this
+    * hash width. */
+  val ContainSpace: Long = 1L << 48
+  val ContainKmvNum: Long = (ContainKmvK - 1).toLong * ContainSpace
+  /** Calibration floor: pairs with EXACT containment ≥ 50% — a band
+    * straddling q107's 80% decision threshold on both sides, so the
+    * table shows the estimator where the decision is actually made
+    * (overshoot above AND undershoot below the cut). */
+  val CalibNum = 1
+  val CalibDen = 2
+
+  /** Chimera probe ratios: tenths of the probe drawn from source A
+    * (the rest from source B) — exact-arm containment lands near
+    * r·10% for probe-vs-A, straddling q107's 80% threshold. */
+  val ChimeraRatios: Seq[Int] = Seq(5, 6, 7, 8, 9)
+
+  /** The corpus plus deterministic PARTIAL-containment probes — the
+    * q153/q154 replant lesson applied BEFORE shipping: this corpus's
+    * natural containment structure is binary (every q107 pair sits
+    * at exactly 100%; measured at sf0.01 first), so a calibration
+    * band over natural pairs gates nothing below the threshold.
+    * Each pair of consecutive q129-family docs (doc_id ≡ 0 mod
+    * [[ContamMod]], partner = +[[ContamMod]]) spawns one CHIMERA per
+    * r ∈ [[ChimeraRatios]]: the first r/10 of A's tokens followed by
+    * the first (10−r)/10 of B's, under collision-free negative id
+    * −(A·10+r). C(chimera, A) ≈ r·10% — mass on BOTH sides of the
+    * 80% cut — while C(chimera, B) falls below the 50% floor.
+    * Probe volume is corpus-fraction-bounded (5 probes per ~1% of
+    * docs) and the construction is identical SQL on both engines. */
+  private def withChimeraProbes(s: SparkSession,
+      dir: String): DataFrame = {
+    val raw = Tables.spread(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), col("text"))
+    val fam = raw.filter(col("doc_id") % ContamMod === 0)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    val probes = fam
+      .join(fam.select((col("doc_id") - ContamMod).as("doc_id"),
+        col("t").as("tb")), Seq("doc_id"))
+      .withColumn("r", explode(lit(ChimeraRatios.toArray)))
+      .select((-(col("doc_id") * 10 + col("r"))).as("doc_id"),
+        expr("""array_join(concat(
+            slice(t, 1, CAST((size(t) * r) div 10 AS INT)),
+            slice(tb, 1, CAST((size(tb) * (10 - r)) div 10 AS INT))),
+          ' ')""").as("text"))
+    raw.unionAll(probes)
+  }
+
+  /** The matching corpus+probes CTE chain (`corpus` is the table the
+    * shingle space derives from). */
+  // lazy: interpolates ContamMod, which is declared later in this
+  // file — a strict val would capture its pre-init 0 (measured:
+  // `doc_id % 0 = 0` reached DuckDB and emptied the probe family)
+  private lazy val chimeraSql: String =
+    s"""fam AS (
+       |  SELECT doc_id, $tokensSql AS t FROM documents
+       |  WHERE doc_id % $ContamMod = 0),
+       |probes AS (
+       |  SELECT -(a.doc_id * 10 + r.r) AS doc_id,
+       |    array_to_string(list_concat(
+       |      a.t[1 : CAST((len(a.t) * r.r) // 10 AS BIGINT)],
+       |      b.t[1 : CAST((len(b.t) * (10 - r.r)) // 10 AS BIGINT)]),
+       |      ' ') AS text
+       |  FROM fam a
+       |  JOIN fam b ON b.doc_id = a.doc_id + $ContamMod
+       |  CROSS JOIN (SELECT unnest([${ChimeraRatios.mkString(", ")}])
+       |    AS r) r),
+       |corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id, text FROM probes)""".stripMargin
+
+  /** q173: q107's sketch arm — the q113→q126 treatment applied to
+    * containment. For every candidate pair in the calibration band,
+    * one row carries the EXACT posting-count arm (n_inter,
+    * containment_pct — bit-identical to q107's) NEXT TO the KMV
+    * ESTIMATE derived from two bottom-[[ContainKmvK]] sketches of
+    * the same gated 48-bit shingle space: est_union from the k-th
+    * smallest of the merged sketch (Beyer et al., SIGMOD 2007),
+    * est_inter = ρ·est_union where ρ is the matched fraction of the
+    * merged bottom-k (Broder 1997's resemblance→containment
+    * algebra, the q103 machinery), est_containment over the EXACT
+    * doc sizes (per-doc gated counts are map-side aggregates — at
+    * 100 TB they stay cheap; it is the PAIR arm whose Σ df² posting
+    * expansion the sketch replaces). err_pp = estimate − exact, the
+    * overshoot table that is the evidence for dropping the exact arm
+    * at scale.
+    *
+    * Plan shape — THE JOIN ORDER IS THE SCALE ARGUMENT (measured:
+    * the first cut of this query joined the 33-long sketch arrays
+    * onto the FULL pair stream and ran 440 s in the ×100 suite —
+    * 41× its sf1 time — because every candidate pair shuffled two
+    * 264-byte arrays and paid in-row 64-element array algebra before
+    * any filter; reordered, the arrays only ever attach to the tiny
+    * calibration-band survivor set and the query returns to q107's
+    * own decade profile): the q107 pair stream gates on SCALAR sizes
+    * first (bit-identical to q107's own gate at the 50% floor), and
+    * only the survivors join the bottom-k sketches — built from the
+    * posting stream by ONE doc-keyed window + aggregate (the q103
+    * kmin pattern: collect_list sees ≤ k rows/doc, bounded at ANY
+    * doc size) — as two ALIASED equi-joins (the Pq lesson). The
+    * estimator is pure in-row integer array arithmetic. */
+  def q173ContainmentSketch(s: SparkSession, dir: String): DataFrame = {
+    val k = ContainKmvK
+    val keep = gatedPostings(withChimeraProbes(s, dir),
+      "q173_containment_df_cap")
+    val sizes = keep.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nsz"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val sketches = keep
+      .withColumn("rn", row_number().over(wDoc))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(when(col("rn") <= k, col("s"))))
+        .as("sk"))
+    val pairs = keep.filter(col("c") >= 2)
+      .groupBy(col("s"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .select(explode(Overlap.orderedPairs(col("ds"), (a, b) =>
+        struct(a.as("da"), b.as("db")))).as("p"))
+      .groupBy(col("p.da").as("da"), col("p.db").as("db"))
+      .agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("da"), col("nsz").as("na")),
+        "da")
+      .join(sizes.select(col("doc_id").as("db"), col("nsz").as("nb")),
+        "db")
+      .filter(col("n_inter") * CalibDen >=
+        least(col("na"), col("nb")) * CalibNum)
+      .join(sketches.alias("sa"), col("da") === col("sa.doc_id"))
+      .join(sketches.alias("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"), col("n_inter"),
+        col("na"), col("nb"),
+        col("sa.sk").as("ha"), col("sb.sk").as("hb"))
+      .withColumn("u", array_sort(array_distinct(
+        concat(col("ha"), col("hb")))))
+      .withColumn("est_union",
+        // complete iff BOTH gated sets fit in k — |u| <= k is NOT
+        // sufficient (two identical truncated sketches merge to k
+        // entries and would masquerade as a complete tiny union,
+        // collapsing a true-100% containment estimate to k/n)
+        when(col("na") <= k && col("nb") <= k,
+          size(col("u")).cast("long"))
+          .otherwise(expr(s"$ContainKmvNum div element_at(u, $k)")))
+      .withColumn("rho",
+        size(array_intersect(slice(col("u"), 1, k),
+          array_intersect(col("ha"), col("hb")))).cast("long"))
+      .withColumn("est_inter",
+        when(col("na") <= k && col("nb") <= k,
+          size(array_intersect(col("ha"), col("hb"))).cast("long"))
+          .otherwise(expr(s"rho * est_union div $k")))
+      .select(
+        when(col("nb") < col("na"), col("db")).otherwise(col("da"))
+          .as("inner_id"),
+        when(col("nb") < col("na"), col("da")).otherwise(col("db"))
+          .as("outer_id"),
+        least(col("na"), col("nb")).as("n_inner"),
+        greatest(col("na"), col("nb")).as("n_outer"),
+        col("n_inter"), col("est_inter"))
+      .withColumn("containment_pct",
+        expr("n_inter * 100 div n_inner"))
+      .withColumn("est_containment_pct",
+        expr("est_inter * 100 div n_inner"))
+      .withColumn("err_pp",
+        col("est_containment_pct") - col("containment_pct"))
+      .orderBy(col("inner_id"), col("outer_id"))
+  }
+
+  lazy val q173ContainmentSketchOracle: String = {
+    val k = ContainKmvK
+    s"""WITH $chimeraSql,
+       |base0 AS (
+       |  SELECT doc_id, $shinglesSql AS sh0 FROM corpus),
+       |hs AS (
+       |  SELECT doc_id, substring(md5(s0), 1, 12) AS hx
+       |  FROM (SELECT doc_id, unnest(sh0) AS s0 FROM base0)),
+       |inv AS (
+       |  SELECT DISTINCT doc_id, (${Sketch.hexSql("hx", 12)}) AS s
+       |  FROM hs),
+       |df AS (
+       |  SELECT s, CAST(count(*) AS BIGINT) AS c FROM inv GROUP BY s),
+       |keep AS (
+       |  SELECT doc_id, inv.s, c FROM inv JOIN df ON inv.s = df.s
+       |  WHERE c <= $ContainDfCap),
+       |sizes AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nsz
+       |  FROM keep GROUP BY doc_id),
+       |sk AS (
+       |  SELECT doc_id, list_sort(list(s)) AS hs FROM (
+       |    SELECT doc_id, s, row_number() OVER (
+       |      PARTITION BY doc_id ORDER BY s) AS rn FROM keep)
+       |  WHERE rn <= $k GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db,
+       |    CAST(count(*) AS BIGINT) AS n_inter
+       |  FROM keep a JOIN keep b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |ver AS (
+       |  SELECT da, db, n_inter, x.nsz AS na, y.nsz AS nb,
+       |    p.hs AS ha, q.hs AS hb
+       |  FROM pairs
+       |  JOIN sizes x ON x.doc_id = da
+       |  JOIN sizes y ON y.doc_id = db
+       |  JOIN sk p ON p.doc_id = da
+       |  JOIN sk q ON q.doc_id = db
+       |  WHERE n_inter * $CalibDen >= least(x.nsz, y.nsz) * $CalibNum),
+       |merged AS (
+       |  SELECT *, list_sort(list_distinct(ha || hb)) AS u FROM ver),
+       |est AS (
+       |  SELECT da, db, n_inter, na, nb, ha, hb, u,
+       |    CASE WHEN na <= $k AND nb <= $k THEN CAST(len(u) AS BIGINT)
+       |         ELSE CAST($ContainKmvNum // u[$k] AS BIGINT) END
+       |      AS est_union
+       |  FROM merged),
+       |calc AS (
+       |  SELECT da, db, n_inter, na, nb,
+       |    CASE WHEN na <= $k AND nb <= $k
+       |         THEN CAST(len(list_intersect(ha, hb)) AS BIGINT)
+       |         ELSE CAST(CAST(len(list_intersect(u[1:$k],
+       |           list_intersect(ha, hb))) AS BIGINT)
+       |           * est_union // $k AS BIGINT) END AS est_inter
+       |  FROM est)
+       |SELECT CASE WHEN nb < na THEN db ELSE da END AS inner_id,
+       |  CASE WHEN nb < na THEN da ELSE db END AS outer_id,
+       |  least(na, nb) AS n_inner, greatest(na, nb) AS n_outer,
+       |  n_inter, est_inter,
+       |  CAST(n_inter * 100 // least(na, nb) AS BIGINT)
+       |    AS containment_pct,
+       |  CAST(est_inter * 100 // least(na, nb) AS BIGINT)
+       |    AS est_containment_pct,
+       |  CAST(est_inter * 100 // least(na, nb)
+       |    - n_inter * 100 // least(na, nb) AS BIGINT) AS err_pp
+       |FROM calc
+       |ORDER BY inner_id, outer_id""".stripMargin
+  }
+
+  /** Minimum shared sketch hashes for a q107_sketch_only candidate:
+    * requiring TWO independent hash collisions (the LSH multi-band
+    * analogue) prunes the long tail of single-collision pairs before
+    * any array work — measured 286 s → see SCALING.md at ×100 when
+    * every singleton candidate carried two 264-byte arrays through
+    * the confirm joins. True high-containment pairs share many
+    * sketch hashes; the knob trades tail recall for pair volume and
+    * is the production path's own parameter. */
+  val MinSharedSketch = 2
+
+  /** Bench-only twin (no oracle): the 100 TB PRODUCTION path where
+    * the exact posting-pair arm is dropped entirely — candidates come
+    * from the SKETCH postings (≤ [[ContainKmvK]] keys/doc instead of
+    * every gated shingle, so the Σ df² pair expansion shrinks
+    * quadratically in the sketch ratio) and the decision runs on the
+    * estimate alone. Candidates gate on the SCALAR shared-hash count
+    * (≥ [[MinSharedSketch]]) before the sketch arrays join (the q173
+    * join-order lesson, same measurement). Measured next to q107's
+    * exact floor in BENCH_sf10/SCALING.md — the calibration evidence
+    * for the swap is q173's err_pp table. */
+  def q107SketchOnly(s: SparkSession, dir: String): DataFrame = {
+    val k = ContainKmvK
+    val keep = gatedPostings(
+      Tables.spread(Tables.load(s, dir, "documents")),
+      "q107_sketch_only_df_cap")
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val docStats = keep
+      .withColumn("rn", row_number().over(wDoc))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nsz"),
+        sort_array(collect_list(when(col("rn") <= k, col("s"))))
+          .as("sk"))
+      .localCheckpoint(false) // sketch table: candidates + both sides
+    val cands = docStats
+      .select(col("doc_id"), explode(col("sk")).as("h"))
+      .groupBy(col("h"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(Overlap.orderedPairs(col("ds"), (a, b) =>
+        struct(a.as("da"), b.as("db")))).as("p"))
+      .groupBy(col("p.da").as("da"), col("p.db").as("db"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MinSharedSketch)
+    cands
+      .join(docStats.alias("sa"), col("da") === col("sa.doc_id"))
+      .join(docStats.alias("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"),
+        col("sa.nsz").as("na"), col("sb.nsz").as("nb"),
+        col("sa.sk").as("ha"), col("sb.sk").as("hb"))
+      .withColumn("u", array_sort(array_distinct(
+        concat(col("ha"), col("hb")))))
+      .withColumn("est_union",
+        // complete iff BOTH gated sets fit in k — |u| <= k is NOT
+        // sufficient (two identical truncated sketches merge to k
+        // entries and would masquerade as a complete tiny union,
+        // collapsing a true-100% containment estimate to k/n)
+        when(col("na") <= k && col("nb") <= k,
+          size(col("u")).cast("long"))
+          .otherwise(expr(s"$ContainKmvNum div element_at(u, $k)")))
+      .withColumn("rho",
+        size(array_intersect(slice(col("u"), 1, k),
+          array_intersect(col("ha"), col("hb")))).cast("long"))
+      .withColumn("est_inter",
+        when(col("na") <= k && col("nb") <= k,
+          size(array_intersect(col("ha"), col("hb"))).cast("long"))
+          .otherwise(expr(s"rho * est_union div $k")))
+      .filter(col("est_inter") * ContainDen >=
+        least(col("na"), col("nb")) * ContainNum)
+      .select(
+        when(col("nb") < col("na"), col("db")).otherwise(col("da"))
+          .as("inner_id"),
+        when(col("nb") < col("na"), col("da")).otherwise(col("db"))
+          .as("outer_id"),
+        least(col("na"), col("nb")).as("n_inner"),
+        greatest(col("na"), col("nb")).as("n_outer"),
+        col("est_inter"))
+      .withColumn("est_containment_pct",
+        expr("est_inter * 100 div n_inner"))
+      .orderBy(col("inner_id"), col("outer_id"))
+  }
 
   /** Deterministic benchmark-probe selector for q129: every doc whose
     * id is ≡ 0 (mod 97) stands in for a held-out eval set. */

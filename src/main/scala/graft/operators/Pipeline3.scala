@@ -587,8 +587,16 @@ object Pipeline3 {
     * df, doc-keyed windows); the sample is TakeOrderedAndProject.
     * Every stage's state is bounded the same way as its standalone
     * twin — composing them adds no new shuffle beyond q80's. */
-  def q84CurationFunnel(s: SparkSession, dir: String): DataFrame = {
-    val k = SpanGram
+  /** q84's stage-1 survivor election — quality gate + exact-dedup
+    * (md5-normalized survivor, 10≤tokens≤5000, type-token ratio
+    * ≥30%) — factored out because it is the canonical "curated
+    * corpus" input: q84's funnel consumes it with token arrays
+    * (`withToks = true`), the q171/q172 shard layout consumes the
+    * doc-grain view. Returns a BARRIERED frame (lazy
+    * localCheckpoint): documents is scanned exactly once however
+    * many consumers read the survivors. */
+  private[operators] def curationSurvivors(s: SparkSession,
+      dir: String, withToks: Boolean): DataFrame = {
     val base = Tables.spread(Tables.load(s, dir, "documents"))
       .select(col("doc_id"), col("lang"),
         md5(graft.functions.TextStatFunctions.normText(col("text")))
@@ -600,13 +608,40 @@ object Pipeline3 {
         col("st").getItem(1).cast("long").as("n_tokens"),
         (col("st").getItem(2) * 100).as("dx"))
       .withColumn("ttr_pct", expr("dx div n_tokens"))
-    val survivors = base
+    val keep =
+      if (withToks) Seq("doc_id", "lang", "toks", "n_tokens")
+      else Seq("doc_id", "lang", "n_tokens")
+    base
       .withColumn("survivor",
         min(col("doc_id")).over(Window.partitionBy(col("h"))))
       .filter(col("doc_id") === col("survivor") &&
         col("n_tokens").between(10, 5000) && col("ttr_pct") >= 30)
-      .select(col("doc_id"), col("lang"), col("toks"), col("n_tokens"))
+      .select(keep.map(col): _*)
       .localCheckpoint(false) // funnel barrier: documents scanned once
+  }
+
+  /** The raw/base/surv CTE prefix matching [[curationSurvivors]] —
+    * shared verbatim by the q84/q171/q172 oracles so the survivor
+    * semantics cannot drift between them. */
+  private[operators] val curationSurvSql: String =
+    s"""raw AS (
+       |  SELECT doc_id, lang, text, $tokensSql AS toks FROM documents),
+       |base AS (
+       |  SELECT doc_id, lang, md5($normSql) AS h, toks,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(toks)) * 100 // len(toks) AS BIGINT)
+       |      AS ttr_pct
+       |  FROM raw),
+       |surv AS (
+       |  SELECT doc_id, lang, toks, n_tokens FROM (
+       |    SELECT *, min(doc_id) OVER (PARTITION BY h) AS survivor
+       |    FROM base)
+       |  WHERE doc_id = survivor AND n_tokens BETWEEN 10 AND 5000
+       |    AND ttr_pct >= 30)""".stripMargin
+
+  def q84CurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val k = SpanGram
+    val survivors = curationSurvivors(s, dir, withToks = true)
     // second (sequential) barrier: grams feeds BOTH the df aggregate
     // and the occurrence semi-join — without it the tokenShingleMd5
     // kernel + explode run twice from the survivor blocks (measured
@@ -659,20 +694,7 @@ object Pipeline3 {
 
   val q84CurationFunnelOracle: String = {
     val k = SpanGram
-    s"""WITH raw AS (
-       |  SELECT doc_id, lang, text, $tokensSql AS toks FROM documents),
-       |base AS (
-       |  SELECT doc_id, lang, md5($normSql) AS h, toks,
-       |    CAST(len(toks) AS BIGINT) AS n_tokens,
-       |    CAST(len(list_distinct(toks)) * 100 // len(toks) AS BIGINT)
-       |      AS ttr_pct
-       |  FROM raw),
-       |surv AS (
-       |  SELECT doc_id, lang, toks, n_tokens FROM (
-       |    SELECT *, min(doc_id) OVER (PARTITION BY h) AS survivor
-       |    FROM base)
-       |  WHERE doc_id = survivor AND n_tokens BETWEEN 10 AND 5000
-       |    AND ttr_pct >= 30),
+    s"""WITH $curationSurvSql,
        |sh AS (
        |  SELECT doc_id, n_tokens AS n,
        |    unnest(list_transform(

@@ -222,5 +222,13 @@ object PlanAudit {
       // 1-row broadcasts (n, max|G|, per-round max|raw|, sign pick)
       // onto dims²-row frames — totals shape; the corpus collapsed in
       // the one flat-index aggregate long before any of them.
-      "q170_pca_power")
+      "q170_pca_power",
+      // q172 crossJoins the per-shard manifest rows with the 1-row
+      // broadcast corpus totals (the conservation columns) — totals
+      // shape; the corpus collapsed at the survivor barrier.
+      "q172_shard_manifest",
+      // q174's per-round renormalization and the final prune each
+      // crossJoin the vocabulary-scale piece table with its 1-row
+      // broadcast count total — totals shape.
+      "q174_unigram_lm")
 }

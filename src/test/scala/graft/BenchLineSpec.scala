@@ -36,6 +36,15 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.contains("\"bench_full\":\"BENCH_FULL.json\""))
   }
 
+  test("short names never collide across the bench entry set") {
+    val names = (SparkEntry.queries.keySet ++
+      SparkEntry.benchExtras.keySet).toSeq
+    val shorts = names.map(Bench.shortName)
+    assert(shorts.distinct.size === shorts.size,
+      "duplicate short key in the stdout JSON map: " +
+        shorts.groupBy(identity).filter(_._2.size > 1).keys.mkString(","))
+  }
+
   test("fallback line still carries a parseable top-10-slowest map") {
     val line = Bench.stdoutLine(9.0, fakeQueries(300), "BENCH_FULL.json", "sf")
     assert(line.contains("\"queries\":{"))
