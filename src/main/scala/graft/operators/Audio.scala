@@ -121,11 +121,22 @@ object Audio {
     }
   }
 
-  /** 16-bit little-endian PCM encode of one clip. */
+  /** 16-bit little-endian PCM encode of one clip. The synth must
+    * stay inside the 16-bit range OUTRIGHT — [[codesClosedForm]] (and
+    * therefore the DuckDB oracle constants) consumes the unencoded
+    * sample() output, so a silent clamp here would desynchronize the
+    * engine and oracle arms the moment an amplitude bump pushed a
+    * sample past the range (it would look like a decode bug). The
+    * invariant is enforced, not incidental: an out-of-range synth
+    * fails loudly at payload build. */
   private[graft] def pcmBytes(seed: Long, variant: Int): Array[Byte] = {
     val out = new Array[Byte](ClipSamples * 2)
     for (i <- 0 until ClipSamples) {
-      val v = math.max(-32768, math.min(32767, sample(seed, variant, i)))
+      val v = sample(seed, variant, i)
+      require(v >= Short.MinValue && v <= Short.MaxValue,
+        s"synth sample out of 16-bit range: $v (seed=$seed, " +
+          s"variant=$variant, i=$i) — pcm encode and codesClosedForm " +
+          "would diverge")
       out(2 * i) = (v & 0xff).toByte
       out(2 * i + 1) = ((v >> 8) & 0xff).toByte
     }

@@ -158,9 +158,14 @@ object UnigramLm {
     * total; barriered (q158: round r+1 independent of round r). */
   private def normalize(v: DataFrame): DataFrame = {
     val tot = v.agg(sum(col("cnt")).as("tot"))
+    // cnt widened to DECIMAL(38,0) before the ×PScale — the oracle
+    // multiplies in HUGEINT exactly, and non-ANSI Long arithmetic
+    // would wrap silently past cnt ≈ 9.2e14 (the q170 overflow class)
     v.crossJoin(broadcast(tot))
       .withColumn("p",
-        greatest(expr(s"cnt * $PScale div tot"), lit(1L)))
+        greatest(expr(
+          s"CAST(CAST(cnt AS DECIMAL(38,0)) * $PScale div tot AS BIGINT)"),
+          lit(1L)))
       .select(col("piece"), col("plen"), col("cnt"), col("p"))
       .localCheckpoint(false)
   }
@@ -185,7 +190,10 @@ object UnigramLm {
     val tot = pruned.agg(sum(col("cnt")).as("tot"))
     pruned.crossJoin(broadcast(tot))
       .select(col("piece"), col("plen").as("piece_len"), col("cnt"),
-        greatest(expr(s"cnt * $PScale div tot"), lit(1L)).as("p_e4"))
+        // DECIMAL-widened like normalize() — see the comment there
+        greatest(expr(
+          s"CAST(CAST(cnt AS DECIMAL(38,0)) * $PScale div tot AS BIGINT)"),
+          lit(1L)).as("p_e4"))
       .orderBy(col("cnt").desc, col("piece").asc)
   }
 

@@ -69,13 +69,26 @@ object DocIngest {
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     // restart recovery: previously-persisted verdicts name the docs
     // earlier batches ACCEPTED; re-derive their signatures from the
-    // landing files and seed them into the index with the corpus
+    // landing files and seed them into the index with the corpus.
+    // "No verdicts yet" is an explicit filesystem check (batch_id=
+    // partitions absent), NOT a catch-all — a corrupt/unreadable
+    // verdict store must raise rather than silently reset the index
+    // (later batches would stop being checked against docs the
+    // durable verdicts already accepted). A replayed batch's own
+    // durable rows are harmless here, unlike ShardIngest's tails:
+    // verdict candidates are DISTINCT (new_id, partner_id) pairs with
+    // self-pairs excluded, so a double-seeded doc changes no verdict.
+    val vPath = new org.apache.hadoop.fs.Path(outDir)
+    val vFs = vPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasVerdicts = vFs.exists(vPath) && vFs.listStatus(vPath)
+      .exists(_.getPath.getName.startsWith("batch_id="))
     val priorAccepted: Option[DataFrame] =
-      try {
+      if (!hasVerdicts) None
+      else {
         val v = spark.read.parquet(outDir)
           .filter(col("dup_of") === -1L).select(col("doc_id"))
         if (v.isEmpty) None else Some(v)
-      } catch { case _: Exception => None } // no verdicts yet
+      }
     val seed = priorAccepted match {
       case Some(acc) =>
         corpus.select(col("doc_id"), col("text")).unionByName(

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -12,8 +13,8 @@ import graft.operators.Shards
   * at-ingest shape carried to the training-shard assignment: curated
   * documents land in batches and each batch extends the shard layout
   * WITHOUT touching any shipped shard. Carried state is ONE tail
-  * tuple per bucket (cumulative tokens, open-shard seq, the open
-  * shard's start offset and member count) — O([[Shards.ShardBuckets]])
+  * tuple per pack grain (cumulative tokens, open-shard seq, the open
+  * shard's start offset and member count) — O([[Shards.PackGrains]])
   * longs forever, the mergeable-summary discipline of the other
   * streaming twins.
   *
@@ -23,7 +24,7 @@ import graft.operators.Shards
   * (shard_id, position, doc_id, n_tokens, token_offset) rows to
   * `Shards.q171ShardLayout`, however the stream is cut into
   * micro-batches (batch boundaries never change an assignment:
-  * the per-bucket running token count is the only coupling, and it
+  * the per-grain running token count is the only coupling, and it
   * is exactly the carried state). Fed in ARRIVAL order instead, the
   * layout differs from the batch shuffle (an incremental assigner
   * cannot re-sort history — the standard trade) but every
@@ -31,18 +32,26 @@ import graft.operators.Shards
   * positions contiguous per shard, offsets the member-token prefix
   * sums, shards size-bounded by budget + one overflow doc.
   *
-  * Restart safety (the PhashIngest recipe): assignment writes are
-  * idempotent (each micro-batch overwrites its own `batch_id=`
-  * partition) and the per-bucket tail state is rebuilt on start from
-  * the durable assignments alone — cum = Σ n_tokens per bucket, the
-  * open shard is the bucket's max seq, its member count is that
-  * shard's max position + 1, and its start offset is cum minus the
-  * open shard's own token span (all derivable from stored columns).
+  * Restart safety (the PhashIngest recipe, hardened): assignment
+  * writes are idempotent (each micro-batch overwrites its own
+  * `batch_id=` partition) and the per-grain tail state is rebuilt
+  * INSIDE the first foreachBatch from the durable assignments with
+  * `batch_id < current` ONLY — rebuilding at stream start from all
+  * durable rows would, after a crash between the parquet write and
+  * the checkpoint commit, sum the replayed batch's own rows into the
+  * tails and shift every replayed position/offset (the round-12
+  * advisor finding). Filtering to strictly-earlier batches makes the
+  * replay re-derive exactly the state the crashed run saw, so the
+  * overwrite is bit-identical. A genuinely missing/empty output dir
+  * is detected by an explicit filesystem check; any OTHER read
+  * failure (corrupt footer, transient FS error, permissions)
+  * propagates instead of silently restarting tails at zero against
+  * existing shards.
   *
-  * Scale posture: per batch, one window pair on (bucket) then
-  * (bucket, seq) over BATCH-grain rows plus a broadcast join of the
-  * [[Shards.ShardBuckets]]-row state table; the per-bucket state
-  * aggregate collected to the driver is buckets-bounded. Nothing
+  * Scale posture: per batch, one window pair on (grain) then
+  * (grain, seq) over BATCH-grain rows plus a broadcast join of the
+  * [[Shards.PackGrains]]-row state table; the per-grain state
+  * aggregate collected to the driver is grains-bounded. Nothing
   * rescans prior batches; shipped shards are immutable. */
 object ShardIngest {
 
@@ -53,10 +62,10 @@ object ShardIngest {
     StructField("lang", StringType),
     StructField("n_tokens", LongType)))
 
-  /** Per-bucket tail: cumulative bucket tokens, the open shard's
-    * seq (−1 = none yet), its first token's bucket offset, and its
+  /** Per-grain tail: cumulative grain tokens, the open shard's
+    * seq (−1 = none yet), its first token's grain offset, and its
     * current member count. */
-  final case class BucketTail(cum: Long, seqOpen: Long,
+  final case class GrainTail(cum: Long, seqOpen: Long,
       shardStart: Long, docsIn: Long)
 
   /** Assign one micro-batch against the carried state; returns the
@@ -64,31 +73,34 @@ object ShardIngest {
     * token_offset) and the advanced state. Intra-batch order is
     * q171's own (md5 key, doc_id) — deterministic under retry. */
   private[graft] def assignBatch(spark: SparkSession,
-      state: Map[Long, BucketTail], batch: DataFrame)
-      : (DataFrame, Map[Long, BucketTail]) = {
+      state: Map[Long, GrainTail], batch: DataFrame,
+      grains: Long = Shards.PackGrains,
+      tokens: Long = Shards.ShardTokens,
+      buckets: Long = Shards.ShardBuckets)
+      : (DataFrame, Map[Long, GrainTail]) = {
     import spark.implicits._
     val st = state.toSeq
-      .map { case (b, t) => (b, t.cum, t.seqOpen, t.shardStart, t.docsIn) }
-      .toDF("bucket", "cum0", "seq_open", "shard_start0", "docs_in0")
+      .map { case (g, t) => (g, t.cum, t.seqOpen, t.shardStart, t.docsIn) }
+      .toDF("grain", "cum0", "seq_open", "shard_start0", "docs_in0")
     val keyed = batch
       .withColumn("k",
         md5(concat(lit("shard:"), col("doc_id").cast("string"))))
-      .withColumn("bucket",
+      .withColumn("grain",
         expr(s"CAST(conv(substring(k, 1, 2), 16, 10) AS BIGINT)" +
-          s" % ${Shards.ShardBuckets}"))
-      .join(broadcast(st), Seq("bucket"), "left")
+          s" % $grains"))
+      .join(broadcast(st), Seq("grain"), "left")
       .na.fill(0L, Seq("cum0", "shard_start0", "docs_in0"))
       .na.fill(-1L, Seq("seq_open"))
-    val wCum = Window.partitionBy(col("bucket"))
+    val wCum = Window.partitionBy(col("grain"))
       .orderBy(col("k"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val packed = keyed
       .withColumn("start",
         col("cum0") + sum(col("n_tokens")).over(wCum) - col("n_tokens"))
-      .withColumn("seq", expr(s"start div ${Shards.ShardTokens}"))
-    val wOrd = Window.partitionBy(col("bucket"), col("seq"))
+      .withColumn("seq", expr(s"start div $tokens"))
+    val wOrd = Window.partitionBy(col("grain"), col("seq"))
       .orderBy(col("k"), col("doc_id"))
-    val wShard = Window.partitionBy(col("bucket"), col("seq"))
+    val wShard = Window.partitionBy(col("grain"), col("seq"))
     val asn = packed
       .withColumn("pos_intra", (row_number().over(wOrd) - 1).cast("long"))
       .withColumn("min_start", min(col("start")).over(wShard))
@@ -102,48 +114,74 @@ object ShardIngest {
           .otherwise(col("min_start")))
       .withColumn("token_offset", col("start") - col("shard_start"))
       .withColumn("shard_id",
-        col("bucket") * lit(Shards.ShardIdBase) + col("seq"))
+        col("grain") % buckets * lit(Shards.ShardIdBase)
+          + expr(s"grain div $buckets") * lit(Shards.ShardSubBase)
+          + col("seq"))
       .localCheckpoint(true) // read twice: output + the state fold
     val out = asn.select(col("shard_id"), col("position"), col("doc_id"),
       col("lang"), col("n_tokens"), col("token_offset"))
       .orderBy(col("shard_id"), col("position"))
-    // advance the touched buckets' tails (buckets-bounded collect).
+    // advance the touched grains' tails (grains-bounded collect).
     // struct-max, not max_by: max_by's ordering key (seq) ties across
     // every row of the open shard, and its tie pick is unspecified —
     // the struct orders by (seq, position) and is exact
-    val advanced = asn.groupBy(col("bucket"))
+    val advanced = asn.groupBy(col("grain"))
       .agg(max(col("start") + col("n_tokens")).as("cum"),
         max(struct(col("seq"), col("position"))).as("op"),
         max(struct(col("seq"), col("shard_start"))).as("os"))
-      .select(col("bucket"), col("cum"), col("op.seq").as("seq_open"),
+      .select(col("grain"), col("cum"), col("op.seq").as("seq_open"),
         col("os.shard_start").as("shard_start"),
         (col("op.position") + 1).as("docs_in"))
       .collect()
       .map(r => r.getLong(0) ->
-        BucketTail(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        GrainTail(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toMap
     (out, state ++ advanced)
   }
 
-  /** Rebuild the per-bucket tail state from durable assignments (the
+  /** Rebuild the per-grain tail state from durable assignments (the
     * restart path — see object scaladoc). */
-  private[graft] def recoverState(assigned: DataFrame)
-      : Map[Long, BucketTail] = {
-    val wB = Window.partitionBy(col("bucket"))
+  private[graft] def recoverState(assigned: DataFrame,
+      buckets: Long = Shards.ShardBuckets): Map[Long, GrainTail] = {
+    val wG = Window.partitionBy(col("grain"))
     assigned
-      .withColumn("bucket", expr(s"shard_id div ${Shards.ShardIdBase}"))
-      .withColumn("seq", expr(s"shard_id % ${Shards.ShardIdBase}"))
-      .withColumn("cum", sum(col("n_tokens")).over(wB))
-      .withColumn("open", max(col("seq")).over(wB))
+      .withColumn("grain",
+        expr(s"shard_id % ${Shards.ShardIdBase}" +
+          s" div ${Shards.ShardSubBase} * $buckets" +
+          s" + shard_id div ${Shards.ShardIdBase}"))
+      .withColumn("seq",
+        expr(s"shard_id % ${Shards.ShardSubBase}"))
+      .withColumn("cum", sum(col("n_tokens")).over(wG))
+      .withColumn("open", max(col("seq")).over(wG))
       .filter(col("seq") === col("open"))
-      .groupBy(col("bucket"))
+      .groupBy(col("grain"))
       .agg(max(col("cum")).as("cum"), max(col("seq")).as("seq_open"),
         (max(col("position")) + 1).as("docs_in"),
         max(col("token_offset") + col("n_tokens")).as("open_span"))
       .collect()
-      .map(r => r.getLong(0) -> BucketTail(r.getLong(1), r.getLong(2),
+      .map(r => r.getLong(0) -> GrainTail(r.getLong(1), r.getLong(2),
         r.getLong(1) - r.getLong(4), r.getLong(3)))
       .toMap
+  }
+
+  /** Tail state from the durable output dir as a replayed batch must
+    * see it: assignments of STRICTLY EARLIER batches only (a replayed
+    * batch's own `batch_id=` partition may already exist — counting
+    * it would shift every replayed position, the crash-window bug
+    * this filter closes). Returns empty ONLY when the output dir is
+    * genuinely absent or holds no batch partitions yet; read errors
+    * over existing data propagate (see object scaladoc). */
+  private[graft] def recoverStateBefore(spark: SparkSession,
+      outDir: String, batchId: Long,
+      buckets: Long = Shards.ShardBuckets): Map[Long, GrainTail] = {
+    val path = new Path(outDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasBatches = fs.exists(path) && fs.listStatus(path)
+      .exists(_.getPath.getName.startsWith("batch_id="))
+    if (!hasBatches) Map.empty
+    else recoverState(
+      spark.read.parquet(outDir).filter(col("batch_id") < batchId),
+      buckets)
   }
 
   /** Start the incremental shard-assignment stream over a landing
@@ -152,9 +190,9 @@ object ShardIngest {
   def incrementalShardLayout(spark: SparkSession, landingDir: String,
       outDir: String, maxFilesPerTrigger: Option[Int] = None,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    var state: Map[Long, BucketTail] =
-      try recoverState(spark.read.parquet(outDir))
-      catch { case _: Exception => Map.empty } // no assignments yet
+    // recovery is deferred into the FIRST foreachBatch so the replay
+    // filter can exclude the replayed batch's own durable partition
+    var state: Option[Map[Long, GrainTail]] = None
     val reader = spark.readStream.schema(docSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader.parquet(landingDir)
@@ -162,13 +200,15 @@ object ShardIngest {
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val (asn, st) = assignBatch(spark, state, batch)
+        val st0 = state.getOrElse(
+          recoverStateBefore(spark, outDir, batchId))
+        val (asn, st) = assignBatch(spark, st0, batch)
         asn.withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
           .parquet(outDir)
-        state = st
+        state = Some(st)
         ()
       }
       .start()

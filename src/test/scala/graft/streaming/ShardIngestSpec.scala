@@ -12,8 +12,10 @@ import graft.operators.Shards
 /** The incremental shard assigner must reproduce the batch q171
   * layout bit-for-bit when fed in the batch operator's own
   * deterministic order — however the stream is cut into batches —
-  * and must keep every conservation property under arbitrary arrival
-  * order. */
+  * must keep every conservation property under arbitrary arrival
+  * order, and must recover state across restarts WITHOUT counting a
+  * replayed batch's own durable rows (the crash window between the
+  * parquet write and the checkpoint commit). */
 class ShardIngestSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
 
@@ -65,15 +67,15 @@ class ShardIngestSpec extends AnyFunSuite {
     val (asn, st) =
       ShardIngest.assignBatch(spark, Map.empty, docsDf(ordered))
     assert(rowsOf(asn) === batchLayout)
-    assert(st.keySet.size <= Shards.ShardBuckets,
-      "state must stay buckets-bounded")
+    assert(st.keySet.size <= Shards.PackGrains,
+      "state must stay grains-bounded")
   }
 
   test("batch boundaries never change an assignment: a 3-way split " +
       "chains to the same layout") {
     val cuts = Seq(ordered.slice(0, 70), ordered.slice(70, 140),
       ordered.slice(140, 200))
-    var state = Map.empty[Long, ShardIngest.BucketTail]
+    var state = Map.empty[Long, ShardIngest.GrainTail]
     val got = cuts.flatMap { c =>
       val (asn, st) = ShardIngest.assignBatch(spark, state, docsDf(c))
       state = st
@@ -82,16 +84,12 @@ class ShardIngestSpec extends AnyFunSuite {
     assert(got === batchLayout)
   }
 
-  test("end-to-end stream over landing files equals the batch " +
-      "layout, and state recovers from the durable assignments") {
+  /** Write `cuts` as order-preserving flat landing files (the file
+    * source does not recurse into subdirectories). */
+  private def writeLanding(cuts: Seq[Seq[(Long, String, Long)]])
+      : String = {
     val landing = Files.createTempDirectory("shing-landing").toString
-    val out = Files.createTempDirectory("shing-out").toString
-    // three FLAT landing files preserving the q171 global order (the
-    // file source does not recurse into subdirectories): write each
-    // cut to a scratch dir, then move its part file up under an
-    // order-preserving name
-    Seq(ordered.slice(0, 70), ordered.slice(70, 140),
-      ordered.slice(140, 200)).zipWithIndex.foreach { case (c, i) =>
+    cuts.zipWithIndex.foreach { case (c, i) =>
       val scratch = Files.createTempDirectory(s"shing-cut$i").toString
       docsDf(c).coalesce(1).write.mode("overwrite").parquet(scratch)
       val part = new java.io.File(scratch).listFiles()
@@ -100,6 +98,14 @@ class ShardIngestSpec extends AnyFunSuite {
       Files.copy(part.toPath,
         java.nio.file.Paths.get(s"$landing/batch_$i.parquet"))
     }
+    landing
+  }
+
+  test("end-to-end stream over landing files equals the batch " +
+      "layout, and state recovers from the durable assignments") {
+    val landing = writeLanding(Seq(ordered.slice(0, 70),
+      ordered.slice(70, 140), ordered.slice(140, 200)))
+    val out = Files.createTempDirectory("shing-out").toString
     val q = ShardIngest.incrementalShardLayout(spark, landing, out,
       maxFilesPerTrigger = Some(1))
     q.awaitTermination(120000)
@@ -111,9 +117,62 @@ class ShardIngestSpec extends AnyFunSuite {
     assert(ShardIngest.recoverState(stored) === direct)
   }
 
+  test("crash-window replay is idempotent: a batch whose own " +
+      "partition is already durable recovers the PRE-batch state and " +
+      "re-derives identical rows") {
+    val cuts = Seq(ordered.slice(0, 100), ordered.slice(100, 200))
+    val landing = writeLanding(cuts)
+    val out = Files.createTempDirectory("shing-crash").toString
+    // complete run: both batch partitions durable, checkpoint ignored
+    val q = ShardIngest.incrementalShardLayout(spark, landing, out,
+      maxFilesPerTrigger = Some(1))
+    q.awaitTermination(120000)
+    val all = spark.read.parquet(out)
+    // simulate the crash BETWEEN batch 1's parquet write and its
+    // checkpoint commit: the restart replays batch 1 while the
+    // batch_id=1 partition already exists. The recovered state must
+    // exclude that partition's rows...
+    val replayState = ShardIngest.recoverStateBefore(spark, out, 1L)
+    val (_, afterBatch0) =
+      ShardIngest.assignBatch(spark, Map.empty, docsDf(cuts(0)))
+    assert(replayState === afterBatch0,
+      "recovered state must equal the state the crashed run saw")
+    // ...so the replayed assignment is bit-identical to the durable one
+    val (replayAsn, _) =
+      ShardIngest.assignBatch(spark, replayState, docsDf(cuts(1)))
+    assert(rowsOf(replayAsn) ===
+      rowsOf(all.filter(col("batch_id") === 1L)))
+    // the OLD recipe (recover from ALL durable rows) would have
+    // double-counted batch 1 — prove the distinction is real
+    assert(ShardIngest.recoverState(all) !== afterBatch0)
+  }
+
+  test("recovery treats only a genuinely absent/empty output dir as " +
+      "fresh; corrupt durable data raises instead of restarting at " +
+      "zero") {
+    val missing = Files.createTempDirectory("shing-miss")
+      .resolve("never-written").toString
+    assert(ShardIngest.recoverStateBefore(spark, missing, 0L) ===
+      Map.empty[Long, ShardIngest.GrainTail])
+    // dir with only the checkpoint subdir (no batch partitions) = fresh
+    val onlyCkpt = Files.createTempDirectory("shing-ckpt").toString
+    Files.createDirectory(java.nio.file.Paths.get(s"$onlyCkpt/_checkpoint"))
+    assert(ShardIngest.recoverStateBefore(spark, onlyCkpt, 0L) ===
+      Map.empty[Long, ShardIngest.GrainTail])
+    // corrupt batch partition: NOT silently-empty — it must raise
+    val corrupt = Files.createTempDirectory("shing-corrupt").toString
+    val bdir = java.nio.file.Paths.get(s"$corrupt/batch_id=0")
+    Files.createDirectory(bdir)
+    Files.write(bdir.resolve("part-00000.parquet"),
+      "not a parquet file".getBytes("UTF-8"))
+    intercept[Exception] {
+      ShardIngest.recoverStateBefore(spark, corrupt, 1L)
+    }
+  }
+
   test("arrival-order ingest still conserves: each doc once, " +
       "contiguous positions, prefix-sum offsets, bounded shards") {
-    var state = Map.empty[Long, ShardIngest.BucketTail]
+    var state = Map.empty[Long, ShardIngest.GrainTail]
     val byArrival = ordered.sortBy(_._1) // doc_id order ≠ md5 order
     val got = Seq(byArrival.slice(0, 100), byArrival.slice(100, 200))
       .flatMap { c =>
