@@ -208,6 +208,177 @@ object EntityRes {
        |FROM matched
        |ORDER BY nation, bal_bucket, cust_a, cust_b""".stripMargin
 
+  // ---- q176: what the block cap costs (recall calibration) ----------
+
+  /** Filler rows in the planted probe block: 67 + 4 endpoints = 71
+    * members > [[BlockCap]], so the block is in the capped
+    * sorted-neighborhood regime at EVERY scale. */
+  val ErRecallFillers = 67
+  /** Per-block size bound for the exact all-pairs TRUTH arm — the
+    * calibration's own cost cap (truth work is Σ bn² over measured
+    * blocks). Blocks above it are excluded and surfaced by the
+    * observe metric, never silently skipped. */
+  val ErRecallTruthCap = 1024L
+  /** Natural capped blocks enter the truth arm on a deterministic
+    * 1-in-[[ErRecallSampleMod]] block-key hash sample (the q131
+    * sampled-ground-truth recipe); the planted block always enters. */
+  val ErRecallSampleMod = 64L
+
+  /** The planted oversized block (nation −1 — no real customer block
+    * can collide): two TRUE pairs sharing a long name core, one
+    * placed > W apart in sort order (endpoints "0 …" / "zz …"
+    * sandwich the 67 hex-named fillers → MISSED by the
+    * sorted-neighborhood window), one adjacent ("g0 …"/"g1 …" →
+    * FOUND), fillers mutually dissimilar md5-hex names. The q154
+    * replant lesson applied to ER: natural capped blocks may hold no
+    * far-apart true pair at small scales, so without planting the
+    * missed side of the calibration gates nothing. */
+  private def probeBlock(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val core = "recall calibration far apart pair anchor"
+    val core2 = "nearby duplicate twin middle zone text"
+    val fillers = s.range(ErRecallFillers.toLong)
+      .select((lit(-2000000L) - col("id")).as("ck"),
+        md5(concat(lit("errecall"), col("id").cast("string"))).as("nm"))
+    val endpoints = Seq(
+      (-1000001L, s"0 $core"), (-1000002L, s"zz $core"),
+      (-1000003L, s"g0 $core2"), (-1000004L, s"g1 $core2"))
+      .toDF("ck", "nm")
+    fillers.unionByName(endpoints)
+      .select(lit(-1L).as("nation"), lit(0L).as("bal_bucket"),
+        col("ck"), lower(col("nm")).as("nm"),
+        trigrams(col("nm")).as("g"))
+      .withColumn("ng", size(col("g")).cast("long"))
+  }
+
+  /** q176: recall cost of the q101 block cap — the q153/q131
+    * calibration treatment applied to the ER pillar. q101's
+    * 64-cap + W=8 sorted neighborhood documents its Hernández–Stolfo
+    * recall degradation but never measured it; this query does: for
+    * every measured CAPPED block (bn > [[BlockCap]]), the EXACT
+    * all-pairs matched set at q101's own threshold is the truth, the
+    * pairs within the W-neighborhood are the found set, and the row
+    * reports (truth_pairs, found_pairs, missed_pairs, recall_e6).
+    * Only blocks with ≥1 truth pair report (recall of nothing is
+    * undefined); the planted probe block guarantees one non-vacuous
+    * row — found ≥ 1 AND missed ≥ 1 — at every scale.
+    *
+    * 100 TB posture: the truth arm is the calibration's only
+    * super-linear stage and is explicitly bounded — capped blocks
+    * enter on a deterministic block-key hash sample
+    * (1/[[ErRecallSampleMod]]) AND only below [[ErRecallTruthCap]]
+    * members (Σ bn² over measured blocks ≤ sampled-blocks ×
+    * TruthCap²); blocks excluded by the size bound surface via the
+    * observe metric. The found arm re-derives q101's own windowed
+    * pair rule (b.rn − a.rn ≤ W) inside the same bounded join, so
+    * nothing corpus-scale runs twice. */
+  def q176ErRecall(s: SparkSession, dir: String): DataFrame = {
+    val real = Tables.load(s, dir, "customer")
+      .select(col("c_nationkey").cast("long").as("nation"),
+        expr(s"CAST(round(c_acctbal * 100) AS BIGINT) div $BalBucket")
+          .as("bal_bucket"),
+        col("c_custkey").as("ck"),
+        lower(col("c_name")).as("nm"),
+        trigrams(col("c_name")).as("g"))
+      .withColumn("ng", size(col("g")).cast("long"))
+    val block = Window.partitionBy(col("nation"), col("bal_bucket"))
+    val ord = block.orderBy(col("nm"), col("ck"))
+    val elig = real.unionByName(probeBlock(s))
+      .withColumn("bn", count(lit(1)).over(block))
+      .withColumn("rn", row_number().over(ord).cast("long"))
+      .filter(col("bn") > BlockCap)
+      .observe("q176_er_recall_truth_cap",
+        coalesce(max(col("bn")), lit(0L)).as("max_capped_block_rows"),
+        coalesce(max(when(col("bn") > ErRecallTruthCap, col("bn"))
+          .otherwise(0L)), lit(0L)).as("max_unmeasured_block_rows"))
+      .filter(col("bn") <= ErRecallTruthCap &&
+        (col("nation") < 0 ||
+          abs(col("nation") * 1009 + col("bal_bucket"))
+            % ErRecallSampleMod === 0))
+      .localCheckpoint(false) // both sides of the bounded truth join
+    val pairs = elig.alias("a")
+      .join(elig.alias("b"),
+        col("a.nation") === col("b.nation") &&
+          col("a.bal_bucket") === col("b.bal_bucket") &&
+          col("b.rn") > col("a.rn"))
+      .select(col("a.nation").as("nation"),
+        col("a.bal_bucket").as("bal_bucket"), col("a.bn").as("bn"),
+        col("a.ng").as("na"), col("b.ng").as("nb"),
+        graft.functions.TextStatFunctions
+          .intersectCount(col("a.g"), col("b.g")).as("ni"),
+        (col("b.rn") - col("a.rn") <= NeighborW).cast("long").as("found"))
+      .filter(col("na") + col("nb") - col("ni") >= 1 &&
+        expr("ni * 1000000 div (na + nb - ni)") >= ErTauE6)
+    pairs.groupBy(col("nation"), col("bal_bucket"), col("bn"))
+      .agg(count(lit(1)).as("truth_pairs"),
+        sum(col("found")).as("found_pairs"))
+      .withColumn("missed_pairs", expr("truth_pairs - found_pairs"))
+      .withColumn("recall_e6",
+        expr("found_pairs * 1000000 div truth_pairs"))
+      .orderBy(col("nation"), col("bal_bucket"))
+  }
+
+  val q176ErRecallOracle: String = {
+    val tg = (e: String) => s"list_distinct(list_transform(" +
+      s"range(1, greatest(len($e) - 2, 0) + 1), " +
+      s"i -> substring($e, i, 3)))"
+    s"""WITH pnames AS (
+       |  SELECT -2000000 - i AS ck,
+       |    md5('errecall' || CAST(i AS VARCHAR)) AS nm
+       |  FROM range($ErRecallFillers) t(i)
+       |  UNION ALL SELECT -1000001,
+       |    '0 recall calibration far apart pair anchor'
+       |  UNION ALL SELECT -1000002,
+       |    'zz recall calibration far apart pair anchor'
+       |  UNION ALL SELECT -1000003,
+       |    'g0 nearby duplicate twin middle zone text'
+       |  UNION ALL SELECT -1000004,
+       |    'g1 nearby duplicate twin middle zone text'),
+       |base AS (
+       |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+       |    CAST(round(c_acctbal * 100) AS BIGINT) // $BalBucket
+       |      AS bal_bucket,
+       |    c_custkey AS ck, lower(c_name) AS nm,
+       |    ${tg("lower(c_name)")} AS g
+       |  FROM customer
+       |  UNION ALL
+       |  SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), ck,
+       |    lower(nm), ${tg("lower(nm)")}
+       |  FROM pnames),
+       |w AS (
+       |  SELECT base.*, CAST(len(g) AS BIGINT) AS ng,
+       |    CAST(row_number() OVER (PARTITION BY nation, bal_bucket
+       |      ORDER BY nm, ck) AS BIGINT) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY nation, bal_bucket)
+       |      AS BIGINT) AS bn
+       |  FROM base),
+       |elig AS (
+       |  SELECT * FROM w
+       |  WHERE bn > $BlockCap AND bn <= $ErRecallTruthCap
+       |    AND (nation < 0
+       |      OR abs(nation * 1009 + bal_bucket) % $ErRecallSampleMod = 0)),
+       |tp AS (
+       |  SELECT a.nation AS nation, a.bal_bucket AS bal_bucket,
+       |    a.bn AS bn,
+       |    CAST(b.rn - a.rn <= $NeighborW AS BIGINT) AS found
+       |  FROM elig a JOIN elig b
+       |    ON a.nation = b.nation AND a.bal_bucket = b.bal_bucket
+       |    AND b.rn > a.rn
+       |  WHERE CAST(len(a.g) AS BIGINT) + len(b.g)
+       |      - len(list_intersect(a.g, b.g)) >= 1
+       |    AND CAST(len(list_intersect(a.g, b.g)) AS BIGINT) * 1000000
+       |      // (CAST(len(a.g) AS BIGINT) + len(b.g)
+       |         - len(list_intersect(a.g, b.g))) >= $ErTauE6)
+       |SELECT nation, bal_bucket, bn,
+       |  CAST(count(*) AS BIGINT) AS truth_pairs,
+       |  CAST(sum(found) AS BIGINT) AS found_pairs,
+       |  CAST(count(*) - sum(found) AS BIGINT) AS missed_pairs,
+       |  CAST(sum(found) * 1000000 // count(*) AS BIGINT) AS recall_e6
+       |FROM tp
+       |GROUP BY nation, bal_bucket, bn
+       |ORDER BY nation, bal_bucket""".stripMargin
+  }
+
   /** Pass cap for the iterated-contraction CC loop — a backstop, not
     * a tuning knob: every hash-to-min pass shrinks each surviving
     * component by an expected constant factor (Rastogi et al. 2013's

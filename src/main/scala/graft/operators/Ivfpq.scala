@@ -36,6 +36,10 @@ object Ivfpq {
   val Kc = 8      // coarse cells (cells ≪ n is the SHAPE; grow ~√n)
   val NProbe = 2  // cells scanned per query
 
+  /** q178 frontier axes: probe widths and result depths evaluated. */
+  val FrontierNProbes: Seq[Int] = Seq(1, 2, 4)
+  val FrontierKs: Seq[Int] = Seq(32, 64)
+
   /** q87: coarse-assign, PQ-train on residuals, encode, ADC over the
     * probed cells only; returns (qid, rk, vec_id, adist). */
   def q87Ivfpq(s: SparkSession, dir: String): DataFrame = {
@@ -172,5 +176,246 @@ object Ivfpq {
        |    ORDER BY adist ASC, vec_id ASC) AS rk FROM sc)
        |WHERE rk <= ${Pq.TopK}
        |ORDER BY qid, rk""".stripMargin
+  }
+
+  // ---- q178: the recall-vs-cost frontier over (nprobe, k) -----------
+
+  /** q178: IVF-PQ operating-point frontier — the report that answers
+    * the question the whole ann harness exists for: WHICH index
+    * configuration. q131 measures recall at one fixed config; this
+    * emits the recall-vs-cost table over nprobe ∈ [[FrontierNProbes]]
+    * × result depth k ∈ [[FrontierKs]]: per config, the candidate
+    * rows the ADC stage scores (the per-query cost an index operator
+    * provisions for) and recall@k against the EXACT L2 ground truth
+    * (the q131 sampled-recall recipe — the expensive side IS the
+    * truth: a ≤[[Pq.NQueries]]-row broadcast probe panel against one
+    * corpus scan).
+    *
+    * ONE index build serves every config: coarse assignment, residual
+    * PQ training and encoding are nprobe-independent, and each corpus
+    * vector's ADC score depends only on its OWN cell — so the scored
+    * stream is computed once at max(nprobe) with the cell's per-query
+    * coarse rank attached, and each frontier arm is a FILTER
+    * (cell_rank ≤ nprobe) + rank + depth cut over the same barriered
+    * intermediate. Zero-hit arms still report (the q169 lesson):
+    * every aggregate below is a global agg over a filtered stream, so
+    * an empty arm yields 0, not a vanished row.
+    *
+    * 100 TB posture: identical join discipline to q87 (broadcast
+    * codebooks, (cell, subspace, code) equi-joins, no per-query
+    * corpus scan); the frontier arms share the one scored barrier
+    * (queries × probed-cells rows — probe-panel-bounded); the exact
+    * arm is the standard offline ground-truth job and is the
+    * calibration's declared cost, not the production path's. */
+  def q178AnnFrontier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val maxProbe = FrontierNProbes.max
+    val maxK = FrontierKs.max
+    val b = Similarity.exactPairsBase(s, dir)
+      .select(col("vec_id"), col("v"), col("sq"))
+    val coarse = broadcast(b.filter(col("vec_id") < Kc)
+      .select(col("vec_id").as("cell"), col("v").as("ccv"),
+        col("sq").as("ccsq")))
+    def coarseRank(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cdist").asc, col("cell").asc)
+      df.crossJoin(coarse)
+        .withColumn("cdist",
+          col("sq") - lit(2L) * Similarity.idot(col("v"), col("ccv"))
+            + col("ccsq"))
+        .withColumn("crk0", row_number().over(w))
+    }
+    def residual: org.apache.spark.sql.Column =
+      zip_with(col("v"), col("ccv"), (a, c) => a - c)
+
+    val corpus = coarseRank(b).filter(col("crk0") === 1)
+      .select(col("vec_id"), col("cell"), residual.as("r"))
+    val subs = Pq.subvectorsOf(corpus, "r")
+    val cents = Pq.trainCents(subs.drop("cell")
+      .select(col("vec_id"), col("m"), col("sv"), col("ssq")))
+    val codes = Pq.assign(subs, cents)
+      .select(col("vec_id"), col("cell"), col("m"),
+        col("cent_id").as("code"))
+
+    // queries: maxProbe nearest cells, the cell's coarse rank rides
+    // the distance table so every narrower nprobe is a filter
+    val qres = coarseRank(b.filter(col("vec_id") < Pq.NQueries))
+      .filter(col("crk0") <= maxProbe)
+      .select(col("vec_id").as("qid"), col("cell"),
+        col("crk0").cast("long").as("cell_rank"), residual.as("qr"))
+    val dt = Pq.subvectorsOf(qres, "qr")
+      .join(broadcast(cents), Seq("m"))
+      .select(col("qid"), col("cell"), col("cell_rank"), col("m"),
+        col("cent_id"),
+        (col("ssq") - lit(2L) * Similarity.idot(col("sv"), col("cv"))
+          + col("csq")).as("pd"))
+    val scored = codes.alias("enc")
+      .join(broadcast(dt.alias("adc")),
+        col("enc.cell") === col("adc.cell") &&
+          col("enc.m") === col("adc.m") &&
+          col("enc.code") === col("adc.cent_id"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy(col("qid"), col("vec_id"))
+      // every pd row of a (qid, vec) pair carries the SAME cell_rank
+      // (a vector is encoded in exactly one cell) — max is exact
+      .agg(sum(col("pd")).as("adist"), max(col("cell_rank")).as("cell_rank"))
+      .localCheckpoint(false) // shared by all 3 + 6 frontier arms
+
+    // exact L2 ground truth at the deepest cut (the q131 brute shape)
+    val queries = broadcast(b.filter(col("vec_id") < Pq.NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("sq").as("qsq")))
+    val wx = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    val exact = b.crossJoin(queries)
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dist",
+        col("qsq") - lit(2L) * Similarity.idot(col("qv"), col("v"))
+          + col("sq"))
+      .withColumn("erk", row_number().over(wx))
+      .filter(col("erk") <= maxK)
+      .select(col("qid"), col("vec_id"), col("erk"))
+      .localCheckpoint(false) // shared by the 6 hit arms
+
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    val arms = for (np <- FrontierNProbes; k <- FrontierKs) yield {
+      val cost = scored.filter(col("cell_rank") <= np)
+        .agg(count(lit(1)).as("cand_rows"))
+      val hits = scored.filter(col("cell_rank") <= np)
+        .withColumn("rk", row_number().over(wq))
+        .filter(col("rk") <= k)
+        .join(exact.filter(col("erk") <= k), Seq("qid", "vec_id"),
+          "left_semi")
+        .agg(count(lit(1)).as("sum_hits"))
+      hits.crossJoin(cost)
+        .select(lit(np.toLong).as("nprobe"), lit(k.toLong).as("k"),
+          lit(Pq.NQueries.toLong).as("n_queries"),
+          col("cand_rows"), col("sum_hits"),
+          expr(s"sum_hits * 1000000 div (${Pq.NQueries} * $k)")
+            .as("recall_ppm"))
+    }
+    arms.reduce(_ unionByName _).orderBy(col("nprobe"), col("k"))
+  }
+
+  val q178AnnFrontierOracle: String = {
+    val dims = Clustering.Dims
+    val fullDot =
+      s"CAST(list_sum(list_transform(range(1, ${dims + 1}), " +
+        "i -> s.v[i]*c.ccv[i])) AS BIGINT)"
+    val exDot =
+      s"CAST(list_sum(list_transform(range(1, ${dims + 1}), " +
+        "i -> q.v[i]*c.v[i])) AS BIGINT)"
+    val rounds = (1 to Pq.Rounds)
+      .map(r => Pq.roundSql(r, if (r == 1) "c0" else s"c${r - 1}",
+        s"c$r"))
+      .mkString(",\n")
+    val cFin = s"c${Pq.Rounds}"
+    val maxProbe = FrontierNProbes.max
+    val maxK = FrontierKs.max
+    val nq = Pq.NQueries
+    s"""WITH base AS (
+       |  SELECT vec_id, ${Similarity.ivecSql} AS v FROM embeddings),
+       |sqt AS (
+       |  SELECT vec_id, v,
+       |    CAST(list_sum(list_transform(range(1, ${dims + 1}),
+       |      i -> v[i]*v[i])) AS BIGINT) AS sq
+       |  FROM base),
+       |coarse AS (SELECT vec_id AS cell, v AS ccv, sq AS ccsq
+       |           FROM sqt WHERE vec_id < $Kc),
+       |cass AS (
+       |  SELECT s.vec_id, s.v, c.cell, c.ccv,
+       |    row_number() OVER (PARTITION BY s.vec_id ORDER BY
+       |      s.sq - 2*$fullDot + c.ccsq ASC, c.cell ASC) AS crk0
+       |  FROM sqt s CROSS JOIN coarse c),
+       |res AS (
+       |  SELECT vec_id, cell,
+       |    list_transform(range(1, ${dims + 1}), i -> v[i] - ccv[i])
+       |      AS r
+       |  FROM cass WHERE crk0 = 1),
+       |subs AS (
+       |  SELECT vec_id, cell, m, sv, ${Pq.dotSql("sv", "sv")} AS ssq
+       |  FROM (SELECT vec_id, cell, t.m AS m,
+       |          list_transform(range(1, ${Pq.SubDims + 1}),
+       |            i -> r[t.m*${Pq.SubDims} + i]) AS sv
+       |        FROM res, range(0, ${Pq.M}) t(m))),
+       |c0 AS (SELECT m, vec_id AS cent_id, sv AS cv, ssq AS csq
+       |       FROM subs WHERE vec_id < ${Pq.PqK}),
+       |$rounds,
+       |enc AS (
+       |  SELECT vec_id, cell, m, cent_id AS code FROM (
+       |    SELECT s.vec_id, s.cell, s.m, c.cent_id,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+       |        s.ssq - 2*${Pq.dotSql("s.sv", "c.cv")} + c.csq ASC,
+       |        c.cent_id ASC) AS crk
+       |    FROM subs s JOIN $cFin c ON c.m = s.m)
+       |  WHERE crk = 1),
+       |qres AS (
+       |  SELECT vec_id AS qid, cell, CAST(crk0 AS BIGINT) AS cell_rank,
+       |    list_transform(range(1, ${dims + 1}), i -> v[i] - ccv[i])
+       |      AS qr
+       |  FROM cass WHERE crk0 <= $maxProbe AND vec_id < $nq),
+       |qsubs AS (
+       |  SELECT qid, cell, cell_rank, m, sv,
+       |    ${Pq.dotSql("sv", "sv")} AS ssq
+       |  FROM (SELECT qid, cell, cell_rank, t.m AS m,
+       |          list_transform(range(1, ${Pq.SubDims + 1}),
+       |            i -> qr[t.m*${Pq.SubDims} + i]) AS sv
+       |        FROM qres, range(0, ${Pq.M}) t(m))),
+       |dt AS (
+       |  SELECT q.qid, q.cell, q.cell_rank, q.m, c.cent_id,
+       |    q.ssq - 2*${Pq.dotSql("q.sv", "c.cv")} + c.csq AS pd
+       |  FROM qsubs q JOIN $cFin c ON c.m = q.m),
+       |sc AS (
+       |  SELECT d.qid, e.vec_id, CAST(sum(d.pd) AS BIGINT) AS adist,
+       |    max(d.cell_rank) AS cell_rank
+       |  FROM enc e JOIN dt d ON d.cell = e.cell AND d.m = e.m
+       |    AND d.cent_id = e.code
+       |  WHERE d.qid <> e.vec_id
+       |  GROUP BY d.qid, e.vec_id),
+       |ex AS (
+       |  SELECT qid, vec_id, erk FROM (
+       |    SELECT q.vec_id AS qid, c.vec_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        q.sq - 2*$exDot + c.sq ASC, c.vec_id ASC) AS erk
+       |    FROM sqt q JOIN sqt c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id < $nq)
+       |  WHERE erk <= $maxK),
+       |cfg AS (
+       |  SELECT np.np AS nprobe, k.k AS k
+       |  FROM (SELECT CAST(unnest([${FrontierNProbes.mkString(", ")}])
+       |          AS BIGINT) AS np) np
+       |  CROSS JOIN (SELECT CAST(unnest([${FrontierKs.mkString(", ")}])
+       |          AS BIGINT) AS k) k),
+       |cost AS (
+       |  SELECT np.np AS nprobe, CAST(count(*) AS BIGINT) AS cand_rows
+       |  FROM sc s JOIN (SELECT CAST(unnest([${FrontierNProbes
+             .mkString(", ")}]) AS BIGINT) AS np) np
+       |    ON s.cell_rank <= np.np
+       |  GROUP BY np.np),
+       |rnk AS (
+       |  SELECT np.np AS nprobe, s.qid, s.vec_id,
+       |    row_number() OVER (PARTITION BY np.np, s.qid
+       |      ORDER BY s.adist ASC, s.vec_id ASC) AS rk
+       |  FROM sc s JOIN (SELECT CAST(unnest([${FrontierNProbes
+             .mkString(", ")}]) AS BIGINT) AS np) np
+       |    ON s.cell_rank <= np.np),
+       |hits AS (
+       |  SELECT r.nprobe, k.k AS k, CAST(count(*) AS BIGINT) AS sum_hits
+       |  FROM rnk r
+       |  JOIN (SELECT CAST(unnest([${FrontierKs.mkString(", ")}])
+       |          AS BIGINT) AS k) k ON r.rk <= k.k
+       |  JOIN ex ON ex.qid = r.qid AND ex.vec_id = r.vec_id
+       |    AND ex.erk <= k.k
+       |  GROUP BY r.nprobe, k.k)
+       |SELECT cfg.nprobe, cfg.k, CAST($nq AS BIGINT) AS n_queries,
+       |  coalesce(c.cand_rows, 0) AS cand_rows,
+       |  coalesce(h.sum_hits, 0) AS sum_hits,
+       |  CAST(coalesce(h.sum_hits, 0) * 1000000 // ($nq * cfg.k)
+       |    AS BIGINT) AS recall_ppm
+       |FROM cfg
+       |LEFT JOIN cost c ON c.nprobe = cfg.nprobe
+       |LEFT JOIN hits h ON h.nprobe = cfg.nprobe AND h.k = cfg.k
+       |ORDER BY cfg.nprobe, cfg.k""".stripMargin
   }
 }

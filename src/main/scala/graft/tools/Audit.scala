@@ -81,6 +81,10 @@ object PlanAudit {
     Set("q30_range_join", "q36_tfidf", "ann_brute", "ann_ivf",
       "q54_knn_classify", "q55_cooccur_pmi",
       "q87_ivfpq", // constant Kc-row coarse codebook, the ann_ivf shape
+      // q178 composes q87's coarse-codebook shape with q131's
+      // ground-truth arm (≤5-row broadcast probe panel × one corpus
+      // scan) — both intended constant-broadcast-side plans.
+      "q178_ann_frontier",
       "q62_gapfill", // (types × hours) grid from two tiny broadcasts
       "q63_rrf_fusion", // 1-row query embedding + ≤400-row candidate set
       "q64_dedup_pipeline", // bounded near-dup candidate verify side

@@ -10,7 +10,7 @@ class SkewProfileSpec extends AnyFunSuite {
   private lazy val s = SparkSpec.spark
 
   private def fixtureDir(li: Seq[(Long, Long, Long)],
-      orders: Seq[Long]): String = {
+      orders: Seq[Long], users: Seq[Long]): String = {
     import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("skew-fix")
     li.toDF("l_orderkey", "l_partkey", "l_suppkey")
@@ -19,6 +19,9 @@ class SkewProfileSpec extends AnyFunSuite {
     orders.zipWithIndex.map { case (c, i) => (i.toLong, c) }
       .toDF("o_orderkey", "o_custkey").write.mode("overwrite")
       .parquet(dir.resolve("orders.parquet").toString)
+    users.zipWithIndex.map { case (u, i) => (i.toLong, u, i.toLong) }
+      .toDF("event_id", "user_id", "ts").write.mode("overwrite")
+      .parquet(dir.resolve("events.parquet").toString)
     dir.toString
   }
 
@@ -28,7 +31,8 @@ class SkewProfileSpec extends AnyFunSuite {
     val dir = fixtureDir(
       Seq((7L, 1L, 9L), (7L, 2L, 9L), (7L, 3L, 9L), (7L, 4L, 9L),
         (8L, 5L, 9L)),
-      Seq(1L, 1L, 2L, 3L))
+      Seq(1L, 1L, 2L, 3L),
+      Seq(5L, 5L, 6L)) // events.user_id: top1 2/3
     val rows = SkewProfile.q165SkewProfile(s, dir).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
         (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
@@ -43,6 +47,9 @@ class SkewProfileSpec extends AnyFunSuite {
       (5L, 1L, 5L, 1000000L, 64L))
     assert(rows(("orders", "o_custkey")) ==
       (4L, 3L, 2L, 500000L, 64L))
+    // events: n 3, ndv 2, top1 2 → share 666666 ppm, x = 134 → 64
+    assert(rows(("events", "user_id")) ==
+      (3L, 2L, 2L, 666666L, 64L))
   }
 
   test("a genuinely uniform key at partition-scale n recommends a " +
@@ -51,11 +58,32 @@ class SkewProfileSpec extends AnyFunSuite {
     // = 2 → salt 2; partkey unique → x = 1 → salt 1.
     val li = (1L to 100L).flatMap(k =>
       Seq((k, 2 * k, 1L), (k, 2 * k + 1, 1L)))
-    val dir = fixtureDir(li, Seq(1L))
+    // 200 uniform users → top1·P/n = 1 → the ladder floor
+    val dir = fixtureDir(li, Seq(1L), (1L to 200L))
     val rows = SkewProfile.q165SkewProfile(s, dir).collect()
-      .map(r => r.getString(1) -> r.getLong(6)).toMap
-    assert(rows("l_orderkey") == 2L)
-    assert(rows("l_partkey") == 1L)
-    assert(rows("l_suppkey") == 64L) // constant key: fully hot
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(6)).toMap
+    assert(rows(("lineitem", "l_orderkey")) == 2L)
+    assert(rows(("lineitem", "l_partkey")) == 1L)
+    assert(rows(("lineitem", "l_suppkey")) == 64L) // constant: fully hot
+    assert(rows(("events", "user_id")) == 1L)
+  }
+
+  test("the in-plan 1-row recommendation q44/q49 broadcast matches " +
+      "the ladder on the same keys, and is replication-invariant") {
+    import s.implicits._
+    // 80%-hot key (the q49 plant shape): 8×1 + 2 singles, n=10 →
+    // x = ceil(8·200/10) = 160 → 64
+    val hot = (Seq.fill(8)(1L) ++ Seq(2L, 3L)).toDF("k")
+    val got = SkewProfile.recommendedSaltOf(hot).collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(64L))
+    // uniform at partition scale: 200 keys ×1 → x = 1 → ladder floor
+    val uni = (1L to 200L).toDF("k")
+    assert(SkewProfile.recommendedSaltOf(uni)
+      .collect().head.getLong(0) === 1L)
+    // replication invariance: ×50 replicas recommend the same factor
+    val rep = (Seq.fill(8)(1L) ++ Seq(2L, 3L))
+      .flatMap(k => Seq.fill(50)(k)).toDF("k")
+    assert(SkewProfile.recommendedSaltOf(rep)
+      .collect().head.getLong(0) === 64L)
   }
 }
