@@ -187,6 +187,10 @@ object SparkEntry {
     "q172_shard_manifest" -> Shards.q172ShardManifest,
     "q173_containment_sketch" -> Dedup.q173ContainmentSketch,
     "q174_unigram_lm" -> UnigramLm.q174UnigramLm,
+    "q175_sketch_only" -> Dedup.q175SketchOnly,
+    "q176_er_recall" -> EntityRes.q176ErRecall,
+    "q177_para_dedup" -> Dedup.q177ParaDedup,
+    "q178_ann_frontier" -> Ivfpq.q178AnnFrontier,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -582,6 +586,10 @@ object SparkEntry {
     "q172_shard_manifest" -> Shards.q172ShardManifestOracle,
     "q173_containment_sketch" -> Dedup.q173ContainmentSketchOracle,
     "q174_unigram_lm" -> UnigramLm.q174UnigramLmOracle,
+    "q175_sketch_only" -> Dedup.q175SketchOnlyOracle,
+    "q176_er_recall" -> EntityRes.q176ErRecallOracle,
+    "q177_para_dedup" -> Dedup.q177ParaDedupOracle,
+    "q178_ann_frontier" -> Ivfpq.q178AnnFrontierOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,

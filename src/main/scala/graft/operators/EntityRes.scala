@@ -283,6 +283,13 @@ object EntityRes {
       .withColumn("ng", size(col("g")).cast("long"))
     val block = Window.partitionBy(col("nation"), col("bal_bucket"))
     val ord = block.orderBy(col("nm"), col("ck"))
+    // NO barrier here, deliberately (the gatedPostings discipline):
+    // a localCheckpoint between the observe and the join HID the
+    // CollectMetrics execution from the listener — the cap telemetry
+    // printed [0,0] at every scale (caught in the round-13 chain).
+    // Both self-join sides read this one observed stream; the window
+    // exchange is identical on both and ReuseExchange runs it once,
+    // and the metrics are MAX-based so a re-read cannot double-count.
     val elig = real.unionByName(probeBlock(s))
       .withColumn("bn", count(lit(1)).over(block))
       .withColumn("rn", row_number().over(ord).cast("long"))
@@ -295,7 +302,6 @@ object EntityRes {
         (col("nation") < 0 ||
           abs(col("nation") * 1009 + col("bal_bucket"))
             % ErRecallSampleMod === 0))
-      .localCheckpoint(false) // both sides of the bounded truth join
     val pairs = elig.alias("a")
       .join(elig.alias("b"),
         col("a.nation") === col("b.nation") &&

@@ -85,6 +85,12 @@ object PlanAudit {
       // ground-truth arm (≤5-row broadcast probe panel × one corpus
       // scan) — both intended constant-broadcast-side plans.
       "q178_ann_frontier",
+      // q44/q49's salted plans crossJoin the 1-ROW derived-salt
+      // recommendation (SkewProfile.recommendedSaltOf) onto both join
+      // sides — the q36/q55 totals shape; the fact side never
+      // shuffles for it.
+      "q44_salted_join",
+      "q49_skew_agg",
       "q62_gapfill", // (types × hours) grid from two tiny broadcasts
       "q63_rrf_fusion", // 1-row query embedding + ≤400-row candidate set
       "q64_dedup_pipeline", // bounded near-dup candidate verify side
