@@ -59,12 +59,35 @@ object CurationIngest {
         col("ttr_pct") >= 30)
       .select(col("doc_id"), col("text"), col("lang"), col("n_tokens"))
 
-  /** Start the chained curate→shard stream (see object scaladoc). */
+  /** Start the chained curate→shard stream (see object scaladoc).
+    * Restart recovery composes the twins' recipes: the verdict index
+    * reseeds from docs the durable verdicts ACCEPTED (signatures
+    * re-derived from the landing files — the DocIngest recipe, with
+    * the same explicit is-there-anything-durable filesystem check, so
+    * a corrupt verdict store raises instead of silently resetting the
+    * index), and the shard tails recover inside the first
+    * foreachBatch with the `batch_id < current` replay filter (the
+    * ShardIngest recipe). A replayed batch's own accepted docs being
+    * pre-seeded is harmless on the verdict side — candidates are
+    * DISTINCT pairs with self-pairs excluded. */
   def curateAndShard(spark: SparkSession, corpus: DataFrame,
       landingDir: String, verdictsDir: String, shardsDir: String,
       maxFilesPerTrigger: Option[Int] = None,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val (b0, s0) = Dedup.indexOf(corpus.select(col("doc_id"), col("text")))
+    val vPath = new org.apache.hadoop.fs.Path(verdictsDir)
+    val vFs = vPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasVerdicts = vFs.exists(vPath) && vFs.listStatus(vPath)
+      .exists(_.getPath.getName.startsWith("batch_id="))
+    val seed =
+      if (!hasVerdicts) corpus.select(col("doc_id"), col("text"))
+      else {
+        val acc = spark.read.parquet(verdictsDir)
+          .filter(col("dup_of") === -1L).select(col("doc_id"))
+        corpus.select(col("doc_id"), col("text")).unionByName(
+          spark.read.schema(DocIngest.docSchema).parquet(landingDir)
+            .join(acc, "doc_id").select(col("doc_id"), col("text")))
+      }
+    val (b0, s0) = Dedup.indexOf(seed)
     var idxBands = b0.withColumn("is_new", lit(false)).localCheckpoint(true)
     var idxShs = s0.withColumn("is_new", lit(false)).localCheckpoint(true)
     var shardState: Option[Map[Long, ShardIngest.GrainTail]] = None
