@@ -1682,11 +1682,9 @@ object Dedup {
         col("doc_id") * ParaIdBase + col("pidx"))
       .localCheckpoint(false) // exact stage + near stage + rollup
     val exmin = paras.select(col("pid"), md5(col("ptext")).as("h"))
-      .groupBy(col("h")).agg(min(col("pid")).as("keep"),
-        count(lit(1)).as("n"))
+      .groupBy(col("h")).agg(min(col("pid")).as("keep"))
     val exKeepers = paras
-      .join(exmin.filter(col("n") >= 1).select(col("keep").as("pid")),
-        Seq("pid"), "left_semi")
+      .join(exmin.select(col("keep").as("pid")), Seq("pid"), "left_semi")
     val nearPairs = minhashPairsFrom(minhashBaseFrom(
       exKeepers.select(col("pid").as("doc_id"), col("ptext").as("text"))))
     val nearDrops = nearPairs.select(col("doc_b").as("pid")).distinct()

@@ -279,9 +279,18 @@ object Ivfpq {
 
     val wq = Window.partitionBy(col("qid"))
       .orderBy(col("adist").asc, col("vec_id").asc)
+    // every per-nprobe candidate count in ONE pass over the
+    // checkpointed scored stream (the cost arm depends only on
+    // nprobe; building it inside the (np, k) loop ran each count
+    // once per k — 6 jobs for 3 numbers). Eager 1-row checkpoint:
+    // each arm's crossJoin reads the result, never re-aggregates.
+    val costAgg = FrontierNProbes.map(np =>
+      coalesce(sum(when(col("cell_rank") <= np, 1L).otherwise(0L)),
+        lit(0L)).as(s"cand_$np"))
+    val costs = scored.agg(costAgg.head, costAgg.tail: _*)
+      .localCheckpoint(true)
     val arms = for (np <- FrontierNProbes; k <- FrontierKs) yield {
-      val cost = scored.filter(col("cell_rank") <= np)
-        .agg(count(lit(1)).as("cand_rows"))
+      val cost = costs.select(col(s"cand_$np").as("cand_rows"))
       val hits = scored.filter(col("cell_rank") <= np)
         .withColumn("rk", row_number().over(wq))
         .filter(col("rk") <= k)

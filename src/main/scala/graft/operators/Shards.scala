@@ -49,8 +49,14 @@ import org.apache.spark.sql.functions._
   * (g, seq) for ANY B, so member sets and positions are invariant
   * under a bucket-count change (ShardsSpec gates exactly this,
   * including conservation at a non-default count). A deployment may
-  * therefore set ShardBuckets freely per run (dataloader directory
-  * fan-out), while grains/tokens are corpus-pinned parameters.
+  * therefore set ShardBuckets freely per BATCH run (q171 recomputes
+  * the layout from scratch, so only the labels change), while
+  * grains/tokens are corpus-pinned parameters. A STREAMING output
+  * dir is narrower: [[graft.streaming.ShardIngest]] recovery decodes
+  * (grain, seq) from the STORED shard_ids under the current knobs,
+  * so the ingest twins persist a `_shard_knobs` sidecar and refuse
+  * to restart under different values — all three knobs are pinned
+  * for that dir's lifetime (round-13 advisor finding).
   *
   * Manifest (q172): one row per shard — (shard_id, n_docs, n_tokens,
   * first_doc, last_doc, members_md5, corpus_docs, corpus_tokens).

@@ -126,6 +126,8 @@ object CurationIngest {
         //    ShardIngest per-batch body over this batch's survivors
         val curated = g.join(accepted, "doc_id")
           .select(col("doc_id"), col("lang"), col("n_tokens"))
+        if (shardState.isEmpty)
+          ShardIngest.checkOrWriteKnobs(spark, shardsDir)
         val st0 = shardState.getOrElse(
           ShardIngest.recoverStateBefore(spark, shardsDir, batchId))
         val (asn, st) = ShardIngest.assignBatch(spark, st0, curated)

@@ -139,6 +139,47 @@ object ShardIngest {
     (out, state ++ advanced)
   }
 
+  /** Knob-provenance sidecar written next to the durable assignments
+    * (`_shard_knobs`, underscore-prefixed so parquet reads of the
+    * dir skip it): the (grains, tokens, buckets) the stored rows
+    * were written under. Recovery decodes (grain, seq) from stored
+    * shard_ids with the CURRENT knobs, so a restart under different
+    * knobs would silently mis-reconstruct every grain tail and mix
+    * two incompatible shard_id labelings in one output dir (round-13
+    * advisor finding) — the sidecar turns that into a loud mismatch
+    * error instead. Batch q171 re-labels freely (the [[Shards]]
+    * provenance contract is about recomputed-from-scratch layouts);
+    * a STREAMING output dir pins all three knobs for its lifetime. */
+  private def knobsPath(outDir: String) = new Path(outDir, "_shard_knobs")
+
+  /** First-batch guard: record the knobs on a fresh output dir,
+    * validate them on an existing one (see [[knobsPath]]). */
+  private[graft] def checkOrWriteKnobs(spark: SparkSession,
+      outDir: String, grains: Long = Shards.PackGrains,
+      tokens: Long = Shards.ShardTokens,
+      buckets: Long = Shards.ShardBuckets): Unit = {
+    val p = knobsPath(outDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val line =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(line == s"$grains,$tokens,$buckets",
+        s"shard output dir $outDir was written under " +
+          s"(grains,tokens,buckets)=($line) but this run uses " +
+          s"($grains,$tokens,$buckets) — recovery would mis-decode " +
+          "the stored shard_ids (and a grain/token change would " +
+          "alter packing mid-stream). Restart with the stored knobs " +
+          "(GRAFT_SHARD_{GRAINS,TOKENS,BUCKETS}) or use a fresh " +
+          "output dir.")
+    } else {
+      val out = fs.create(p, false)
+      try out.write(s"$grains,$tokens,$buckets".getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
   /** Rebuild the per-grain tail state from durable assignments (the
     * restart path — see object scaladoc). */
   private[graft] def recoverState(assigned: DataFrame,
@@ -200,6 +241,7 @@ object ShardIngest {
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (state.isEmpty) checkOrWriteKnobs(spark, outDir)
         val st0 = state.getOrElse(
           recoverStateBefore(spark, outDir, batchId))
         val (asn, st) = assignBatch(spark, st0, batch)

@@ -189,4 +189,24 @@ class ShardIngestSpec extends AnyFunSuite {
       assert(byPos.map(_._4).sum <= Shards.ShardTokens + DocTokens)
     }
   }
+
+  test("the _shard_knobs sidecar pins a streaming dir's knobs: a " +
+      "restart under different values raises instead of silently " +
+      "mis-decoding the stored shard_ids") {
+    val out = Files.createTempDirectory("shing-knobs").toString
+    // first touch records the knobs; a same-knob restart validates
+    ShardIngest.checkOrWriteKnobs(spark, out, 16L, 1024L, 8L)
+    ShardIngest.checkOrWriteKnobs(spark, out, 16L, 1024L, 8L)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(out, "_shard_knobs")))
+    // any single knob change raises loudly, naming both tuples
+    for ((g, t, b) <- Seq((16L, 1024L, 5L), (32L, 1024L, 8L),
+        (16L, 2048L, 8L))) {
+      val e = intercept[IllegalArgumentException] {
+        ShardIngest.checkOrWriteKnobs(spark, out, g, t, b)
+      }
+      assert(e.getMessage.contains("16,1024,8"))
+      assert(e.getMessage.contains(s"($g,$t,$b)"))
+    }
+  }
 }
