@@ -903,16 +903,25 @@ object Dedup {
     *
     * Probe side: batch bands only; build side: the full band index.
     * The is_new/id filter admits (new × index) in EITHER id order but
-    * (new × new) only left-to-right — the index never self-pairs. */
+    * (new × new) only left-to-right — the index never self-pairs.
+    *
+    * `strictOrder = true` admits ONLY smaller-id partners from the
+    * index too ([[graft.streaming.ParaIngest]]): its near index
+    * deliberately holds near-DROPPED survivors (the q177 drop rule
+    * compares against every smaller-pid exact survivor), so a
+    * replayed batch must not see its own larger-pid seeded rows as
+    * partners — under pid-ordered arrival the strict filter changes
+    * nothing on a fresh run and makes replay bit-identical. */
   private[graft] def incrementalVerdicts(bands: DataFrame,
-      shs: DataFrame): DataFrame = {
+      shs: DataFrame, strictOrder: Boolean = false): DataFrame = {
     val newBands = bands.filter(col("is_new"))
       .select(col("doc_id").as("new_id"), col("band"))
     val partnerBands = bands.select(col("doc_id").as("partner_id"),
       col("is_new").as("p_new"), col("band"))
     val cand = newBands.join(partnerBands, "band")
       .filter(col("partner_id") =!= col("new_id"))
-      .filter(!col("p_new") || col("partner_id") < col("new_id"))
+      .filter(if (strictOrder) col("partner_id") < col("new_id")
+        else !col("p_new") || col("partner_id") < col("new_id"))
       .select(col("new_id"), col("partner_id")).distinct()
     val sa = shs.select(col("doc_id").as("new_id"), col("sh").as("sha"))
     val sb = shs.select(col("doc_id").as("partner_id"), col("sh").as("shb"))
@@ -1044,6 +1053,21 @@ object Dedup {
       .filter(col("c") <= ContainDfCap)
   }
 
+  /** Packed pair key for the q107/q173 pair streams:
+    * (min+2³⁰)·2³¹ + (max+2³⁰) in one BIGINT. The Σ df² pair stream
+    * is these queries' volume peak — ProfileQ107 at ×100 put ~24 GB
+    * of spilled sort/agg data and the two highest task peaks in the
+    * pair partial/final aggregates (the round-13 sf10 heap margin
+    * lived exactly there) — and one 8-byte key roughly halves every
+    * pair hash entry, sort row, and shuffle record vs the
+    * (struct, da, db) form. The +2³⁰ bias keeps the packing exact
+    * for NEGATIVE ids too (q173's chimera probes live below zero);
+    * bound: |doc_id| < 2³⁰ (corpus ids are dense small ints) — a
+    * billion-doc deployment partitions the id space or widens the
+    * key, a parameter, not a shape change. */
+  private val PairIdBias = 1073741824L
+  private val PairIdBase = 2147483648L
+
   def q107Containment(s: SparkSession, dir: String): DataFrame = {
     val keep = gatedPostings(
       Tables.spread(Tables.load(s, dir, "documents")),
@@ -1052,19 +1076,33 @@ object Dedup {
       .agg(count(lit(1)).as("nsz"))
     // posting list per shared shingle is ≤ [[ContainDfCap]] ids BY
     // construction, pairs expanded in-row (no posting self-join);
-    // the per-pair COUNT of shared gated shingles IS n_inter.
+    // the per-pair COUNT of shared gated shingles IS n_inter. The
+    // least/greatest in the packed key replaces the former
+    // sort_array — pair order is normalized per element, so the
+    // collected list needs no per-key sort.
     val pairs = keep.filter(col("c") >= 2)
       .groupBy(col("s"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .agg(collect_list(col("doc_id")).as("ds"))
       .select(explode(Overlap.orderedPairs(col("ds"), (a, b) =>
-        struct(a.as("da"), b.as("db")))).as("p"))
-      .groupBy(col("p.da").as("da"), col("p.db").as("db"))
+        (least(a, b) + lit(PairIdBias)) * lit(PairIdBase)
+          + greatest(a, b) + lit(PairIdBias))).as("pk"))
+      .groupBy(col("pk"))
       .agg(count(lit(1)).as("n_inter"))
+      .select(expr(s"pk div $PairIdBase - $PairIdBias").as("da"),
+        expr(s"pk % $PairIdBase - $PairIdBias").as("db"),
+        col("n_inter"))
+    // sizes is DOC-grain (corpus_docs/P rows per reducer — bounded),
+    // so it is the shuffled-hash BUILD side: without the hint both
+    // size joins sort-merge, and sorting the Σ df² pair stream twice
+    // was the full query's largest remaining allocation after the
+    // key packing (ProfileQ107 ×100: 2 × 9.1 GB of spilled sort
+    // data; the hint removes both sorts — the pair stream streams
+    // through two hash probes instead).
     pairs
-      .join(sizes.select(col("doc_id").as("da"), col("nsz").as("na")),
-        "da")
-      .join(sizes.select(col("doc_id").as("db"), col("nsz").as("nb")),
-        "db")
+      .join(sizes.select(col("doc_id").as("da"), col("nsz").as("na"))
+        .hint("shuffle_hash"), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("nsz").as("nb"))
+        .hint("shuffle_hash"), "db")
       .filter(col("n_inter") * ContainDen >=
         least(col("na"), col("nb")) * ContainNum)
       .select(
@@ -1240,18 +1278,26 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(when(col("rn") <= k, col("s"))))
         .as("sk"))
+    // the q107 pair treatment, verbatim: packed 8-byte pair key and
+    // hash-built size joins (see q107Containment — this exact arm
+    // shares its Σ df² volume profile and was the second-priciest
+    // ×100 query)
     val pairs = keep.filter(col("c") >= 2)
       .groupBy(col("s"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .agg(collect_list(col("doc_id")).as("ds"))
       .select(explode(Overlap.orderedPairs(col("ds"), (a, b) =>
-        struct(a.as("da"), b.as("db")))).as("p"))
-      .groupBy(col("p.da").as("da"), col("p.db").as("db"))
+        (least(a, b) + lit(PairIdBias)) * lit(PairIdBase)
+          + greatest(a, b) + lit(PairIdBias))).as("pk"))
+      .groupBy(col("pk"))
       .agg(count(lit(1)).as("n_inter"))
+      .select(expr(s"pk div $PairIdBase - $PairIdBias").as("da"),
+        expr(s"pk % $PairIdBase - $PairIdBias").as("db"),
+        col("n_inter"))
     pairs
-      .join(sizes.select(col("doc_id").as("da"), col("nsz").as("na")),
-        "da")
-      .join(sizes.select(col("doc_id").as("db"), col("nsz").as("nb")),
-        "db")
+      .join(sizes.select(col("doc_id").as("da"), col("nsz").as("na"))
+        .hint("shuffle_hash"), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("nsz").as("nb"))
+        .hint("shuffle_hash"), "db")
       .filter(col("n_inter") * CalibDen >=
         least(col("na"), col("nb")) * CalibNum)
       .join(sketches.alias("sa"), col("da") === col("sa.doc_id"))
@@ -1668,9 +1714,12 @@ object Dedup {
     * minhash chain's banded-equi-join bounds over a stream the exact
     * stage already shrank; the splice is one doc-keyed aggregate
     * whose collect_list is bounded by the 5000-token doc cap. */
-  def q177ParaDedup(s: SparkSession, dir: String): DataFrame = {
+  /** The deterministic 16-token paragraph chunking shared by q177
+    * and its ingest twin ([[graft.streaming.ParaIngest]]):
+    * (doc_id, pidx, ptext, pid) rows, pid = doc_id·2¹⁶ + pidx. */
+  private[graft] def paragraphsOf(docs: DataFrame): DataFrame = {
     val p = ParaTokens
-    val paras = Tables.spread(Tables.load(s, dir, "documents"))
+    docs
       .select(col("doc_id"),
         graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 1)
@@ -1680,6 +1729,11 @@ object Dedup {
           .stripMargin)).as(Seq("pidx", "ptext")))
       .withColumn("pid",
         col("doc_id") * ParaIdBase + col("pidx"))
+  }
+
+  def q177ParaDedup(s: SparkSession, dir: String): DataFrame = {
+    val paras =
+      paragraphsOf(Tables.spread(Tables.load(s, dir, "documents")))
       .localCheckpoint(false) // exact stage + near stage + rollup
     val exmin = paras.select(col("pid"), md5(col("ptext")).as("h"))
       .groupBy(col("h")).agg(min(col("pid")).as("keep"))

@@ -427,4 +427,243 @@ object Ivfpq {
        |LEFT JOIN hits h ON h.nprobe = cfg.nprobe AND h.k = cfg.k
        |ORDER BY cfg.nprobe, cfg.k""".stripMargin
   }
+
+  // ---- q179: the quantizer axis of the frontier ---------------------
+
+  /** Sub-quantizer counts swept by q179: M=8 (the q85/q87/q178
+    * production config — 8-dim subspaces) vs M=16 (4-dim subspaces,
+    * double the code bits). K per subspace stays [[Pq.PqK]]. */
+  val QuantMs: Seq[Int] = Seq(8, 16)
+  /** q178's own conclusion fixes the probe width: candidate rows
+    * triple across nprobe 1→4 while recall@k stays flat — the PQ
+    * quantizer binds, not probe width — so the quantizer sweep runs
+    * AT nprobe = 1 and moves the axis q178 says matters. */
+  val QuantNProbe = 1
+
+  /** q179: the quantizer arm of the ANN frontier — recall@k per
+    * sub-quantizer count M ∈ [[QuantMs]] at fixed nprobe
+    * ([[QuantNProbe]]), against the SAME exact-L2 ground truth. q178
+    * swept (nprobe, k) from one build and concluded the quantizer
+    * binds; this is the sweep along that binding axis: per config,
+    * a full residual-PQ train + encode (a quantizer change is a
+    * BUILD change — unlike nprobe, it cannot reuse another config's
+    * codes), ADC scoring over the probed cells, and recall@k vs the
+    * shared truth. `code_bits` (= M·log₂K) is the per-vector index
+    * memory the config buys — the frontier's cost axis here, since
+    * cand_rows is nprobe-bound and identical across M.
+    *
+    * (Measured numbers: see the scaladoc table note updated from
+    * the committed CORRECTNESS/SCALING artifacts each round.)
+    *
+    * 100 TB posture: both builds share one corpus-residual barrier
+    * and one ground-truth scan; everything else is the q87 join
+    * discipline (broadcast codebooks, (cell, subspace, code)
+    * equi-joins, no per-query corpus scan). Doubling M doubles the
+    * subvector stream of the train/encode stages — linear in the
+    * config count, the offline index-build budget a deployment
+    * already pays per candidate config. */
+  def q179AnnQuantizer(s: SparkSession, dir: String): DataFrame = {
+    val maxK = FrontierKs.max
+    val b = Similarity.exactPairsBase(s, dir)
+      .select(col("vec_id"), col("v"), col("sq"))
+    val coarse = broadcast(b.filter(col("vec_id") < Kc)
+      .select(col("vec_id").as("cell"), col("v").as("ccv"),
+        col("sq").as("ccsq")))
+    def coarseRank(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cdist").asc, col("cell").asc)
+      df.crossJoin(coarse)
+        .withColumn("cdist",
+          col("sq") - lit(2L) * Similarity.idot(col("v"), col("ccv"))
+            + col("ccsq"))
+        .withColumn("crk0", row_number().over(w))
+    }
+    def residual: org.apache.spark.sql.Column =
+      zip_with(col("v"), col("ccv"), (a, c) => a - c)
+
+    // shared across both quantizer configs: coarse assignment and
+    // query residuals are M-independent — ONE corpus-scale barrier
+    // feeds both builds
+    val corpusRes = coarseRank(b).filter(col("crk0") === 1)
+      .select(col("vec_id"), col("cell"), residual.as("r"))
+      .localCheckpoint(false)
+    val qres = coarseRank(b.filter(col("vec_id") < Pq.NQueries))
+      .filter(col("crk0") <= QuantNProbe)
+      .select(col("vec_id").as("qid"), col("cell"), residual.as("qr"))
+
+    val queries = broadcast(b.filter(col("vec_id") < Pq.NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("sq").as("qsq")))
+    val wx = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    val exact = b.crossJoin(queries)
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("dist",
+        col("qsq") - lit(2L) * Similarity.idot(col("qv"), col("v"))
+          + col("sq"))
+      .withColumn("erk", row_number().over(wx))
+      .filter(col("erk") <= maxK)
+      .select(col("qid"), col("vec_id"), col("erk"))
+      .localCheckpoint(false) // shared by all 4 arms
+
+    val bitsPerCode = java.lang.Integer.numberOfTrailingZeros(Pq.PqK)
+    val wq = Window.partitionBy(col("qid"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    val arms = QuantMs.flatMap { mSubs =>
+      val subDims = Clustering.Dims / mSubs
+      val subs = Pq.subvectorsOf(corpusRes, "r", mSubs, subDims)
+      val cents = Pq.trainCents(subs.drop("cell")
+        .select(col("vec_id"), col("m"), col("sv"), col("ssq")))
+      val codes = Pq.assign(subs, cents)
+        .select(col("vec_id"), col("cell"), col("m"),
+          col("cent_id").as("code"))
+      val dt = Pq.subvectorsOf(qres, "qr", mSubs, subDims)
+        .join(broadcast(cents), Seq("m"))
+        .select(col("qid"), col("cell"), col("m"), col("cent_id"),
+          (col("ssq") - lit(2L) * Similarity.idot(col("sv"), col("cv"))
+            + col("csq")).as("pd"))
+      val scored = codes.alias("enc")
+        .join(broadcast(dt.alias("adc")),
+          col("enc.cell") === col("adc.cell") &&
+            col("enc.m") === col("adc.m") &&
+            col("enc.code") === col("adc.cent_id"))
+        .filter(col("qid") =!= col("vec_id"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(sum(col("pd")).as("adist"))
+        .localCheckpoint(false) // cand count + both k arms
+      val cand = scored.agg(count(lit(1)).as("cand_rows"))
+        .localCheckpoint(true)
+      FrontierKs.map { k =>
+        val hits = scored.withColumn("rk", row_number().over(wq))
+          .filter(col("rk") <= k)
+          .join(exact.filter(col("erk") <= k), Seq("qid", "vec_id"),
+            "left_semi")
+          .agg(count(lit(1)).as("sum_hits"))
+        hits.crossJoin(cand)
+          .select(lit(mSubs.toLong).as("m_subs"),
+            lit(k.toLong).as("k"),
+            lit((mSubs * bitsPerCode).toLong).as("code_bits"),
+            lit(Pq.NQueries.toLong).as("n_queries"),
+            col("cand_rows"), col("sum_hits"),
+            expr(s"sum_hits * 1000000 div (${Pq.NQueries} * $k)")
+              .as("recall_ppm"))
+      }
+    }
+    arms.reduce(_ unionByName _).orderBy(col("m_subs"), col("k"))
+  }
+
+  val q179AnnQuantizerOracle: String = {
+    val dims = Clustering.Dims
+    val fullDot =
+      s"CAST(list_sum(list_transform(range(1, ${dims + 1}), " +
+        "i -> s.v[i]*c.ccv[i])) AS BIGINT)"
+    val exDot =
+      s"CAST(list_sum(list_transform(range(1, ${dims + 1}), " +
+        "i -> q.v[i]*c.v[i])) AS BIGINT)"
+    val nq = Pq.NQueries
+    val maxK = FrontierKs.max
+    val bits = java.lang.Integer.numberOfTrailingZeros(Pq.PqK)
+    def cfg(mSubs: Int): String = {
+      val subDims = dims / mSubs
+      val sfx = s"_$mSubs"
+      val subsName = s"subs$sfx"
+      val rounds = (1 to Pq.Rounds)
+        .map(r => Pq.roundSqlN(r,
+          if (r == 1) s"c0$sfx" else s"c${r - 1}$sfx",
+          s"c$r$sfx", subsName, subDims, sfx))
+        .mkString(",\n")
+      val cFin = s"c${Pq.Rounds}$sfx"
+      s"""$subsName AS (
+         |  SELECT vec_id, cell, m, sv,
+         |    ${Pq.dotSqlN("sv", "sv", subDims)} AS ssq
+         |  FROM (SELECT vec_id, cell, t.m AS m,
+         |          list_transform(range(1, ${subDims + 1}),
+         |            i -> r[t.m*$subDims + i]) AS sv
+         |        FROM res, range(0, $mSubs) t(m))),
+         |c0$sfx AS (SELECT m, vec_id AS cent_id, sv AS cv, ssq AS csq
+         |       FROM $subsName WHERE vec_id < ${Pq.PqK}),
+         |$rounds,
+         |enc$sfx AS (
+         |  SELECT vec_id, cell, m, cent_id AS code FROM (
+         |    SELECT s.vec_id, s.cell, s.m, c.cent_id,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+         |        s.ssq - 2*${Pq.dotSqlN("s.sv", "c.cv", subDims)}
+         |          + c.csq ASC,
+         |        c.cent_id ASC) AS crk
+         |    FROM $subsName s JOIN $cFin c ON c.m = s.m)
+         |  WHERE crk = 1),
+         |qsubs$sfx AS (
+         |  SELECT qid, cell, m, sv,
+         |    ${Pq.dotSqlN("sv", "sv", subDims)} AS ssq
+         |  FROM (SELECT qid, cell, t.m AS m,
+         |          list_transform(range(1, ${subDims + 1}),
+         |            i -> qr[t.m*$subDims + i]) AS sv
+         |        FROM qres, range(0, $mSubs) t(m))),
+         |dt$sfx AS (
+         |  SELECT q.qid, q.cell, q.m, c.cent_id,
+         |    q.ssq - 2*${Pq.dotSqlN("q.sv", "c.cv", subDims)} + c.csq
+         |      AS pd
+         |  FROM qsubs$sfx q JOIN $cFin c ON c.m = q.m),
+         |sc$sfx AS (
+         |  SELECT d.qid, e.vec_id, CAST(sum(d.pd) AS BIGINT) AS adist
+         |  FROM enc$sfx e JOIN dt$sfx d ON d.cell = e.cell
+         |    AND d.m = e.m AND d.cent_id = e.code
+         |  WHERE d.qid <> e.vec_id
+         |  GROUP BY d.qid, e.vec_id),
+         |rnk$sfx AS (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |    ORDER BY adist ASC, vec_id ASC) AS rk
+         |  FROM sc$sfx)""".stripMargin
+    }
+    def arm(mSubs: Int, k: Int): String =
+      s"""SELECT CAST($mSubs AS BIGINT) AS m_subs,
+         |  CAST($k AS BIGINT) AS k,
+         |  CAST(${mSubs * bits} AS BIGINT) AS code_bits,
+         |  CAST($nq AS BIGINT) AS n_queries,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM sc_$mSubs)
+         |    AS cand_rows,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM rnk_$mSubs r
+         |   JOIN ex ON ex.qid = r.qid AND ex.vec_id = r.vec_id
+         |   WHERE r.rk <= $k AND ex.erk <= $k) AS sum_hits""".stripMargin
+    val armsSql = (for (m <- QuantMs; k <- FrontierKs)
+      yield arm(m, k)).mkString("\nUNION ALL\n")
+    s"""WITH base AS (
+       |  SELECT vec_id, ${Similarity.ivecSql} AS v FROM embeddings),
+       |sqt AS (
+       |  SELECT vec_id, v,
+       |    CAST(list_sum(list_transform(range(1, ${dims + 1}),
+       |      i -> v[i]*v[i])) AS BIGINT) AS sq
+       |  FROM base),
+       |coarse AS (SELECT vec_id AS cell, v AS ccv, sq AS ccsq
+       |           FROM sqt WHERE vec_id < $Kc),
+       |cass AS (
+       |  SELECT s.vec_id, s.v, c.cell, c.ccv,
+       |    row_number() OVER (PARTITION BY s.vec_id ORDER BY
+       |      s.sq - 2*$fullDot + c.ccsq ASC, c.cell ASC) AS crk0
+       |  FROM sqt s CROSS JOIN coarse c),
+       |res AS (
+       |  SELECT vec_id, cell,
+       |    list_transform(range(1, ${dims + 1}), i -> v[i] - ccv[i])
+       |      AS r
+       |  FROM cass WHERE crk0 = 1),
+       |qres AS (
+       |  SELECT vec_id AS qid, cell,
+       |    list_transform(range(1, ${dims + 1}), i -> v[i] - ccv[i])
+       |      AS qr
+       |  FROM cass WHERE crk0 <= $QuantNProbe AND vec_id < $nq),
+       |${QuantMs.map(cfg).mkString(",\n")},
+       |ex AS (
+       |  SELECT qid, vec_id, erk FROM (
+       |    SELECT q.vec_id AS qid, c.vec_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        q.sq - 2*$exDot + c.sq ASC, c.vec_id ASC) AS erk
+       |    FROM sqt q JOIN sqt c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id < $nq)
+       |  WHERE erk <= $maxK)
+       |SELECT m_subs, k, code_bits, n_queries, cand_rows, sum_hits,
+       |  CAST(sum_hits * 1000000 // (n_queries * k) AS BIGINT)
+       |    AS recall_ppm
+       |FROM ($armsSql)
+       |ORDER BY m_subs, k""".stripMargin
+  }
 }

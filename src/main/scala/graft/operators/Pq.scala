@@ -65,14 +65,20 @@ object Pq {
   /** Explode a (vec_id, `vcol`, …) relation into its M exact integer
     * subvectors with squared norms: adds (m, sv, ssq), drops `vcol`,
     * keeps every other column (q87 carries the coarse cell through).
-    */
-  private[operators] def subvectorsOf(df: DataFrame,
-      vcol: String): DataFrame =
-    df.withColumn("m", explode(sequence(lit(0), lit(M - 1))))
+    * The (mSubs, subDims) overload is the q179 quantizer-sweep
+    * entry: the training/assignment machinery below is
+    * subspace-count-agnostic (the `m` column carries through), so a
+    * different M is just a different explode shape. */
+  private[operators] def subvectorsOf(df: DataFrame, vcol: String,
+      mSubs: Int, subDims: Int): DataFrame =
+    df.withColumn("m", explode(sequence(lit(0), lit(mSubs - 1))))
       .withColumn("sv",
-        slice(col(vcol), col("m") * SubDims + 1, lit(SubDims)))
+        slice(col(vcol), col("m") * subDims + 1, lit(subDims)))
       .withColumn("ssq", Similarity.idot(col("sv"), col("sv")))
       .drop(vcol)
+
+  private[operators] def subvectorsOf(df: DataFrame,
+      vcol: String): DataFrame = subvectorsOf(df, vcol, M, SubDims)
 
   /** (vec_id, m, sv, ssq) over the raw embeddings. */
   private def subvectors(s: SparkSession, dir: String): DataFrame =
@@ -162,32 +168,44 @@ object Pq {
       .orderBy(col("qid"), col("rk"))
   }
 
-  /** Integer dot of two DuckDB lists (length [[SubDims]]). */
-  private[operators] def dotSql(a: String, b: String): String =
-    s"CAST(list_sum(list_transform(range(1, ${SubDims + 1}), " +
+  /** Integer dot of two DuckDB lists of length `n`. */
+  private[operators] def dotSqlN(a: String, b: String, n: Int): String =
+    s"CAST(list_sum(list_transform(range(1, ${n + 1}), " +
       s"i -> $a[i]*$b[i])) AS BIGINT)"
 
-  /** One Lloyd round as DuckDB CTEs, keyed by subspace. */
-  private[operators] def roundSql(r: Int, prev: String, out: String): String =
-    s"""d$r AS (
+  /** Integer dot of two DuckDB lists (length [[SubDims]]). */
+  private[operators] def dotSql(a: String, b: String): String =
+    dotSqlN(a, b, SubDims)
+
+  /** One Lloyd round as DuckDB CTEs, keyed by subspace, over an
+    * arbitrary subvector CTE `subs` of width `subDims`; `sfx`
+    * namespaces the intermediate CTEs so two quantizer configs can
+    * unroll side by side in one query (q179). */
+  private[operators] def roundSqlN(r: Int, prev: String, out: String,
+      subs: String, subDims: Int, sfx: String): String =
+    s"""d$r$sfx AS (
        |  SELECT s.vec_id, s.m, s.sv, c.cent_id,
-       |    s.ssq - 2*${dotSql("s.sv", "c.cv")} + c.csq AS dist
-       |  FROM subs s JOIN $prev c ON c.m = s.m),
-       |a$r AS (
+       |    s.ssq - 2*${dotSqlN("s.sv", "c.cv", subDims)} + c.csq AS dist
+       |  FROM $subs s JOIN $prev c ON c.m = s.m),
+       |a$r$sfx AS (
        |  SELECT m, cent_id, sv FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
-       |      ORDER BY dist ASC, cent_id ASC) AS crk FROM d$r)
+       |      ORDER BY dist ASC, cent_id ASC) AS crk FROM d$r$sfx)
        |  WHERE crk = 1),
-       |s$r AS (
+       |s$r$sfx AS (
        |  SELECT m, cent_id, t.i AS i,
        |    CAST(sum(sv[t.i+1]) AS BIGINT) AS sm, count(*) AS n
-       |  FROM a$r, range(0, $SubDims) t(i) GROUP BY m, cent_id, t.i),
+       |  FROM a$r$sfx, range(0, $subDims) t(i) GROUP BY m, cent_id, t.i),
        |$out AS (
-       |  SELECT m, cent_id, cv, ${dotSql("cv", "cv")} AS csq
+       |  SELECT m, cent_id, cv, ${dotSqlN("cv", "cv", subDims)} AS csq
        |  FROM (SELECT m, cent_id,
        |          list(CAST(floor(CAST(sm AS DOUBLE)/n) AS BIGINT)
        |            ORDER BY i) AS cv
-       |        FROM s$r GROUP BY m, cent_id))""".stripMargin
+       |        FROM s$r$sfx GROUP BY m, cent_id))""".stripMargin
+
+  /** One Lloyd round as DuckDB CTEs, keyed by subspace. */
+  private[operators] def roundSql(r: Int, prev: String, out: String): String =
+    roundSqlN(r, prev, out, "subs", SubDims, "")
 
   val q85PqAdcOracle: String = {
     val rounds = (1 to Rounds)
