@@ -1053,21 +1053,21 @@ object Dedup {
       .filter(col("c") <= ContainDfCap)
   }
 
-  /** Packed pair key for the q107/q173 pair streams:
-    * (min+2³⁰)·2³¹ + (max+2³⁰) in one BIGINT. The Σ df² pair stream
-    * is these queries' volume peak — ProfileQ107 at ×100 put ~24 GB
-    * of spilled sort/agg data and the two highest task peaks in the
-    * pair partial/final aggregates (the round-13 sf10 heap margin
-    * lived exactly there) — and one 8-byte key roughly halves every
-    * pair hash entry, sort row, and shuffle record vs the
-    * (struct, da, db) form. The +2³⁰ bias keeps the packing exact
-    * for NEGATIVE ids too (q173's chimera probes live below zero);
-    * bound: |doc_id| < 2³⁰ (corpus ids are dense small ints) — a
-    * billion-doc deployment partitions the id space or widens the
-    * key, a parameter, not a shape change. */
-  private val PairIdBias = 1073741824L
-  private val PairIdBase = 2147483648L
-
+  /** NEGATIVE RESULT, kept for the record (round 14): packing the
+    * (da, db) pair key into one biased 8-byte long
+    * ((min+2³⁰)·2³¹ + max+2³⁰) was measured and REVERTED. It shaved
+    * only ~5% off the pair-stage spill/peak (12.0 → 11.4 GB,
+    * 310 → 294 MB/task at ×100) because the dominant allocations
+    * were the two pair-stream sort-merge sorts — which the
+    * shuffle_hash size-join hints below remove outright — and the
+    * packing bound (|id| < 2³⁰) is FRAGILE against the id space:
+    * MakeSf1's ×100 replica shift puts corpus ids at 9.9·10⁸
+    * (within 8% of the bound) and q173's chimera probe ids at
+    * −(doc_id·10 + r) ≈ −10¹⁰, which overflowed ANSI long
+    * arithmetic at sf10 (caught by the round-14 bench chain; sf1's
+    * smaller ids masked it). A two-long group key has no id-space
+    * precondition; the least/greatest normalization below still
+    * replaces the former per-key sort_array. */
   def q107Containment(s: SparkSession, dir: String): DataFrame = {
     val keep = gatedPostings(
       Tables.spread(Tables.load(s, dir, "documents")),
@@ -1077,25 +1077,20 @@ object Dedup {
     // posting list per shared shingle is ≤ [[ContainDfCap]] ids BY
     // construction, pairs expanded in-row (no posting self-join);
     // the per-pair COUNT of shared gated shingles IS n_inter. The
-    // least/greatest in the packed key replaces the former
-    // sort_array — pair order is normalized per element, so the
-    // collected list needs no per-key sort.
+    // least/greatest normalizes pair order per ELEMENT, so the
+    // collected list needs no per-key sort (the former sort_array).
     val pairs = keep.filter(col("c") >= 2)
       .groupBy(col("s"))
       .agg(collect_list(col("doc_id")).as("ds"))
       .select(explode(Overlap.orderedPairs(col("ds"), (a, b) =>
-        (least(a, b) + lit(PairIdBias)) * lit(PairIdBase)
-          + greatest(a, b) + lit(PairIdBias))).as("pk"))
-      .groupBy(col("pk"))
+        struct(least(a, b).as("da"), greatest(a, b).as("db")))).as("p"))
+      .groupBy(col("p.da").as("da"), col("p.db").as("db"))
       .agg(count(lit(1)).as("n_inter"))
-      .select(expr(s"pk div $PairIdBase - $PairIdBias").as("da"),
-        expr(s"pk % $PairIdBase - $PairIdBias").as("db"),
-        col("n_inter"))
     // sizes is DOC-grain (corpus_docs/P rows per reducer — bounded),
     // so it is the shuffled-hash BUILD side: without the hint both
     // size joins sort-merge, and sorting the Σ df² pair stream twice
-    // was the full query's largest remaining allocation after the
-    // key packing (ProfileQ107 ×100: 2 × 9.1 GB of spilled sort
+    // was the full query's largest allocation — the round-13 sf10
+    // heap margin (ProfileQ107 ×100: 2 × 9.1 GB of spilled sort
     // data; the hint removes both sorts — the pair stream streams
     // through two hash probes instead).
     pairs
@@ -1278,21 +1273,17 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(when(col("rn") <= k, col("s"))))
         .as("sk"))
-    // the q107 pair treatment, verbatim: packed 8-byte pair key and
-    // hash-built size joins (see q107Containment — this exact arm
-    // shares its Σ df² volume profile and was the second-priciest
-    // ×100 query)
+    // the q107 pair treatment, verbatim: least/greatest-normalized
+    // pairs (no per-key sort_array) and hash-built size joins (see
+    // q107Containment — this exact arm shares its Σ df² volume
+    // profile and was the second-priciest ×100 query)
     val pairs = keep.filter(col("c") >= 2)
       .groupBy(col("s"))
       .agg(collect_list(col("doc_id")).as("ds"))
       .select(explode(Overlap.orderedPairs(col("ds"), (a, b) =>
-        (least(a, b) + lit(PairIdBias)) * lit(PairIdBase)
-          + greatest(a, b) + lit(PairIdBias))).as("pk"))
-      .groupBy(col("pk"))
+        struct(least(a, b).as("da"), greatest(a, b).as("db")))).as("p"))
+      .groupBy(col("p.da").as("da"), col("p.db").as("db"))
       .agg(count(lit(1)).as("n_inter"))
-      .select(expr(s"pk div $PairIdBase - $PairIdBias").as("da"),
-        expr(s"pk % $PairIdBase - $PairIdBias").as("db"),
-        col("n_inter"))
     pairs
       .join(sizes.select(col("doc_id").as("da"), col("nsz").as("na"))
         .hint("shuffle_hash"), "da")

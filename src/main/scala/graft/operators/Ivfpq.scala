@@ -452,8 +452,16 @@ object Ivfpq {
     * memory the config buys — the frontier's cost axis here, since
     * cand_rows is nprobe-bound and identical across M.
     *
-    * (Measured numbers: see the scaladoc table note updated from
-    * the committed CORRECTNESS/SCALING artifacts each round.)
+    * MEASURED (sf0.01, the committed CORRECTNESS corpus): doubling
+    * the code bits (M 8→16) lifts recall@32 525,000 → 550,000 ppm;
+    * at k=64 both configs read 606,250 because the nprobe=1
+    * candidate pool (~59 rows/query) is SMALLER than k — every
+    * scored candidate is returned and the quantizer's ranking
+    * cannot matter. That refines q178's sentence: quantizer
+    * resolution is what a SHALLOW-k deployment buys next, but a
+    * deep-k one is pool-limited first — it must widen nprobe (or
+    * grow cells) before any PQ spend pays. code_bits is the cost
+    * axis; cand_rows is constant across M by construction.
     *
     * 100 TB posture: both builds share one corpus-residual barrier
     * and one ground-truth scan; everything else is the q87 join

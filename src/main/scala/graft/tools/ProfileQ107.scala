@@ -85,9 +85,8 @@ object ProfileQ107 {
       .groupBy(col("s"))
       .agg(collect_list(col("doc_id")).as("ds"))
       .select(explode(Overlap.orderedPairs(col("ds"), (a, b) =>
-        (least(a, b) + lit(1073741824L)) * lit(2147483648L)
-          + greatest(a, b) + lit(1073741824L))).as("pk"))
-      .groupBy(col("pk"))
+        struct(least(a, b).as("da"), greatest(a, b).as("db")))).as("p"))
+      .groupBy(col("p.da").as("da"), col("p.db").as("db"))
       .agg(count(lit(1)).as("n_inter"))
 
     time("1_inv_distinct")(inv)
