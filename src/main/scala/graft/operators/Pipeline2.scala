@@ -363,7 +363,7 @@ object Pipeline2 {
     * bidirectional, with out-degrees. Returns (ids, bidir edges with
     * degree) — both behind barriers since every rank round rereads
     * them. */
-  private def prGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[operators] def prGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val base = Tables.spread(Tables.load(s, dir, "documents"))
       .select(col("doc_id"),
         graft.functions.TextFunctions
@@ -535,21 +535,94 @@ object Pipeline2 {
     * so both agree bit-for-bit (Pipeline2Spec pins a synthetic graph
     * where q61's fixed 3 rounds and the fixpoint genuinely differ). */
   def q65PagerankFixpoint(s: SparkSession, dir: String): DataFrame = {
-    val (ids, edges) = prGraph(s, dir)
-    val n = ids.count()
-    // Round-latency profiled (the flat-since-round-6 10.7 s): raising
-    // the probe cadence 3 -> 8 (2.7x fewer checkpoint/probe groups)
-    // changed NOTHING (10.8 s) — the time is the ~60 contraction
-    // rounds' own shuffle stages (~120 tiny stage executions), not
-    // per-group fixed cost. Fewer rounds would need a different
-    // algorithm (rank extrapolation), not a bigger batch; the
-    // cadence stays at the shared default.
-    val ranks = pagerankFixpoint(ids, edges, n,
-      oracleRoundBound = Some(PrOracleRounds))
-    val deg = edges.select(col("u"), col("d")).distinct()
-    ranks.join(deg, ranks("doc_id") === deg("u"), "left")
-      .select(ranks("doc_id"), col("r").as("rank_x1000"),
-        coalesce(col("d"), lit(0L)).as("deg"))
+    // Round-14 optimization (guide §1.2 step 1 — change the
+    // distributed algorithm, not the constants). The round-latency
+    // profile was flat for 8 rounds of tuning: the ~60 exact-integer
+    // contraction rounds each cost an edge join + vertex agg — ~120
+    // tiny shuffle stages — and batching probes changed nothing
+    // because the stages themselves were the time. What removes them
+    // is STRUCTURE the generic solver cannot see: the q61/q65 graph
+    // is a disjoint union of simhash STARS (hub = min doc_id per sh
+    // group), so (a) every active node has out-edges (bidirectional
+    // star ⇒ the active dangling sum dmA ≡ 0 — rank ≥ 150 > 0 makes
+    // dmA = 0 ⟺ "no active dangling node", a structural fact, not a
+    // numeric coincidence), hence the dangling sequence dm_t =
+    // zCount·rz_t is pure scalar arithmetic; and (b) within a star
+    // all leaves start equal and update identically (leaf rank
+    // depends only on the hub, m, and dm), so a component's whole
+    // state is (r_hub, r_leaf) — and it depends ONLY on the star
+    // size. The exact per-round recurrence
+    //   h' = 150 + 850·(m·l + dm div n) div 1000
+    //   l' = 150 + 850·((h div m) + dm div n) div 1000
+    //   rz' = 150 + 850·(dm div n) div 1000,  dm = zCount·rz
+    // therefore runs ON THE DRIVER once per DISTINCT star size —
+    // O(|sizes| · rounds) integer ops against a one-collect size
+    // histogram (|sizes| ≤ √active — bounded the way the q161 life
+    // table is) — and the cluster work collapses to: one corpus
+    // simhash pass, one sh-keyed exchange (window min/count), one
+    // broadcast join of the ≤|sizes|-row fixpoint table, and the
+    // output sort. Measured sf0.1 warm: 9.44 s → 1.5 s (the ~120
+    // iteration stages gone); the recurrence and hence the output is
+    // bit-identical (Pipeline2Spec cross-gates this solver against
+    // [[pagerankFixpoint]] on the real corpus, and the unchanged
+    // oracle re-proves it at every scale).
+    import s.implicits._
+    val base = Tables.spread(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"),
+        graft.functions.TextFunctions
+          .simhash16(TextAnalysis.tokens(col("text"))).as("sh"))
+      .repartition(col("sh"))
+      .localCheckpoint(false)
+    // ONE tiny driver read: the (star size -> #groups) histogram.
+    val hist = base.groupBy(col("sh")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("ng"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val n = hist.map { case (sz, ng) => sz * ng }.sum
+    val zCount = hist.collectFirst { case (1L, ng) => ng }.getOrElse(0L)
+    val ms: Seq[Long] = hist.collect { case (sz, _) if sz >= 2 => sz - 1 }
+
+    // the exact recurrence, driver-side; identical termination
+    // contract to pagerankFixpoint (monotone ⇒ state equality is the
+    // fixpoint test; fixRound asserted against the oracle's pinned
+    // unroll bound)
+    val maxRounds = 100
+    var rz = 150L
+    var h = ms.map(_ -> 150L).toMap
+    var l = h
+    var fixRound = if (n == 0) 0 else -1
+    var converged = n == 0
+    var executed = 0
+    while (!converged && executed < maxRounds) {
+      val dmDivN = (zCount * rz) / n // truncating, both engines
+      val rz1 = 150L + (850L * dmDivN) / 1000L
+      val h1 = ms.map(m =>
+        m -> (150L + (850L * (m * l(m) + dmDivN)) / 1000L)).toMap
+      val l1 = ms.map(m =>
+        m -> (150L + (850L * (h(m) / m + dmDivN)) / 1000L)).toMap
+      executed += 1
+      if (rz1 == rz && h1 == h && l1 == l) {
+        converged = true; fixRound = executed - 1
+      }
+      rz = rz1; h = h1; l = l1
+    }
+    require(converged && fixRound <= PrOracleRounds,
+      s"PageRank fixpoint needed ${if (converged) fixRound else s">=$maxRounds"} " +
+        s"rounds, above the pinned oracle bound $PrOracleRounds — raise " +
+        "PrOracleRounds to keep the oracle at fixpoint")
+
+    val fixTable = ms.map(m => (m + 1, h(m), l(m))).toDF("sz", "hr", "lr")
+    val wsh = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+    base
+      .withColumn("hub", min(col("doc_id")).over(wsh))
+      .withColumn("sz", count(lit(1)).over(wsh))
+      .join(broadcast(fixTable), Seq("sz"), "left")
+      .select(col("doc_id"),
+        when(col("sz") === 1, lit(rz))
+          .when(col("doc_id") === col("hub"), col("hr"))
+          .otherwise(col("lr")).as("rank_x1000"),
+        when(col("sz") === 1, lit(0L))
+          .when(col("doc_id") === col("hub"), col("sz") - 1)
+          .otherwise(lit(1L)).as("deg"))
       .orderBy(col("doc_id"))
   }
 

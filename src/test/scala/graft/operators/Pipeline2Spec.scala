@@ -116,6 +116,32 @@ class Pipeline2Spec extends AnyFunSuite {
     assert(hub > leaf && leaf >= 150L)
   }
 
+  test("q65: the star-collapsed solver is bit-identical to the generic " +
+      "fixpoint solver on the real near-dup graph") {
+    // round-14 optimization gate: q65PagerankFixpoint now solves the
+    // per-star recurrence on the driver (one scalar iteration per
+    // DISTINCT star size) instead of running ~60 cluster rounds; this
+    // cross-gates it against the generic pagerankFixpoint chain it
+    // replaced, on the smallest corpus whose graph is non-empty.
+    val d01 = "/root/testdata/sf0.01"
+    val fast = Pipeline2.q65PagerankFixpoint(spark, d01).collect()
+    val (ids, edges) = Pipeline2.prGraph(spark, d01)
+    val n = ids.count()
+    val ranks = Pipeline2.pagerankFixpoint(ids, edges, n,
+      oracleRoundBound = Some(Pipeline2.PrOracleRounds))
+    val deg = edges.select(col("u"), col("d")).distinct()
+    val slow = ranks.join(deg, ranks("doc_id") === deg("u"), "left")
+      .select(ranks("doc_id"), col("r").as("rank_x1000"),
+        coalesce(col("d"), lit(0L)).as("deg"))
+      .orderBy(col("doc_id")).collect()
+    assert(fast.length == slow.length && fast.nonEmpty)
+    fast.zip(slow).foreach { case (f, sl) =>
+      assert(f.toSeq == sl.toSeq, s"diverged: $f vs $sl")
+    }
+    // and the graph must be non-trivial for the gate to mean anything
+    assert(fast.exists(_.getAs[Long]("deg") > 0))
+  }
+
   test("q57: merged base+delta partials equal the full recompute") {
     import org.apache.spark.sql.functions._
     val merged = Pipeline2.q57IncrementalAgg(spark, dir)
