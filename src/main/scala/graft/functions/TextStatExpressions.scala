@@ -224,6 +224,29 @@ object TextStatKernels {
     }
     hits
   }
+
+  /** |a ∩ b| for element-distinct string arrays that are BOTH sorted
+    * ascending (binary order — `sort_array`'s order): a single merge
+    * pass, no per-call hash set. ~10× cheaper per call than
+    * [[intersectCount]] on the ~30-element trigram arrays the ER
+    * pair streams compare (round-14 q176 profile: the per-pair
+    * HashSet build+probe was ~18 µs — the dominant term of the
+    * all-pairs truth arm). Caller must guarantee the sort order;
+    * the result is the same set size either way. */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var hits = 0L
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { hits += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    hits
+  }
 }
 
 /** text → whitespace-normalized lowercase normal form (codegen'd). */
@@ -395,6 +418,22 @@ case class IntersectCount(left: Expression, right: Expression)
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
+/** (sorted array<string>, sorted array<string>) → |a ∩ b| by merge —
+  * see [[TextStatKernels.sortedIntersectCount]]'s precondition. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextStatKernels.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextStatKernels.sortedIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
 object TextStatFunctions {
   def normText(c: Column): Column =
     Bridge.column(NormText(Bridge.expression(c)))
@@ -412,6 +451,9 @@ object TextStatFunctions {
     Bridge.column(BagNorm(Bridge.expression(c)))
   def intersectCount(a: Column, b: Column): Column =
     Bridge.column(IntersectCount(Bridge.expression(a), Bridge.expression(b)))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersectCount(
+      Bridge.expression(a), Bridge.expression(b)))
   def repetitionStats(c: Column): Column =
     Bridge.column(RepetitionStats(Bridge.expression(c)))
   def tokenNgrams(c: Column, n: Int): Column =

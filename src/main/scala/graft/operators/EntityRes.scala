@@ -312,27 +312,43 @@ object EntityRes {
     * pair rule (b.rn − a.rn ≤ W, ranks from the FULL block, computed
     * before sampling) inside the same bounded join, so nothing
     * corpus-scale runs twice. */
-  def q176ErRecall(s: SparkSession, dir: String): DataFrame = {
+  def q176ErRecall(s: SparkSession, dir: String): DataFrame =
+    q176Pieces(s, dir)("full")
+
+  /** q176 internals, exposed piecewise for the optimization loop's
+    * bisection (tools/Scratch); "full" is the declared query. */
+  private[graft] def q176Pieces(s: SparkSession, dir: String)
+      : Map[String, DataFrame] = {
     val real = Tables.load(s, dir, "customer")
       .select(col("c_nationkey").cast("long").as("nation"),
         expr(s"CAST(round(c_acctbal * 100) AS BIGINT) div $BalBucket")
           .as("bal_bucket"),
         col("c_custkey").as("ck"),
-        lower(col("c_name")).as("nm"),
-        trigrams(col("c_name")).as("g"))
-      .withColumn("ng", size(col("g")).cast("long"))
-    val block = Window.partitionBy(col("nation"), col("bal_bucket"))
-    val ord = block.orderBy(col("nm"), col("ck"))
-    // NO barrier here, deliberately (the gatedPostings discipline):
-    // a localCheckpoint between the observe and the join HID the
-    // CollectMetrics execution from the listener — the cap telemetry
-    // printed [0,0] at every scale (caught in the round-13 chain).
-    // Both self-join sides read this one observed stream; the window
-    // exchange is identical on both and ReuseExchange runs it once,
-    // and the metrics are MAX-based so a re-read cannot double-count.
-    val elig = real.unionByName(probeBlock(s))
-      .withColumn("bn", count(lit(1)).over(block))
-      .withColumn("rn", row_number().over(ord).cast("long"))
+        lower(col("c_name")).as("nm"))
+    // Round-14 shape (guide §2.3/§2.4): block size via a PARTIAL
+    // (map-side) aggregation at block grain instead of a corpus-wide
+    // window — the old plan shuffled every customer row WITH its
+    // trigram array into a (nation, bal_bucket) window sort, and the
+    // self-join ran that sort + filters once PER SIDE (two ~2.5 s
+    // single-task stages at sf0.1; AQE coalesces the 0.7 MB exchange
+    // to one partition, so the array-heavy sort was serial). Now the
+    // corpus-scale stream only ever feeds a collapsing count
+    // aggregate; capped blocks (a tiny block-grain table) broadcast
+    // back, so the rank window and the trigram kernel run over
+    // capped-block MEMBERS only (≈10³ rows at any scale — block
+    // membership is what the calibration measures, never the corpus).
+    // The cap telemetry keeps its round-13 placement contract (no
+    // barrier between observe and consumers — a localCheckpoint hid
+    // CollectMetrics from the listener; MAX-based so the broadcast
+    // being read by both join sides cannot double-count), it just
+    // rides the block-grain stream now: max(bn)/max(m) over capped
+    // blocks are block-grain quantities, bit-identical to the old
+    // member-grain maxima.
+    val bnT = real.unionByName(
+        probeBlock(s).select(col("nation"), col("bal_bucket"),
+          col("ck"), col("nm")))
+      .groupBy(col("nation"), col("bal_bucket"))
+      .agg(count(lit(1)).as("bn"))
       .filter(col("bn") > BlockCap)
       .withColumn("m", expr(
         s"(bn + $ErRecallTruthCap - 1) div $ErRecallTruthCap"))
@@ -342,9 +358,39 @@ object EntityRes {
       .filter(col("nation") < 0 ||
         abs(col("nation") * 1009 + col("bal_bucket"))
           % ErRecallSampleMod === 0)
+    val ord = Window.partitionBy(col("nation"), col("bal_bucket"))
+      .orderBy(col("nm"), col("ck"))
+    val elig = real.unionByName(
+        probeBlock(s).select(col("nation"), col("bal_bucket"),
+          col("ck"), col("nm")))
+      .join(broadcast(bnT), Seq("nation", "bal_bucket"))
+      // rank over the FULL block membership (the found-arm rule uses
+      // q101's ranks, computed before any member sampling)
+      .withColumn("rn", row_number().over(ord).cast("long"))
       .filter(col("m") === 1 ||
         expr("CAST(conv(substring(md5(CAST(ck AS STRING)), 1, 4)," +
           " 16, 10) AS BIGINT)") % col("m") === 0)
+      // trigrams AFTER every filter: the kernel runs on sampled
+      // capped-block members only, and no array rides an exchange.
+      // Sorted ONCE per member so the all-pairs arm can intersect by
+      // merge (sortedIntersectCount) instead of a per-pair hash set —
+      // the sort changes only element order, never the set size.
+      .withColumn("g", sort_array(trigrams(col("nm"))))
+      .withColumn("ng", size(col("g")).cast("long"))
+    // The truth predicate runs as a CONDITIONAL AGGREGATE, not a
+    // pair-level Filter (round-14 profile): a filter above the join's
+    // projection gets collapsed + pushed into the join condition,
+    // where its `ni` references inline the intersect kernel once PER
+    // REFERENCE — three kernel evaluations per candidate pair instead
+    // of one (sf0.1: 3.2 s → 1.2 s for the pair stage, measured
+    // A/B). Folding the predicate into sum(when(...)) keeps ONE
+    // kernel evaluation per pair (codegen subexpression elimination
+    // dedupes within the aggregate) and nothing pair-level exists for
+    // the optimizer to push. Blocks whose sampled pairs all fail the
+    // threshold aggregate to truth_pairs = 0 and are dropped
+    // post-agg — exactly the rows the old pair filter never formed.
+    val isTruth = col("na") + col("nb") - col("ni") >= 1 &&
+      expr("ni * 1000000 div (na + nb - ni)") >= ErTauE6
     val pairs = elig.alias("a")
       .join(elig.alias("b"),
         col("a.nation") === col("b.nation") &&
@@ -355,20 +401,21 @@ object EntityRes {
         col("a.m").as("m"),
         col("a.ng").as("na"), col("b.ng").as("nb"),
         graft.functions.TextStatFunctions
-          .intersectCount(col("a.g"), col("b.g")).as("ni"),
+          .sortedIntersectCount(col("a.g"), col("b.g")).as("ni"),
         (col("b.rn") - col("a.rn") <= NeighborW).cast("long").as("found"))
-      .filter(col("na") + col("nb") - col("ni") >= 1 &&
-        expr("ni * 1000000 div (na + nb - ni)") >= ErTauE6)
-    pairs.groupBy(col("nation"), col("bal_bucket"), col("bn"), col("m"))
-      .agg(count(lit(1)).as("truth_pairs"),
-        sum(col("found")).as("found_pairs"))
+    val unordered = pairs
+      .groupBy(col("nation"), col("bal_bucket"), col("bn"), col("m"))
+      .agg(sum(when(isTruth, 1L).otherwise(0L)).as("truth_pairs"),
+        sum(when(isTruth, col("found")).otherwise(0L)).as("found_pairs"))
+      .filter(col("truth_pairs") >= 1)
       .withColumn("missed_pairs", expr("truth_pairs - found_pairs"))
       .withColumn("recall_e6",
         expr("found_pairs * 1000000 div truth_pairs"))
       .select(col("nation"), col("bal_bucket"), col("bn"),
         col("m").as("sample_mod"), col("truth_pairs"),
         col("found_pairs"), col("missed_pairs"), col("recall_e6"))
-      .orderBy(col("nation"), col("bal_bucket"))
+    val full = unordered.orderBy(col("nation"), col("bal_bucket"))
+    Map("bnT" -> bnT, "elig" -> elig, "pairs" -> pairs, "full" -> full)
   }
 
   val q176ErRecallOracle: String = {

@@ -30,8 +30,10 @@ object StageTime {
         a <- info.completionTime
         b <- info.submissionTime
       } yield a - b).getOrElse(0L)
-      stageNames.put(info.stageId,
-        (info.name.takeWhile(_ != '\n').take(72), wall))
+      val scopes = info.rddInfos.sortBy(_.id)
+        .map(r => r.scope.map(_.name).getOrElse(r.name))
+        .distinct.mkString(">").take(110)
+      stageNames.put(info.stageId, (scopes, wall))
     }
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
