@@ -40,11 +40,35 @@ object Ivfpq {
   val FrontierNProbes: Seq[Int] = Seq(1, 2, 4)
   val FrontierKs: Seq[Int] = Seq(32, 64)
 
+  /** Corpus-side coarse assignment: nearest cell per vector as a
+    * partial-aggregating `min(struct(cdist, cell, v, ccv))` over the
+    * constant-broadcast cell table — the round-14 argmin shape (see
+    * [[Pq.assign]]): (cdist, cell) is unique per candidate so the
+    * struct minimum is exactly the old `row_number() = 1` row, and
+    * the map-side combine collapses the Kc candidate rows per vector
+    * before any exchange (the window form shuffled corpus×Kc rows
+    * into a corpus-scale sort). Query-side top-nprobe ranking keeps
+    * the window — it needs ranks 1..nprobe, and its input is the
+    * bounded probe panel. */
+  private def coarseArgmin(df: DataFrame, coarse: DataFrame): DataFrame =
+    df.crossJoin(coarse)
+      .withColumn("cdist",
+        col("sq") - lit(2L) * Similarity.idot(col("v"), col("ccv"))
+          + col("ccsq"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("cdist"), col("cell"), col("v"), col("ccv")))
+        .as("_c"))
+      .select(col("vec_id"), col("_c.cell").as("cell"),
+        col("_c.v").as("v"), col("_c.ccv").as("ccv"))
+
   /** q87: coarse-assign, PQ-train on residuals, encode, ADC over the
     * probed cells only; returns (qid, rk, vec_id, adist). */
   def q87Ivfpq(s: SparkSession, dir: String): DataFrame = {
+    // one quantization pass behind a barrier: b feeds the coarse
+    // codebook, the corpus assignment and the query panel (see q85)
     val b = Similarity.exactPairsBase(s, dir)
       .select(col("vec_id"), col("v"), col("sq"))
+      .localCheckpoint(false)
     val coarse = broadcast(b.filter(col("vec_id") < Kc)
       .select(col("vec_id").as("cell"), col("v").as("ccv"),
         col("sq").as("ccsq")))
@@ -63,8 +87,9 @@ object Ivfpq {
     def residual: org.apache.spark.sql.Column =
       zip_with(col("v"), col("ccv"), (a, c) => a - c)
 
-    // corpus: nearest cell + integer residual
-    val corpus = coarseRank(b).filter(col("crk0") === 1)
+    // corpus: nearest cell + integer residual (argmin by partial
+    // aggregation — no corpus-scale rank sort)
+    val corpus = coarseArgmin(b, coarse)
       .select(col("vec_id"), col("cell"), residual.as("r"))
     val subs = Pq.subvectorsOf(corpus, "r")
     val cents = Pq.trainCents(subs.drop("cell")
@@ -211,8 +236,11 @@ object Ivfpq {
     import s.implicits._
     val maxProbe = FrontierNProbes.max
     val maxK = FrontierKs.max
+    // one quantization pass behind a barrier: b feeds the coarse
+    // codebook, corpus assignment, query panel AND the exact arm
     val b = Similarity.exactPairsBase(s, dir)
       .select(col("vec_id"), col("v"), col("sq"))
+      .localCheckpoint(false)
     val coarse = broadcast(b.filter(col("vec_id") < Kc)
       .select(col("vec_id").as("cell"), col("v").as("ccv"),
         col("sq").as("ccsq")))
@@ -228,7 +256,7 @@ object Ivfpq {
     def residual: org.apache.spark.sql.Column =
       zip_with(col("v"), col("ccv"), (a, c) => a - c)
 
-    val corpus = coarseRank(b).filter(col("crk0") === 1)
+    val corpus = coarseArgmin(b, coarse)
       .select(col("vec_id"), col("cell"), residual.as("r"))
     val subs = Pq.subvectorsOf(corpus, "r")
     val cents = Pq.trainCents(subs.drop("cell")
@@ -472,8 +500,10 @@ object Ivfpq {
     * already pays per candidate config. */
   def q179AnnQuantizer(s: SparkSession, dir: String): DataFrame = {
     val maxK = FrontierKs.max
+    // one quantization pass behind a barrier (see q178)
     val b = Similarity.exactPairsBase(s, dir)
       .select(col("vec_id"), col("v"), col("sq"))
+      .localCheckpoint(false)
     val coarse = broadcast(b.filter(col("vec_id") < Kc)
       .select(col("vec_id").as("cell"), col("v").as("ccv"),
         col("sq").as("ccsq")))
@@ -492,7 +522,7 @@ object Ivfpq {
     // shared across both quantizer configs: coarse assignment and
     // query residuals are M-independent — ONE corpus-scale barrier
     // feeds both builds
-    val corpusRes = coarseRank(b).filter(col("crk0") === 1)
+    val corpusRes = coarseArgmin(b, coarse)
       .select(col("vec_id"), col("cell"), residual.as("r"))
       .localCheckpoint(false)
     val qres = coarseRank(b.filter(col("vec_id") < Pq.NQueries))

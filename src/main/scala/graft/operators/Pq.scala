@@ -113,23 +113,40 @@ object Pq {
   }
 
   /** Nearest-centroid assignment: equi-join on the subspace id
-    * against the broadcast codebook, argmin by (dist, cent_id). */
+    * against the broadcast codebook, argmin by (dist, cent_id).
+    *
+    * Round-14 shape: the argmin is a partial-aggregating
+    * `min(struct(dist, cent_id, payload…))` groupBy, not a
+    * row_number window. (dist, cent_id) is unique within a
+    * (vec_id, m) group, so the lexicographic struct minimum IS the
+    * old rank-1 row — payload fields ride along untouched — while
+    * the map-side combine collapses the K candidate rows per
+    * subvector BEFORE the exchange (the window form shuffled all K
+    * candidates and sorted them: K× the shuffle bytes plus a
+    * corpus-scale sort, per training round and per encode). */
   private[operators] def assign(subs: DataFrame,
       cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("dist").asc, col("cent_id").asc)
-    subs.join(broadcast(cents), Seq("m"))
+    val joined = subs.join(broadcast(cents), Seq("m"))
       .withColumn("dist",
         col("ssq") - lit(2L) * Similarity.idot(col("sv"), col("cv"))
           + col("csq"))
-      .withColumn("crk", row_number().over(w))
-      .filter(col("crk") === 1)
+    val payload = joined.columns
+      .filterNot(Seq("vec_id", "m", "dist", "cent_id").contains)
+    val st = struct(col("dist") +: col("cent_id") +: payload.map(col): _*)
+    joined.groupBy(col("vec_id"), col("m")).agg(min(st).as("_arg"))
+      .select(col("vec_id") +: col("m") +: col("_arg.dist") +:
+        col("_arg.cent_id") +: payload.map(c => col("_arg." + c)): _*)
   }
 
   /** q85: train M sub-codebooks, encode the corpus, ADC-score the
     * pinned query panel; returns (qid, rk, vec_id, adist). */
   def q85PqAdc(s: SparkSession, dir: String): DataFrame = {
-    val subs = subvectors(s, dir)
+    // ONE quantization pass: subs feeds both training rounds, the
+    // encode and the query distance table — unbarriered, the base
+    // scan + ivec kernel + subspace explode re-ran once per consumer
+    // (round-14 profile: three corpus-scale Exchange>Project stages
+    // of ~8 s summed task time each at sf0.1)
+    val subs = subvectors(s, dir).localCheckpoint(false)
     val cents = trainCents(subs)
 
     // encode: final assignment → (vec_id, m, code)
