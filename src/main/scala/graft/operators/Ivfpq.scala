@@ -287,7 +287,6 @@ object Ivfpq {
       // every pd row of a (qid, vec) pair carries the SAME cell_rank
       // (a vector is encoded in exactly one cell) — max is exact
       .agg(sum(col("pd")).as("adist"), max(col("cell_rank")).as("cell_rank"))
-      .localCheckpoint(false) // shared by all 3 + 6 frontier arms
 
     // exact L2 ground truth at the deepest cut (the q131 brute shape)
     val queries = broadcast(b.filter(col("vec_id") < Pq.NQueries)
@@ -303,36 +302,47 @@ object Ivfpq {
       .withColumn("erk", row_number().over(wx))
       .filter(col("erk") <= maxK)
       .select(col("qid"), col("vec_id"), col("erk"))
-      .localCheckpoint(false) // shared by the 6 hit arms
 
+    // Round-14 folding: all 3 cost arms + 6 hit arms from ONE linear
+    // pass — the per-(np, k) loop of filter + row_number window +
+    // semi-join + agg + crossJoin (plus two barriers) ran ~25 tiny
+    // stages whose scheduling dominated the query at sf0.1. A rank
+    // within the cell_rank ≤ np SUBSET equals a running conditional
+    // count in the full (adist, vec_id) order (vec_id is unique per
+    // qid, so the order is total), so one window computes every
+    // nprobe's rank column; the exact arm attaches by a single 1:≤1
+    // left join; and one aggregate emits every (np, k) cell, exploded
+    // back into the 6 output rows. Zero-hit arms still report —
+    // the aggregate always yields its single row and each sum is
+    // coalesced (the q169 lesson, preserved).
     val wq = Window.partitionBy(col("qid"))
       .orderBy(col("adist").asc, col("vec_id").asc)
-    // every per-nprobe candidate count in ONE pass over the
-    // checkpointed scored stream (the cost arm depends only on
-    // nprobe; building it inside the (np, k) loop ran each count
-    // once per k — 6 jobs for 3 numbers). Eager 1-row checkpoint:
-    // each arm's crossJoin reads the result, never re-aggregates.
-    val costAgg = FrontierNProbes.map(np =>
-      coalesce(sum(when(col("cell_rank") <= np, 1L).otherwise(0L)),
-        lit(0L)).as(s"cand_$np"))
-    val costs = scored.agg(costAgg.head, costAgg.tail: _*)
-      .localCheckpoint(true)
-    val arms = for (np <- FrontierNProbes; k <- FrontierKs) yield {
-      val cost = costs.select(col(s"cand_$np").as("cand_rows"))
-      val hits = scored.filter(col("cell_rank") <= np)
-        .withColumn("rk", row_number().over(wq))
-        .filter(col("rk") <= k)
-        .join(exact.filter(col("erk") <= k), Seq("qid", "vec_id"),
-          "left_semi")
-        .agg(count(lit(1)).as("sum_hits"))
-      hits.crossJoin(cost)
-        .select(lit(np.toLong).as("nprobe"), lit(k.toLong).as("k"),
-          lit(Pq.NQueries.toLong).as("n_queries"),
-          col("cand_rows"), col("sum_hits"),
-          expr(s"sum_hits * 1000000 div (${Pq.NQueries} * $k)")
-            .as("recall_ppm"))
-    }
-    arms.reduce(_ unionByName _).orderBy(col("nprobe"), col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = FrontierNProbes.foldLeft(
+        scored.join(exact, Seq("qid", "vec_id"), "left"))((df, np) =>
+        df.withColumn(s"rk$np",
+          sum(when(col("cell_rank") <= np, 1L).otherwise(0L)).over(wq)))
+    val cellAggs = (for (np <- FrontierNProbes; k <- FrontierKs) yield
+      coalesce(sum(when(col("cell_rank") <= np &&
+          col(s"rk$np") <= k && col("erk") <= k, 1L).otherwise(0L)),
+        lit(0L)).as(s"h_${np}_$k")) ++
+      FrontierNProbes.map(np =>
+        coalesce(sum(when(col("cell_rank") <= np, 1L).otherwise(0L)),
+          lit(0L)).as(s"cand_$np"))
+    val onerow = ranked.agg(cellAggs.head, cellAggs.tail: _*)
+    val rows = for (np <- FrontierNProbes; k <- FrontierKs) yield
+      struct(lit(np.toLong).as("nprobe"), lit(k.toLong).as("k"),
+        lit(Pq.NQueries.toLong).as("n_queries"),
+        col(s"cand_$np").as("cand_rows"),
+        col(s"h_${np}_$k").as("sum_hits"))
+    onerow.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.nprobe").as("nprobe"), col("r.k").as("k"),
+        col("r.n_queries").as("n_queries"),
+        col("r.cand_rows").as("cand_rows"),
+        col("r.sum_hits").as("sum_hits"))
+      .withColumn("recall_ppm",
+        expr(s"sum_hits * 1000000 div (${Pq.NQueries} * k)"))
+      .orderBy(col("nprobe"), col("k"))
   }
 
   val q178AnnFrontierOracle: String = {
