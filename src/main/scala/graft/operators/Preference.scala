@@ -29,45 +29,6 @@ object Preference {
   /** Rating scale (p₀ = one unit). */
   val BtScale = 1000000L
 
-  /** The per-brand win/comparison tables: duels from intra-order
-    * line pairs (l_linenumber_a < l_linenumber_b bounds fan-out at
-    * C(lines-per-order, 2) ≤ 21 — one orderkey-keyed self-join, no
-    * all-pairs), strictly-greater quantity decides, same-brand and
-    * tied pairs contribute nothing. Returns (w, n): directed win
-    * counts and symmetric comparison counts. */
-  private def duelTables(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
-    val li = Tables.load(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_linenumber"),
-        col("l_quantity").cast("long").as("qty"), col("l_partkey"))
-      .join(broadcast(Tables.load(s, dir, "part")
-        .select(col("p_partkey"), col("p_brand"))),
-        col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey"), col("l_linenumber"), col("qty"),
-        col("p_brand").as("brand"))
-    val a = li.select(col("l_orderkey"), col("l_linenumber").as("ln_a"),
-      col("qty").as("qty_a"), col("brand").as("brand_a"))
-    val b = li.select(col("l_orderkey"), col("l_linenumber").as("ln_b"),
-      col("qty").as("qty_b"), col("brand").as("brand_b"))
-    val duels = a.join(b, Seq("l_orderkey"))
-      .filter(col("ln_a") < col("ln_b") &&
-        col("brand_a") =!= col("brand_b") &&
-        col("qty_a") =!= col("qty_b"))
-      .select(
-        when(col("qty_a") > col("qty_b"), col("brand_a"))
-          .otherwise(col("brand_b")).as("wb"),
-        when(col("qty_a") > col("qty_b"), col("brand_b"))
-          .otherwise(col("brand_a")).as("lb"))
-    val w = duels.groupBy(col("wb"), col("lb"))
-      .agg(count(lit(1)).as("c"))
-      .localCheckpoint(false) // value-scale (≤ brands²); reused by n/W/rounds
-    val n = w.select(col("wb").as("i"), col("lb").as("j"), col("c"))
-      .unionByName(w.select(col("lb").as("i"), col("wb").as("j"), col("c")))
-      .groupBy(col("i"), col("j")).agg(sum(col("c")).as("n"))
-      .localCheckpoint(false) // referenced by every MM round + the report
-    (w, n)
-  }
-
   /** q158: Bradley–Terry brand strength via [[BtRounds]] MM rounds.
     * Per round (ratings ×10⁶-scaled, internals ×10¹² in
     * DECIMAL(38,0)/HUGEINT — the q114 widening rule):
@@ -85,48 +46,77 @@ object Preference {
     * is independent of corpus size, the same shape a reward-model
     * duel matrix has at any scale. */
   def q158BtRating(s: SparkSession, dir: String): DataFrame = {
-    val (w, n) = duelTables(s, dir)
-    val items = n.select(col("i")).distinct()
-    val wins = items.join(
-        w.groupBy(col("wb")).agg(sum(col("c")).as("wins")),
-        col("i") === col("wb"), "left")
-      .select(col("i"), coalesce(col("wins"), lit(0L)).as("wins"))
-    var p = items.select(col("i"), lit(BtScale).as("p"))
-    for (_ <- 1 to BtRounds) {
-      // ×10¹² internal precision (DECIMAL(38,0)/HUGEINT, the q114
-      // widening rule): at ×10⁶ the per-pair term n·10⁶ div (p_i+p_j)
-      // truncates to n div 2, which collapses small duel counts into
-      // ties (PreferenceSpec's hand chain caught it)
-      val denom = n
-        .join(p.select(col("i"), col("p").as("pi")), Seq("i"))
-        .join(p.select(col("i").as("j"), col("p").as("pj")), Seq("j"))
-        .groupBy(col("i"))
-        .agg(sum(expr(
-          "CAST(n AS DECIMAL(38,0)) * 1000000000000 div (pi + pj)"))
-          .as("denom"))
-      val raw = wins.join(denom, Seq("i"))
-        .select(col("i"),
-          expr("""CAST(greatest(CAST(1 AS DECIMAL(38,0)),
-              CAST(wins AS DECIMAL(38,0)) * 1000000000000
-                div greatest(CAST(1 AS DECIMAL(38,0)), denom))
-            AS BIGINT)""").as("praw"))
-      val tot = raw.agg(sum(col("praw")).as("tot"),
-        count(lit(1)).as("k"))
-      // each round references p TWICE (the pi and pj join sides) —
-      // without a barrier the final plan nests 2^rounds copies of the
-      // round subtree (8.6 s at sf0.1 from pure stage-scheduling of
-      // tiny exchanges; 2.0 s with the per-round barrier on the
-      // |brands|-row table)
-      p = raw.crossJoin(broadcast(tot))
-        .select(col("i"),
-          expr(s"greatest(1L, praw * (k * $BtScale) div tot)").as("p"))
-        .localCheckpoint(false)
+    // Round-14 shape (the q65 treatment): the MM iteration runs over
+    // a VALUE-SCALE table — ≤ |brands|² ≈ 625 rows at any corpus
+    // size — so iterating it as Spark jobs bought ~30 tiny stages of
+    // pure scheduling (the per-round pi/pj joins, normalization
+    // crossJoin, and barrier; measured ~2 s of the query's 3.2 s at
+    // sf0.1 with the duel aggregation itself at ~0.4 s). The corpus
+    // does ONE thing: the bounded orderkey self-join collapsing to
+    // the directed win matrix, collected at ≤ |brands|² rows; the MM
+    // recurrence then runs on the driver in BigInt — bit-identical to
+    // the old DECIMAL(38,0) dataflow (truncating division on
+    // positive operands, same max(1, ·) guards, same pinned
+    // [[BtRounds]]), which the unchanged unrolled oracle re-proves.
+    import s.implicits._
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("qty"), col("l_partkey"))
+      .join(broadcast(Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("qty"),
+        col("p_brand").as("brand"))
+    val a = li.select(col("l_orderkey"), col("l_linenumber").as("ln_a"),
+      col("qty").as("qty_a"), col("brand").as("brand_a"))
+    val b = li.select(col("l_orderkey"), col("l_linenumber").as("ln_b"),
+      col("qty").as("qty_b"), col("brand").as("brand_b"))
+    val w = a.join(b, Seq("l_orderkey"))
+      .filter(col("ln_a") < col("ln_b") &&
+        col("brand_a") =!= col("brand_b") &&
+        col("qty_a") =!= col("qty_b"))
+      .select(
+        when(col("qty_a") > col("qty_b"), col("brand_a"))
+          .otherwise(col("brand_b")).as("wb"),
+        when(col("qty_a") > col("qty_b"), col("brand_b"))
+          .otherwise(col("brand_a")).as("lb"))
+      .groupBy(col("wb"), col("lb"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+
+    // driver-side duel algebra over the ≤ |brands|² win matrix
+    val nMap = scala.collection.mutable.Map.empty[(String, String), Long]
+    w.foreach { case (wb, lb, c) =>
+      nMap((wb, lb)) = nMap.getOrElse((wb, lb), 0L) + c
+      nMap((lb, wb)) = nMap.getOrElse((lb, wb), 0L) + c
     }
-    p.join(wins, Seq("i"))
-      .join(n.groupBy(col("i")).agg(sum(col("n")).as("n_comparisons")),
-        Seq("i"))
-      .select(col("i").as("brand"), col("p").as("rating_e6"),
-        col("wins").as("n_wins"), col("n_comparisons"))
+    val items = nMap.keys.map(_._1).toSeq.distinct.sorted
+    val wins = items.map(i =>
+      i -> w.filter(_._1 == i).map(_._3).sum).toMap
+    val comps = items.map(i =>
+      i -> nMap.collect { case ((a0, _), c) if a0 == i => c }.sum).toMap
+
+    // the MM recurrence, exactly the old per-round dataflow
+    val one = BigInt(1)
+    val e12 = BigInt(1000000000000L)
+    var p = items.map(_ -> BigInt(BtScale)).toMap
+    for (_ <- 1 to BtRounds) {
+      val denom = items.map { i =>
+        i -> nMap.collect { case ((a0, j), c) if a0 == i =>
+          BigInt(c) * e12 / (p(i) + p(j))
+        }.sum
+      }.toMap
+      val praw = items.map { i =>
+        i -> (BigInt(wins(i)) * e12 / denom(i).max(one)).max(one)
+      }.toMap
+      val tot = praw.values.sum
+      val k = items.size
+      p = items.map { i =>
+        i -> (praw(i) * (BigInt(k) * BigInt(BtScale)) / tot).max(one)
+      }.toMap
+    }
+    items.map(i => (i, p(i).toLong, wins(i), comps(i)))
+      .toDF("brand", "rating_e6", "n_wins", "n_comparisons")
       .orderBy(col("rating_e6").desc, col("brand"))
   }
 
