@@ -1040,6 +1040,18 @@ object Dedup {
         expr("CAST(conv(substring(md5(w), 1, 12), 16, 10) AS BIGINT)")
           .as("s"))
       .distinct() // in-doc hash collisions collapse (both engines)
+      // Explicit-N s-keyed partitioning (round 14): the df count, the
+      // gate join and the downstream posting-pair groupBy(s) all key
+      // on s and reuse THIS exchange — and because the partition
+      // count is explicit, AQE cannot coalesce it to one partition
+      // the way it did to the small post-shuffle byte sizes at
+      // sf0.1, where the whole gate-join + Σ df² pair-explode stage
+      // ran serially (2.4 s single-task in q107; ~1 s in q175). At
+      // sf10 the exchange is shuffle.partitions-wide either way —
+      // this pins the LOWER end to the core count, it does not cap
+      // the upper end a cluster configures via shuffle partitions.
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("s"))
     val dfAll = inv.groupBy(col("s")).agg(count(lit(1)).as("c"))
     // df gate FIRST (counts only — no list is ever built for an
     // over-cap shingle). The cap metrics are computed on the join

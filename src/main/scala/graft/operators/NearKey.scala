@@ -60,9 +60,15 @@ object NearKey {
     * (name_a, name_b, n_a, n_b, id_pairs), name_a ≤ name_b, ordered.
     */
   def q160NearkeyPairs(s: SparkSession, dir: String): DataFrame = {
+    // keys + the dup arm read the checkpoint. The explicit-N
+    // repartition pins its partition count (round 14): the groupBy's
+    // AQE-coalesced 1–2 partitions froze into the checkpoint, and the
+    // deletion-key explode + xxhash kernel downstream inherited them —
+    // a 3.6 s near-serial stage at sf0.1 where 32 tasks take ~0.3 s.
     val names = Tables.load(s, dir, "customer")
       .groupBy(col("c_name")).agg(count(lit(1)).as("n"))
-      .localCheckpoint(false) // keys + the dup arm read it
+      .repartition(s.sparkContext.defaultParallelism, col("c_name"))
+      .localCheckpoint(false)
     val keys = names
       .select(col("c_name"), col("n"),
         explode(expr(s"sequence(0, least(length(c_name), $MaxDelPos))"))
