@@ -126,7 +126,13 @@ object Bpe {
     val pieces = merges.foldLeft(symbolize(col("w"))) {
       case (ws, (l, r)) => applyMerge(ws, l, r)
     }
+    // explicit-N vocab partitioning (round 14): the Merges-x-Passes
+    // replace cascade is the per-row hot kernel here, and the
+    // distinct()'s AQE-coalesced single post-shuffle partition ran it
+    // serially (~1.1 s single-task at sf0.1)
     val wp = toks.select(col("w")).distinct()
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("w"))
       .select(col("w"),
         size(split(trim(pieces), " ")).cast("long").as("n_pieces_w"))
     toks.join(wp, "w")
@@ -171,7 +177,9 @@ object Bpe {
     val pieces = merges.foldLeft(symbolize(col("w"))) {
       case (ws, (l, r)) => applyMerge(ws, l, r)
     }
+    // see q74: keep the merge-cascade kernel parallel
     val wp = toks.select(col("w")).distinct()
+      .repartition(s.sparkContext.defaultParallelism, col("w"))
       .select(col("w"),
         size(split(trim(pieces), " ")).cast("long").as("n_pieces_w"))
     toks.join(wp, "w")
