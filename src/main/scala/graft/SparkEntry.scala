@@ -191,6 +191,7 @@ object SparkEntry {
     "q176_er_recall" -> EntityRes.q176ErRecall,
     "q177_para_dedup" -> Dedup.q177ParaDedup,
     "q178_ann_frontier" -> Ivfpq.q178AnnFrontier,
+    "q179_ann_quantizer" -> Ivfpq.q179AnnQuantizer,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatch,
     "q59_retention" -> Behavior.q59Retention,
     "q60_funnel" -> Behavior.q60Funnel,
@@ -590,6 +591,7 @@ object SparkEntry {
     "q176_er_recall" -> EntityRes.q176ErRecallOracle,
     "q177_para_dedup" -> Dedup.q177ParaDedupOracle,
     "q178_ann_frontier" -> Ivfpq.q178AnnFrontierOracle,
+    "q179_ann_quantizer" -> Ivfpq.q179AnnQuantizerOracle,
     "q58_sessionize_batch" -> Behavior.q58SessionizeBatchOracle,
     "q59_retention" -> Behavior.q59RetentionOracle,
     "q60_funnel" -> Behavior.q60FunnelOracle,

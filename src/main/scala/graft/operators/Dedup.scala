@@ -1039,19 +1039,27 @@ object Dedup {
       .select(col("doc_id"),
         expr("CAST(conv(substring(md5(w), 1, 12), 16, 10) AS BIGINT)")
           .as("s"))
-      .distinct() // in-doc hash collisions collapse (both engines)
-      // Explicit-N s-keyed partitioning (round 14): the df count, the
-      // gate join and the downstream posting-pair groupBy(s) all key
-      // on s and reuse THIS exchange — and because the partition
-      // count is explicit, AQE cannot coalesce it to one partition
-      // the way it did to the small post-shuffle byte sizes at
-      // sf0.1, where the whole gate-join + Σ df² pair-explode stage
-      // ran serially (2.4 s single-task in q107; ~1 s in q175). At
+      // Explicit-N s-keyed partitioning, THEN the in-doc dedup
+      // (round 14, second cut): HashPartitioning(s) satisfies the
+      // (doc_id, s) clustering dropDuplicates needs, so this ONE
+      // exchange replaces the old `.distinct()`'s (doc_id, s)
+      // shuffle outright AND is reused by the df count, the gate
+      // join and the posting-pair groupBy(s) downstream — and
+      // because the partition count is explicit, AQE cannot coalesce
+      // it to one partition the way it did to the small post-shuffle
+      // byte sizes at sf0.1, where the whole gate-join + Σ df²
+      // pair-explode stage ran serially (2.4 s single-task in q107).
+      // The FIRST cut (repartition AFTER distinct) added an extra
+      // full shuffle of the inverted index per unbarriered consumer
+      // and q173 — three consumers of `keep` — paid it three times
+      // at sf1 (10.8 → 19.8 s, caught by the sf1 chain); this shape
+      // is strictly one exchange cheaper than the round-13 plan. At
       // sf10 the exchange is shuffle.partitions-wide either way —
-      // this pins the LOWER end to the core count, it does not cap
-      // the upper end a cluster configures via shuffle partitions.
+      // explicit N pins the LOWER end to the core count, it does not
+      // cap what a cluster configures via shuffle partitions.
       .repartition(docs.sparkSession.sparkContext.defaultParallelism,
         col("s"))
+      .dropDuplicates("doc_id", "s") // in-doc hash collisions collapse
     val dfAll = inv.groupBy(col("s")).agg(count(lit(1)).as("c"))
     // df gate FIRST (counts only — no list is ever built for an
     // over-cap shingle). The cap metrics are computed on the join

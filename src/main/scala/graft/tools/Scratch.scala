@@ -31,9 +31,8 @@ object Scratch {
       println(f"[scratch] $name%-30s cold=$c%8.3f warm=$w%8.3f")
     }
 
-    for (n <- Seq("full"))
-      time(s"q176:$n")(
-        graft.operators.EntityRes.q176Pieces(spark, sfDir)(n))
+    time("q176:full")(
+      graft.operators.EntityRes.q176ErRecall(spark, sfDir))
     spark.stop()
   }
 }
