@@ -85,6 +85,10 @@ object PlanAudit {
       // ground-truth arm (≤5-row broadcast probe panel × one corpus
       // scan) — both intended constant-broadcast-side plans.
       "q178_ann_frontier",
+      // q179 sweeps the quantizer axis over the SAME two intended
+      // constant-broadcast shapes as q178: the Kc-row coarse
+      // codebook crossJoin and the ≤5-row ground-truth probe panel.
+      "q179_ann_quantizer",
       // q44/q49's salted plans crossJoin the 1-ROW derived-salt
       // recommendation (SkewProfile.recommendedSaltOf) onto both join
       // sides — the q36/q55 totals shape; the fact side never
